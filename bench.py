@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is forced with the noop sink (full plan runs, no driver
+collect overhead), which is how a cluster job would be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "a2a3_pricing_summary",
+    "q3_shipping_priority",
+    "j1_broadcast_dim_join",
+    "j2_stream_static_join",
+    "a2_keyed_counters",
+    "a3_final_metrics",
+    "a5_rating_recurrence",
+    "c1_json_extract",
+    "w1_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "ann_cosine_topk",
+    "text_token_stats",
+    "text_fingerprint",
+    "t4_windowed_stream_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from fantasy_premier_league_spark.plans.registry import all_queries
+    from fantasy_premier_league_spark.session import get_spark
+
+    spark = get_spark("fpl-spark-bench")
+    queries = all_queries()
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure
+    # the plan, not first-call overhead.
+    queries["a2a3_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Deduplication operators over the ``documents`` table (north-star
+extension, SURVEY 2.10): exact, n-gram Jaccard, and MinHash-LSH.
+
+Design for 100 TB:
+- exact dedup is one hash-shuffle on a digest of the text (never
+  shuffle the raw text as the key at scale -- group on sha2 and keep
+  min doc_id as the canonical survivor);
+- n-gram Jaccard avoids the n^2 pair space by joining on shared
+  shingles (inverted-index join): only documents sharing at least one
+  shingle ever meet, and hot shingles can be frequency-capped;
+- MinHash-LSH reduces candidate generation to equality joins on
+  (band, band-signature) buckets -- the classic shingle -> minhash ->
+  band -> bucket-join pipeline, all expressible as DataFrame ops with
+  a portable md5-based hash (so the DuckDB oracle computes the exact
+  same signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.functions import rounded
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# Exact dedup: canonical-survivor selection by content digest.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, CAST(min(doc_id) AS BIGINT) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("digest"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-3-gram shingles, shared by the Jaccard and MinHash paths.
+# Spark: transform(sequence) over the token array; DuckDB: list
+# comprehension. Both 'tokens[i] tokens[i+1] tokens[i+2]'.
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text: Column) -> Column:
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    # guard: docs with < 3 tokens have no 3-gram (sequence(0, n<0) would descend)
+    return F.array_distinct(
+        F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id,
+             list_distinct([
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               for i in range(1, greatest(len(toks) - 1, 1))
+             ]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: inverted-index candidate join.
+# jaccard(A,B) = |A n B| / (|A| + |B| - |A n B|); only pairs sharing a
+# shingle are materialized. Threshold 0.2 keeps the result non-trivial
+# on the synthetic corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc1, i.doc2,
+           round(CAST(i.n_common AS DOUBLE) / (s1.sz + s2.sz - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    WHERE CAST(i.n_common AS DOUBLE) / (s1.sz + s2.sz - i.n_common) >= 0.2
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
+    return (
+        inter.join(sizes.alias("s1"), F.col("doc1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("doc2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc1", "doc2", rounded(jac, 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash: portable signature. Shingle -> 32-bit int via the first 8 hex
+# chars of md5 (identical in Spark and DuckDB), then k=8 universal-hash
+# permutations h_j(x) = (a_j * x + b_j) mod p, minhash_j = min over
+# shingles. LSH banding (4 bands x 2 rows) turns near-dup candidate
+# generation into equality joins on the band signature.
+# ---------------------------------------------------------------------------
+
+_P = 4294967311  # prime > 2^32
+_HASHES = [(1_103_515_245 + 2 * j, 12_345 + 7 * j) for j in range(8)]
+
+
+def _shingle_int(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def _permutation(a: int, b: int):
+    # single-arg closure: pyspark infers higher-order-function arity from
+    # the lambda signature, so default-arg captures would read as 3-arg
+    return lambda x: (x * a + b) % _P
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle="""
+    WITH sh AS ({sh}),
+    ints AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs
+      FROM sh
+    )
+    SELECT doc_id,
+           {mins}
+    FROM ints ORDER BY doc_id
+    """.format(
+        sh=_SHINGLES_SQL,
+        mins=",\n           ".join(
+            f"CAST(list_min([({a} * x + {b}) % {_P} for x in xs]) AS BIGINT) AS mh{j}"
+            for j, (a, b) in enumerate(_HASHES)
+        ),
+    ),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    ints = sh.select(
+        "doc_id", F.transform(F.col("shingles"), _shingle_int).alias("xs")
+    )
+    mins = [
+        F.array_min(F.transform(F.col("xs"), _permutation(a, b))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_HASHES)
+    ]
+    return ints.select("doc_id", *mins).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    oracle="""
+    WITH sh AS ({sh}),
+    ints AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM ints
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS r0, mh1 AS r1 FROM sig
+      UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
+    ORDER BY doc1, doc2
+    """.format(
+        sh=_SHINGLES_SQL,
+        mins=", ".join(
+            f"CAST(list_min([({a} * x + {b}) % {_P} for x in xs]) AS BIGINT) AS mh{j}"
+            for j, (a, b) in enumerate(_HASHES)
+        ),
+    ),
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_minhash_signatures(spark, sf_dir)
+    bands = None
+    for band in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.col(f"mh{2 * band}").alias("r0"),
+            F.col(f"mh{2 * band + 1}").alias("r1"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.r0") == F.col("b.r0"))
+            & (F.col("a.r1") == F.col("b.r1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+        .orderBy("doc1", "doc2")
+    )

@@ -1,0 +1,305 @@
+"""FPL-pipeline-shaped operators over the driver's ``events`` table.
+
+FIXTURES.md section 7 maps the synthetic stream onto the reference's
+domain: ``user_id`` <-> playerId, ``event_type`` <-> eventId,
+``props`` JSON <-> tags, and a day of ``ts`` <-> one matchId. Each
+query here is the events-table twin of a reference operator, so the
+driver's DuckDB gate differentially tests the exact dataflow shape the
+football pipeline uses (see operators/pipeline.py for the domain
+implementation with the real schemas).
+
+Scale: every aggregation below keys on (user_id[, day]) -- one shuffle,
+partial aggregation map-side, no Python in the plan. The chemistry
+pair-join is the only super-linear op; its pair space is bounded by
+|users|^2 and is block-partitioned in the production variant
+(operators/chemistry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.functions import fixed_units, rounded, safe_div
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# A1: per-event metric-vector extraction (reference getMetrics,
+# master.py:48-138 -- a 91-line Python closure dispatching on eventId and
+# tag membership). Rebuilt as a pure column projection: CASE/when +
+# get_json_object, fully inside whole-stage codegen, zero Python.
+# Fixed-layout counters (the reference's broken 19-tuple default branch,
+# master.py:138, is corrected -- every branch emits the same slots).
+# ---------------------------------------------------------------------------
+
+_COUNTERS = """
+  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS n_click,
+  CASE WHEN event_type = 'click' AND k % 2 = 0 THEN 1 ELSE 0 END AS n_acc_click,
+  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS n_view,
+  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS n_purchase,
+  CASE WHEN event_type = 'purchase' AND value >= 100 THEN 1 ELSE 0 END AS n_big_purchase,
+  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS n_error,
+  CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS n_signup
+"""
+
+
+def _event_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    t = F.col("event_type")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        k.alias("k"),
+        F.when(t == "click", 1).otherwise(0).alias("n_click"),
+        F.when((t == "click") & (k % 2 == 0), 1).otherwise(0).alias("n_acc_click"),
+        F.when(t == "view", 1).otherwise(0).alias("n_view"),
+        F.when(t == "purchase", 1).otherwise(0).alias("n_purchase"),
+        F.when((t == "purchase") & (F.col("value") >= 100), 1).otherwise(0).alias("n_big_purchase"),
+        F.when(t == "error", 1).otherwise(0).alias("n_error"),
+        F.when(t == "signup", 1).otherwise(0).alias("n_signup"),
+    )
+
+
+@register(
+    "a1_metric_vector",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           {_COUNTERS}
+    FROM events ORDER BY event_id
+    """,
+)
+def metric_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _event_vectors(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "k",
+        "n_click",
+        "n_acc_click",
+        "n_view",
+        "n_purchase",
+        "n_big_purchase",
+        "n_error",
+        "n_signup",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# A2: keyed counter aggregation (reference metricsCounterCalc,
+# master.py:140-175 -- updateStateByKey summing 17 counters with a
+# reset-on-new-matchId hack). Keying by (player, match) = (user_id, day)
+# eliminates the reset entirely: state never needs clearing because the
+# key space carries the match horizon (SURVEY 2.4 A2).
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = f"""
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           CAST(sum(n_click) AS BIGINT) AS clicks,
+           CAST(sum(n_acc_click) AS BIGINT) AS acc_clicks,
+           CAST(sum(n_view) AS BIGINT) AS views,
+           CAST(sum(n_purchase) AS BIGINT) AS purchases,
+           CAST(sum(n_big_purchase) AS BIGINT) AS big_purchases,
+           CAST(sum(n_error) AS BIGINT) AS errors,
+           CAST(sum(n_signup) AS BIGINT) AS signups,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+             AS value_sum
+    FROM (
+      SELECT user_id, ts, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             {_COUNTERS}
+      FROM events
+    )
+    GROUP BY user_id, strftime(date_trunc('day', ts), '%Y-%m-%d')
+"""
+
+
+def _daily_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _event_vectors(spark, sf_dir)
+    return (
+        vec.groupBy("user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("n_click").alias("clicks"),
+            F.sum("n_acc_click").alias("acc_clicks"),
+            F.sum("n_view").alias("views"),
+            F.sum("n_purchase").alias("purchases"),
+            F.sum("n_big_purchase").alias("big_purchases"),
+            F.sum("n_error").alias("errors"),
+            F.sum("n_signup").alias("signups"),
+            rounded(F.sum(fixed_units(F.col("value"))) / 100.0, 2).alias("value_sum"),
+        )
+    )
+
+
+@register("a2_keyed_counters", oracle=_DAILY_SQL + " ORDER BY user_id, day")
+def keyed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _daily_counters(spark, sf_dir).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# A3: derived-metric ratio projection (reference getFinalMetrics,
+# master.py:177-212 -- pass_accuracy / duel_eff / shot_eff / fk_eff with
+# try/except->0). Stateless projection over A2 output; safe_div =
+# coalesce(try_divide) keeps the zero-guard declarative.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a3_final_metrics",
+    oracle=f"""
+    SELECT user_id, day,
+           round(coalesce(acc_clicks / nullif(clicks, 0), 0.0), 6) AS click_accuracy,
+           round(coalesce(purchases / nullif(clicks + views, 0), 0.0), 6) AS conversion,
+           round(coalesce(big_purchases / nullif(purchases, 0), 0.0), 6) AS big_share,
+           round(coalesce(errors / nullif(n_events, 0), 0.0), 6) AS error_rate
+    FROM ({_DAILY_SQL})
+    ORDER BY user_id, day
+    """,
+)
+def final_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_counters(spark, sf_dir)
+    return d.select(
+        "user_id",
+        "day",
+        rounded(safe_div(F.col("acc_clicks"), F.col("clicks")), 6).alias("click_accuracy"),
+        rounded(safe_div(F.col("purchases"), F.col("clicks") + F.col("views")), 6).alias(
+            "conversion"
+        ),
+        rounded(safe_div(F.col("big_purchases"), F.col("purchases")), 6).alias("big_share"),
+        rounded(safe_div(F.col("errors"), F.col("n_events")), 6).alias("error_rate"),
+    ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# A4: cumulative player profile, batch variant (reference getPlayerProfile,
+# master.py:242-259 -- per-player lifetime sums; the reference's
+# order-dependent (new+old)/2 running mean is reproduced exactly in the
+# stateful pipeline, operators/pipeline.py -- here the batch profile uses
+# the well-defined lifetime aggregate).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a4_profile",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT date_trunc('day', ts)) AS n_days,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchases,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS errors,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0 / count(*), 6) AS avg_value,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+             AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+            rounded(F.sum(fixed_units(F.col("value"))) / 100.0 / F.count("*"), 6).alias(
+                "avg_value"
+            ),
+            rounded(F.sum(fixed_units(F.col("value"))) / 100.0, 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 + J4: pairwise chemistry (reference metrics.py:26-49 -- O(n^2) Python
+# dict loop applying the sign rule per batch). Rebuilt as: per-(user, day)
+# delta via a lag window, then a self equi-join on day with p1 < p2, then
+# one grouped sum and a final clamp to [0,1] (the clamp the spec demands
+# and the reference omits; SURVEY 2.4 A6).
+#
+# Sign rule (exact reference semantics, metrics.py:37-44): same team and
+# same strict sign -> +mag; same team, opposite/zero -> -mag; opposing
+# teams inverted. mag = abs((d1+d2)/2). "Team" = customer's nation.
+#
+# Scale: the join is keyed on day FIRST (equi-join), so each day's pair
+# block is independent -- at 100 TB this partitions by day and the n^2
+# factor is bounded per-partition; the user<user predicate halves it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a6_chemistry_pairs",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / count(*) AS v
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    delta AS (
+      SELECT user_id, day,
+             v - lag(v) OVER (PARTITION BY user_id ORDER BY day) AS d
+      FROM daily
+    ),
+    team AS (SELECT c_custkey AS user_id, c_nationkey AS team FROM customer),
+    pairs AS (
+      SELECT a.user_id AS p1, b.user_id AS p2,
+             abs((a.d + b.d) / 2) AS mag,
+             ((a.d > 0 AND b.d > 0) OR (a.d < 0 AND b.d < 0)) AS same_sign,
+             (ta.team = tb.team) AS same_team
+      FROM delta a
+      JOIN delta b ON a.day = b.day AND a.user_id < b.user_id
+      JOIN team ta ON ta.user_id = a.user_id
+      JOIN team tb ON tb.user_id = b.user_id
+      WHERE a.d IS NOT NULL AND b.d IS NOT NULL
+    )
+    SELECT p1, p2,
+           round(greatest(0.0, least(1.0,
+             0.5 + sum(CASE WHEN same_team = same_sign THEN mag ELSE -mag END))), 6)
+             AS chemistry
+    FROM pairs GROUP BY p1, p2 ORDER BY p1, p2
+    """,
+)
+def chemistry_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        (F.sum(fixed_units(F.col("value"))) / 100.0 / F.count("*")).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    delta = daily.select(
+        "user_id", "day", (F.col("v") - F.lag("v").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    team = F.broadcast(
+        cust.select(F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("team"))
+    )
+    a = delta.alias("a")
+    b = delta.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.day") == F.col("b.day")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .join(team.alias("ta"), F.col("a.user_id") == F.col("ta.user_id"))
+        .join(team.alias("tb"), F.col("b.user_id") == F.col("tb.user_id"))
+        .select(
+            F.col("a.user_id").alias("p1"),
+            F.col("b.user_id").alias("p2"),
+            F.abs((F.col("a.d") + F.col("b.d")) / 2).alias("mag"),
+            (
+                ((F.col("a.d") > 0) & (F.col("b.d") > 0))
+                | ((F.col("a.d") < 0) & (F.col("b.d") < 0))
+            ).alias("same_sign"),
+            (F.col("ta.team") == F.col("tb.team")).alias("same_team"),
+        )
+    )
+    chem = F.lit(0.5) + F.sum(
+        F.when(F.col("same_team") == F.col("same_sign"), F.col("mag")).otherwise(-F.col("mag"))
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(rounded(F.greatest(F.lit(0.0), F.least(F.lit(1.0), chem)), 6).alias("chemistry"))
+        .orderBy("p1", "p2")
+    )

@@ -1,0 +1,212 @@
+"""Text analysis operators over ``documents`` (north-star extension,
+SURVEY 2.10): token stats, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All pure column expressions -- whole-stage codegen end to end, no
+Python. At 100 TB these are embarrassingly parallel projections +
+one low-cardinality aggregate; the only shuffle is the final groupBy
+where present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.functions import rounded, safe_div
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+_STOPWORDS = ("the", "a", "data", "value")
+_FP_PRIME = 1_000_003
+
+# ---------------------------------------------------------------------------
+# Token counting + quality scoring. Documents are single-space-joined
+# word streams, so whitespace tokenization is exact; char stats via
+# translate() (portable: Spark and DuckDB both delete unmapped chars).
+# quality = stopword-ratio and mean-word-length band checks, the
+# standard cheap pre-LLM corpus filters.
+# ---------------------------------------------------------------------------
+
+
+def _tok(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars_measured,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS mean_word_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                           t -> t IN {_STOPWORDS})) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok(F.col("text"))
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        rounded(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tokens, 6
+        ).alias("mean_word_len"),
+        rounded(
+            F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tokens, 6
+        ).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS distinct_ratio,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN {_STOPWORDS})) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(CASE WHEN n_tokens >= 20 AND distinct_ratio >= 0.3
+                           AND stop_ratio <= 0.5 THEN 1 END) AS BIGINT) AS n_kept,
+           round(avg(distinct_ratio), 6) AS avg_distinct_ratio
+    FROM stats GROUP BY source ORDER BY source
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok(F.col("text"))
+    n_tokens = F.size(toks)
+    stats = docs.select(
+        "source",
+        n_tokens.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("distinct_ratio"),
+        (F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tokens).alias(
+            "stop_ratio"
+        ),
+    )
+    kept = (
+        (F.col("n_tokens") >= 20) & (F.col("distinct_ratio") >= 0.3) & (F.col("stop_ratio") <= 0.5)
+    )
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            rounded(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: character-class n-gram scoring reduced to a
+# portable vowel/consonant-profile rule (the corpus is synthetic, so the
+# point is the declared-vs-predicted confusion matrix shape, not real
+# linguistics). Agreement with the declared `lang` column is reported.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             CAST(length(text) - length(translate(text, 'aeiou', '')) AS DOUBLE)
+               / nullif(length(replace(text, ' ', '')), 0) AS vowel_ratio,
+             CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS the_ratio
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(CASE WHEN (CASE WHEN the_ratio > 0.05 THEN 'en'
+                                      WHEN vowel_ratio >= 0.40 THEN 'es'
+                                      ELSE 'other' END) = lang
+                      THEN 1 END) AS BIGINT) AS n_heuristic_match,
+           round(avg(vowel_ratio), 6) AS avg_vowel_ratio
+    FROM feat GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    vowel_ratio = (
+        (F.length("text") - F.length(F.translate(F.col("text"), "aeiou", ""))).cast("double")
+        / F.nullif(letters, F.lit(0))
+    )
+    the_ratio = (
+        F.size(F.filter(_tok(F.col("text")), lambda t: t == "the")).cast("double")
+        / F.size(_tok(F.col("text")))
+    )
+    predicted = (
+        F.when(the_ratio > 0.05, "en").when(vowel_ratio >= 0.40, "es").otherwise("other")
+    )
+    feat = docs.select(
+        "lang", vowel_ratio.alias("vowel_ratio"), (predicted == F.col("lang")).alias("hit")
+    )
+    return (
+        feat.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("hit"), 1)).alias("n_heuristic_match"),
+            rounded(F.avg("vowel_ratio"), 6).alias("avg_vowel_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: position-weighted polynomial hash over tokens
+# (rolling-hash family), fully portable: token atom = 31*len(token) +
+# ascii(first char); fingerprint = sum(pos * atom) mod P. posexplode in
+# Spark zips exactly with DuckDB's aligned unnest(list)/unnest(range).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(sum(pos * (31 * length(tok) + ascii(tok[1]))) % {_FP_PRIME} AS BIGINT)
+             AS fingerprint,
+           count(*) AS n_tokens
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      FROM documents
+    )
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.posexplode(_tok(F.col("text"))).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    atom = 31 * F.length("tok") + F.ascii(F.substring("tok", 1, 1))
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            (F.sum(F.col("pos") * atom) % _FP_PRIME).cast("long").alias("fingerprint"),
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

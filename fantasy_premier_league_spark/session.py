@@ -1,0 +1,46 @@
+"""SparkSession factory.
+
+Single place where scale-relevant knobs live. Local runs use
+``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same builder works
+with master unset (picked up from spark-submit). Config choices:
+
+- AQE on (runtime re-plan, partition coalescing, skew-join splitting)
+  so plans survive 100x scale-up without hand-tuning;
+- shuffle partitions sized to cores locally (the 200 default
+  over-parallelizes small data and under-parallelizes 100 TB — on a
+  cluster AQE's coalescing makes the initial number less critical);
+- session timezone pinned to UTC so timestamp semantics match the
+  DuckDB correctness oracle (duckdb timestamps are UTC-naive);
+- Arrow enabled for every pandas-interop path (Pandas UDFs,
+  applyInPandas, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "fpl-spark-engine", master: str | None = None) -> SparkSession:
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,86 @@
+"""Structured Streaming queries runnable under the batch correctness
+gate (SURVEY 2.7: T1-T8 semantics).
+
+The reference's streaming layer is a DStream socket pipeline with 5 s
+micro-batches and 4 chained ``updateStateByKey`` (master.py:330-373).
+Here the same computations run as incremental Structured Streaming
+plans; for the differential gate the stream is the parquet file source
+drained with ``processAllAvailable`` into a memory sink, so the result
+is a plain DataFrame a SQL oracle can check: stream/batch parity is
+exactly Structured Streaming's unified-semantics promise.
+
+Scale: a tumbling-window count/sum keyed by (window, event_type) keeps
+state bounded by |windows| x |types|; with a watermark (used in the
+pipeline variant, streaming/pipeline.py) expired windows are evicted,
+so 100 TB of history never accumulates in the state store.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark.sql import types as T
+
+from fantasy_premier_league_spark.functions import fixed_units, rounded
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+
+def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming aggregation into a memory sink, synchronously."""
+    name = "s" + uuid.uuid4().hex[:12]
+    checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "t4_windowed_stream_agg",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+             AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def windowed_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The parquet carries ts as TIMESTAMP(NANOS): declare it long for the
+    # file source (with the legacy nanos conf, set by load_table) and
+    # convert with integer arithmetic, exactly like the batch path.
+    batch_schema = load_table(spark, sf_dir, "events").schema
+    raw_fields = [
+        T.StructField("ts", T.LongType()) if f.name == "ts" else f
+        for f in batch_schema.fields
+    ]
+    # file source requires a directory: point at sf_dir with a glob filter
+    stream = (
+        spark.readStream.schema(T.StructType(raw_fields))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(fixed_units(F.col("value"))).alias("total_value_c"))
+    )
+    result = run_stream_to_memory(stream, output_mode="complete")
+    return result.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        rounded(F.col("total_value_c") / 100.0, 2).alias("total_value"),
+    ).orderBy("day", "event_type")
