@@ -1,0 +1,259 @@
+"""Structured Streaming rebuild of the reference's DStream job
+(master.py:330-379; SURVEY section 7 Phase 3+4).
+
+Reference topology: socket text DStream, 5 s batches, 4 chained
+``updateStateByKey``, rmtree/append text sinks. Rebuild topology:
+
+- sources: ``readStream.format("socket")`` for the live demo (S1) and
+  the file source over the fixture stream dir for replayable tests --
+  ``maxFilesPerTrigger=1`` makes one micro-batch per match file,
+  reproducing the reference's match-per-batch cadence deterministically
+  (T1); ``availableNow`` drains the backlog and stops (T7);
+- one permissive ``from_json`` + wyId/eventId discrimination (F1/F2);
+- K2 (match log) and the event feed as idempotent ``foreachBatch``
+  Parquet appends partitioned by batch_id -- re-running a batch
+  overwrites its own partition, replacing the reference's
+  non-transactional append/rmtree sinks (T8);
+- A2/A3 as a streaming groupBy aggregation in update mode (state keyed
+  by (playerId, matchId), kept partition-local by the StateStore --
+  the reference reshuffles the FULL key space every batch);
+- A4+A5 (profile running mean + rating recurrence) as ONE
+  ``applyInPandasWithState`` operator keyed by playerId (T5): the only
+  genuinely sequential semantics in the engine, Arrow-batched, state =
+  a single row per player. Chaining stateful ops inside one query is
+  not supported by the incremental planner (and the reference's
+  4-deep updateStateByKey chain recomputed everything every batch),
+  so counters/metrics are derived inside the state function from the
+  batch's raw events -- each batch is one match, so the per-match
+  aggregate is complete within the invocation.
+
+At 100 TB: the file/kafka source partitions by file/topic-partition;
+the single stateful shuffle keys on playerId (bounded state, one row
+per player); sinks are partitioned appends -- no global barrier, no
+driver-memory state.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from fantasy_premier_league_spark.schemas import STREAM_SCHEMA
+
+INIT_RATING = 0.5
+
+RATING_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("playerId", T.IntegerType()),
+        T.StructField("matchId", T.IntegerType()),
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("delta", T.DoubleType()),
+        T.StructField("pass_accuracy_mean", T.DoubleType()),
+        T.StructField("fouls_total", T.LongType()),
+        T.StructField("goals_total", T.LongType()),
+        T.StructField("own_goals_total", T.LongType()),
+        T.StructField("shots_on_target_total", T.LongType()),
+    ]
+)
+
+# state: one row per player (rating + cumulative profile)
+RATING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("rating", T.DoubleType()),
+        T.StructField("pa_mean", T.DoubleType()),
+        T.StructField("fouls", T.LongType()),
+        T.StructField("goals", T.LongType()),
+        T.StructField("own_goals", T.LongType()),
+        T.StructField("shots", T.LongType()),
+        T.StructField("last_match", T.IntegerType()),
+    ]
+)
+
+
+def stream_source(
+    spark: SparkSession, stream_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source replay of the fixture stream: one match file per
+    micro-batch (S1's test twin; socket source in socket_source())."""
+    return (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(os.path.join(stream_dir, "*.jsonl"))
+        .select(F.from_json("value", STREAM_SCHEMA).alias("r"))
+        .select("r.*")
+    )
+
+
+def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """S1: the reference's socket ingest (master.py:330), parsed once."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .select(F.from_json("value", STREAM_SCHEMA).alias("r"))
+        .select("r.*")
+    )
+
+
+def run_ingest_sinks(
+    parsed: DataFrame, out_dir: str, checkpoint: str
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """K2 + event feed: idempotent foreachBatch Parquet appends.
+
+    Each batch overwrites its own batch_id partition (dynamic partition
+    overwrite), so replays after failure cannot duplicate -- the
+    exactly-once story the reference's append-to-Match.json lacks.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        stamped = batch_df.withColumn("batch_id", F.lit(batch_id))
+        stamped.filter(F.col("wyId").isNotNull()).select(
+            "batch_id", "wyId", "label", "dateutc", "duration", "winner",
+            "venue", "gameweek", F.to_json(F.struct("teamsData")).alias("teams_json"),
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(
+            os.path.join(out_dir, "match_log")
+        )
+        stamped.filter(F.col("eventId").isNotNull()).select(
+            "batch_id", "id", "eventId", "subEventId", "playerId", "matchId",
+            "teamId", F.col("tags.id").alias("tag_ids"),
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(
+            os.path.join(out_dir, "events")
+        )
+
+    return (
+        parsed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_match_counters(parsed: DataFrame) -> DataFrame:
+    """A2 as an incremental streaming aggregation: state keyed by
+    (playerId, matchId); update mode emits only changed keys."""
+    from fantasy_premier_league_spark.operators.pipeline import metric_vectors
+
+    events = parsed.filter(F.col("eventId").isNotNull())
+    return metric_vectors(events).drop("id").groupBy("playerId", "matchId").agg(
+        *[
+            F.sum(c).cast("long").alias(c)
+            for c in (
+                "acc_normal_passes", "acc_key_passes", "normal_passes", "key_passes",
+                "duels_won", "neutral_duels", "total_duels", "shots",
+                "shots_on_target_goal", "shots_on_target_no_goal", "shots_on_target",
+                "fouls", "own_goals", "free_kicks", "effective_free_kicks",
+                "penalty_goals", "goals",
+            )
+        ]
+    )
+
+
+def _fold_player_state(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """A4+A5 in one pass (updatePlayerRating master.py:214-239 +
+    getPlayerProfile master.py:242-259). Input rows: one per event for
+    this player in this batch; each batch carries whole matches."""
+    (player_id,) = key
+    if state.exists:
+        rating, pa_mean, fouls_t, goals_t, og_t, shots_t, last_match = state.get
+    else:
+        rating, pa_mean = INIT_RATING, None
+        fouls_t = goals_t = og_t = shots_t = 0
+        last_match = -1
+
+    out_rows = []
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    for match_id, g in pdf.sort_values("matchId").groupby("matchId", sort=True):
+        if match_id <= last_match:
+            continue  # replayed/duplicate match: idempotent skip
+        c = g.sum(numeric_only=True)
+        pa_den = c["normal_passes"] + c["key_passes"] * 2
+        pass_accuracy = (
+            (c["acc_normal_passes"] + c["acc_key_passes"] * 2) / pa_den if pa_den else 0.0
+        )
+        duel_eff = (
+            (c["duels_won"] + c["neutral_duels"] * 0.5) / c["total_duels"]
+            if c["total_duels"]
+            else 0.0
+        )
+        shot_eff = (
+            (c["shots_on_target_goal"] + c["shots_on_target_no_goal"] * 0.5) / c["shots"]
+            if c["shots"]
+            else 0.0
+        )
+        contrib = (pass_accuracy + duel_eff + shot_eff + c["shots_on_target"]) / 4
+        contrib = contrib - (0.005 * c["fouls"] + 0.05 * c["own_goals"]) * contrib
+        new_rating = 1.05 * ((contrib + rating) / 2)
+        delta = new_rating - rating
+        rating = new_rating
+        pa_mean = pass_accuracy if pa_mean is None else (pass_accuracy + pa_mean) / 2
+        fouls_t += int(c["fouls"])
+        goals_t += int(c["goals"])
+        og_t += int(c["own_goals"])
+        shots_t += int(c["shots_on_target"])
+        last_match = int(match_id)
+        out_rows.append(
+            {
+                "playerId": player_id,
+                "matchId": last_match,
+                "rating": rating,
+                "delta": delta,
+                "pass_accuracy_mean": pa_mean,
+                "fouls_total": fouls_t,
+                "goals_total": goals_t,
+                "own_goals_total": og_t,
+                "shots_on_target_total": shots_t,
+            }
+        )
+
+    state.update((rating, pa_mean, fouls_t, goals_t, og_t, shots_t, last_match))
+    yield pd.DataFrame(
+        out_rows,
+        columns=[f.name for f in RATING_OUTPUT_SCHEMA.fields],
+    )
+
+
+def streaming_player_state(parsed: DataFrame) -> DataFrame:
+    """The stateful tier: per-player rating + profile evolving match by
+    match, emitted in append mode. Replaces the reference's chained
+    updateStateByKey with ONE keyed state operator."""
+    from fantasy_premier_league_spark.operators.pipeline import metric_vectors
+
+    events = parsed.filter(F.col("eventId").isNotNull())
+    vectors = metric_vectors(events).drop("id")
+    return vectors.groupBy("playerId").applyInPandasWithState(
+        _fold_player_state,
+        outputStructType=RATING_OUTPUT_SCHEMA,
+        stateStructType=RATING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    checkpoint: str,
+    output_mode: str = "append",
+    query_name: str = "fpl_stream",
+) -> DataFrame:
+    """Drain with availableNow and return the sink table (T7)."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

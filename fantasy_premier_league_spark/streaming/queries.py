@@ -84,3 +84,49 @@ def windowed_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rounded(F.col("total_value_c") / 100.0, 2).alias("total_value"),
     ).orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T5: the stateful tier (A4+A5) run THROUGH the streaming engine --
+# applyInPandasWithState over the fixture stream, one micro-batch per
+# match file. The oracle is the same recursive-CTE recurrence used for
+# the batch pipeline: stream/batch parity IS the check.
+# ---------------------------------------------------------------------------
+
+
+def _fpl_stateful_oracle() -> str:
+    from fantasy_premier_league_spark.operators import pipeline as P
+
+    return f"""
+    SELECT playerId, matchId, round(rating, 6) AS rating, round(delta, 6) AS delta
+    FROM ({P._RATING_SQL}) ORDER BY playerId, matchId
+    """
+
+
+def _register_stateful() -> None:
+    import tempfile
+    import uuid
+
+    from fantasy_premier_league_spark.sources import fpl_fixtures
+
+    @register("fpl_t5_stateful_stream", oracle=_fpl_stateful_oracle())
+    def fpl_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fantasy_premier_league_spark.streaming.pipeline import (
+            run_stream_to_memory,
+            stream_source,
+            streaming_player_state,
+        )
+
+        stream_dir = os.path.join(fpl_fixtures.ensure_fixtures(), "stream")
+        ckpt = os.path.join(tempfile.gettempdir(), "t5_ckpt_" + uuid.uuid4().hex[:8])
+        out = streaming_player_state(stream_source(spark, stream_dir))
+        table = run_stream_to_memory(out, ckpt, query_name="t5_" + uuid.uuid4().hex[:8])
+        return table.select(
+            "playerId",
+            "matchId",
+            rounded(F.col("rating"), 6).alias("rating"),
+            rounded(F.col("delta"), 6).alias("delta"),
+        ).orderBy("playerId", "matchId")
+
+
+_register_stateful()

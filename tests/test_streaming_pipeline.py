@@ -1,0 +1,237 @@
+"""Streaming tests (SURVEY 2.7 T1-T8): stream/batch parity for the
+stateful tier, idempotent sinks, socket ingest, and watermark
+semantics. Structured Streaming's unified-semantics promise is the
+assertion: replaying the fixture stream must produce byte-identical
+state to the batch pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import threading
+import time
+
+import pytest
+
+from fantasy_premier_league_spark.sources.fpl_fixtures import ensure_fixtures
+
+
+@pytest.fixture()
+def tmp_ckpt(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def test_stateful_rating_matches_batch(spark, tmp_ckpt):
+    """applyInPandasWithState trace == batch applyInPandas trace (T5)."""
+    from fantasy_premier_league_spark.operators.pipeline import (
+        performance_df,
+        rating_trace_df,
+    )
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        stream_source,
+        streaming_player_state,
+    )
+
+    stream_dir = os.path.join(ensure_fixtures(), "stream")
+    out = streaming_player_state(stream_source(spark, stream_dir))
+    got = run_stream_to_memory(out, tmp_ckpt, query_name="rating_stream")
+    stream_rows = {
+        (r["playerId"], r["matchId"]): r for r in got.collect()
+    }
+    batch_rows = rating_trace_df(performance_df(spark)).collect()
+    assert len(stream_rows) == len(batch_rows)
+    for b in batch_rows:
+        s = stream_rows[(b["playerId"], b["matchId"])]
+        assert s["rating"] == pytest.approx(b["rating"], abs=1e-12)
+        assert s["delta"] == pytest.approx(b["delta"], abs=1e-12)
+
+
+def test_stateful_profile_matches_batch(spark, tmp_ckpt):
+    """Final per-player profile state == batch profile (A4 parity)."""
+    from fantasy_premier_league_spark.operators.pipeline import profile_df
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        stream_source,
+        streaming_player_state,
+    )
+
+    stream_dir = os.path.join(ensure_fixtures(), "stream")
+    out = streaming_player_state(stream_source(spark, stream_dir))
+    got = run_stream_to_memory(out, tmp_ckpt, query_name="profile_stream")
+    # last row per player = final cumulative state
+    final = {}
+    for r in got.collect():
+        cur = final.get(r["playerId"])
+        if cur is None or r["matchId"] > cur["matchId"]:
+            final[r["playerId"]] = r
+    for b in profile_df(spark).collect():
+        s = final[b["playerId"]]
+        assert s["fouls_total"] == b["fouls"]
+        assert s["goals_total"] == b["goals"]
+        assert s["own_goals_total"] == b["own_goals"]
+        assert s["shots_on_target_total"] == b["shots_on_target"]
+        assert s["pass_accuracy_mean"] == pytest.approx(b["pass_accuracy"], abs=1e-12)
+
+
+def test_streaming_match_counters_update_mode(spark, tmp_ckpt):
+    """A2 as an incremental agg == batch counters (T5/T6)."""
+    from fantasy_premier_league_spark.operators.pipeline import (
+        events_df,
+        match_counters,
+        metric_vectors,
+    )
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        run_stream_to_memory,
+        stream_source,
+        streaming_match_counters,
+    )
+
+    stream_dir = os.path.join(ensure_fixtures(), "stream")
+    agg = streaming_match_counters(stream_source(spark, stream_dir, max_files_per_trigger=4))
+    got = run_stream_to_memory(
+        agg, tmp_ckpt, output_mode="complete", query_name="counters_stream"
+    )
+    stream_counts = {
+        (r["playerId"], r["matchId"]): r for r in got.collect()
+    }
+    batch = match_counters(metric_vectors(events_df(spark))).collect()
+    assert len(stream_counts) == len(batch)
+    for b in batch:
+        s = stream_counts[(b["playerId"], b["matchId"])]
+        for col in ("goals", "fouls", "shots", "normal_passes", "total_duels"):
+            assert s[col] == b[col]
+
+
+def test_ingest_sinks_idempotent_partitions(spark, tmp_path):
+    """K2/K3/T8: batch-id-partitioned appends; match log holds every
+    match record exactly once."""
+    from pyspark.sql import functions as F
+
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        run_ingest_sinks,
+        stream_source,
+    )
+
+    stream_dir = os.path.join(ensure_fixtures(), "stream")
+    out_dir = str(tmp_path / "sinks")
+    q = run_ingest_sinks(
+        stream_source(spark, stream_dir), out_dir, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    log = spark.read.parquet(os.path.join(out_dir, "match_log"))
+    assert log.count() == 12  # one per fixture match
+    assert log.select("wyId").distinct().count() == 12
+    # one batch per match file (maxFilesPerTrigger=1)
+    assert log.select("batch_id").distinct().count() == 12
+    events = spark.read.parquet(os.path.join(out_dir, "events"))
+    assert events.filter(F.col("playerId").isNull()).count() == 0
+    # S5/S7 re-scan path: the sink is directly queryable (vs eval() of
+    # text part-files in the reference, ui.py:88-98)
+    total_events = events.count()
+    assert total_events > 5000
+
+
+def test_socket_ingest(spark, tmp_ckpt):
+    """S1: the reference's exact transport -- line-delimited JSON over a
+    TCP socket -- parsed and discriminated by the streaming engine."""
+    from fantasy_premier_league_spark.streaming.pipeline import socket_source
+
+    lines = []
+    stream_dir = os.path.join(ensure_fixtures(), "stream")
+    with open(os.path.join(stream_dir, "match_00.jsonl")) as f:
+        lines = f.read().splitlines()
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            payload = ("\n".join(lines) + "\n").encode()
+            conn.sendall(payload)
+            time.sleep(8)  # keep the socket open while batches drain
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    parsed = socket_source(spark, "127.0.0.1", port)
+    counts = parsed.selectExpr(
+        "count(wyId) AS n_matches", "count(eventId) AS n_events"
+    )
+    query = (
+        counts.writeStream.format("memory")
+        .queryName("socket_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", tmp_ckpt)
+        .start()
+    )
+    expected_events = len(lines) - 1
+    deadline = time.time() + 60
+    ok = False
+    while time.time() < deadline:
+        rows = spark.table("socket_counts").collect()
+        if rows and rows[0]["n_matches"] == 1 and rows[0]["n_events"] == expected_events:
+            ok = True
+            break
+        time.sleep(1)
+    query.stop()
+    server.close()
+    assert ok, f"socket stream incomplete: {spark.table('socket_counts').collect()}"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T3: with a watermark, an event later than (max ts - delay) is
+    dropped from the windowed aggregate -- the explicit late-data story
+    the reference lacks (its reset hack silently discards state)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    # three files -> three micro-batches: the watermark the engine uses
+    # to filter batch N is the one computed after batch N-1, so the
+    # watermark must already be past the late window BEFORE the late
+    # file's batch starts (one-batch propagation delay).
+    batches = [
+        [
+            {"ts": "2024-01-01T10:00:00", "user_id": 1, "value": 1.0},
+            {"ts": "2024-01-01T12:00:00", "user_id": 1, "value": 2.0},
+        ],
+        [{"ts": "2024-01-01T13:00:00", "user_id": 1, "value": 4.0}],
+        [{"ts": "2024-01-01T00:30:00", "user_id": 1, "value": 99.0}],  # late
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(src, f"{chr(ord('a') + i)}.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(
+            os.path.join(src, f"{chr(ord('a') + i)}.jsonl"),
+            (time.time() + i * 5, time.time() + i * 5),
+        )
+
+    schema = "ts timestamp, user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.sum("value").alias("total"))
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName("late_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = spark.table("late_agg").collect()
+    totals = {r["window"]["start"].hour: r["total"] for r in rows}
+    assert 0 not in totals  # the late record never lands
+    assert totals.get(10) == 1.0  # on-time window emitted once closed
