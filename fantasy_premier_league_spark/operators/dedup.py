@@ -1,5 +1,6 @@
 """Deduplication operators over the ``documents`` table (north-star
-extension, SURVEY 2.10): exact, n-gram Jaccard, and MinHash-LSH.
+extension, SURVEY 2.10): exact, n-gram Jaccard, MinHash-LSH, and
+SimHash.
 
 Design for 100 TB:
 - exact dedup is one hash-shuffle on a digest of the text (never
@@ -242,6 +243,128 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit locality-sensitive fingerprint. Each shingle hash
+# votes +1/-1 on every bit position; bit b of the fingerprint is the
+# sign of the vote sum. Near-duplicate documents differ in only a few
+# bits, so candidate pairs meet on an equality join over 4-bit bands
+# (pigeonhole: hamming <= 3 guarantees at least one of 4 bands equal)
+# and the exact hamming distance re-check is bit_count(xor) -- no n^2
+# pair space is ever materialized, which is what makes this the
+# preferred text-dedup path at 100 TB (one shuffle on band keys).
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def simhash_col(xs: Column) -> Column:
+    """16-bit simhash of an array<long> of feature hashes.
+
+    Empty feature arrays fold to vote-sum 0 on every bit, i.e. the
+    all-ones fingerprint -- deterministic on both engines.
+    """
+    def _vote(b: int):
+        # two-arg closure: pyspark infers higher-order-function arity
+        # from the lambda signature (default-arg captures break it)
+        return lambda acc, x: acc + (
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    fp = F.lit(0)
+    for b in range(_SIMHASH_BITS):
+        vote = F.aggregate(xs, F.lit(0).cast("long"), _vote(b))
+        fp = fp + F.when(vote >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return fp
+
+
+_SIMHASH_SQL_BITS = " + ".join(
+    f"""CASE WHEN coalesce(list_sum(
+          [CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END for x in xs]
+        ), 0) >= 0 THEN {1 << b} ELSE 0 END"""
+    for b in range(_SIMHASH_BITS)
+)
+
+_SIMHASH_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ints AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_SIMHASH_SQL_BITS} AS simhash
+      FROM ints
+    )
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    ints = sh.select("doc_id", F.transform(F.col("shingles"), _shingle_int).alias("xs"))
+    return ints.select("doc_id", simhash_col(F.col("xs")).alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_SQL
+    + """
+    SELECT doc_id, CAST(simhash AS INT) AS simhash FROM sig ORDER BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir).select(
+        "doc_id", F.col("simhash").cast("int").alias("simhash")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_SQL
+    + """
+    , bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS band_val
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_df(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        # expr: F.shiftright only takes a literal shift amount
+        "band_val", F.expr("shiftright(simhash, band * 4) & 15")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
         .distinct()
         .orderBy("doc1", "doc2")
     )

@@ -159,3 +159,187 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: pairs of vectors in the SAME sign-LSH
+# bucket with cosine >= threshold. The bucket equality join is the
+# 100 TB path -- it prunes the n^2 pair space by ~2^bits before any
+# exact arithmetic runs; the cosine re-check then touches candidates
+# only. (Recall is tunable with more tables/fewer bits; the oracle
+# implements the identical bucket prefilter so the check is exact.)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_COS = 0.35  # synthetic corpus tops out ~0.51; 0.35 is selective
+
+
+def _bucket_col(vec: Column) -> Column:
+    return (
+        _bit(vec, 1) * 8 + _bit(vec, 2) * 4 + _bit(vec, 4) * 2 + _bit(vec, 8)
+    )
+
+
+_BUCKET_SQL = """
+      SELECT vec_id, vec,
+             {b0} * 8 + {b1} * 4 + {b2} * 2 + {b3} AS bucket
+      FROM v
+""".format(
+    b0=_BIT_SQL.format(stride=1),
+    b1=_BIT_SQL.format(stride=2),
+    b2=_BIT_SQL.format(stride=4),
+    b3=_BIT_SQL.format(stride=8),
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    b AS ({_BUCKET_SQL})
+    SELECT a.vec_id AS vec1, b2.vec_id AS vec2,
+           round(list_dot_product(a.vec, b2.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b2.vec, b2.vec))), 6) AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE list_dot_product(a.vec, b2.vec)
+          / (sqrt(list_dot_product(a.vec, a.vec))
+             * sqrt(list_dot_product(b2.vec, b2.vec))) >= {_NEARDUP_COS}
+    ORDER BY vec1, vec2
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).select(
+        "vec_id", "vec", _bucket_col(F.col("vec")).alias("bucket")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = dot(F.col("a.vec"), F.col("b.vec")) / (
+        norm(F.col("a.vec")) * norm(F.col("b.vec"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _NEARDUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            rounded(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec1", "vec2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse-quantize the corpus to inverted lists keyed by
+# nearest centroid; a query probes only its nprobe closest lists and
+# re-ranks those candidates exactly. At 100 TB the corpus is written
+# partitioned-by-centroid (partition pruning makes a probe touch
+# nprobe/nlist of the data); centroids come from KMeans -- here they
+# are a deterministic subset (vec_id < NLIST) so the DuckDB oracle
+# reproduces the exact same index.
+# ---------------------------------------------------------------------------
+
+_NLIST = 8
+_NPROBE = 2
+_COS_SQL = """list_dot_product({a}, {b})
+      / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    cent AS (SELECT vec_id AS cid, vec AS cvec FROM v WHERE vec_id < {_NLIST}),
+    assigned AS (
+      SELECT vec_id, vec, cid FROM (
+        SELECT v.vec_id, v.vec, cent.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round({_COS_SQL.format(a='v.vec', b='cent.cvec')}, 6) DESC,
+                          cent.cid) AS rn
+        FROM v, cent
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v
+          WHERE vec_id >= {_NLIST} AND vec_id < {_NLIST + N_QUERIES}),
+    probes AS (
+      SELECT query_id, qvec, cid FROM (
+        SELECT q.query_id, q.qvec, cent.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS_SQL.format(a='q.qvec', b='cent.cvec')}, 6) DESC,
+                          cent.cid) AS rn
+        FROM q, cent
+      ) WHERE rn <= {_NPROBE}
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT p.query_id, a.vec_id,
+             round({_COS_SQL.format(a='p.qvec', b='a.vec')}, 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round({_COS_SQL.format(a='p.qvec', b='a.vec')}, 6) DESC,
+                        a.vec_id) AS rank
+      FROM probes p JOIN assigned a ON p.cid = a.cid
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    cent = v.filter(F.col("vec_id") < _NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+
+    def _cos(a: Column, b: Column) -> Column:
+        return dot(a, b) / (norm(a) * norm(b))
+
+    # inverted-list assignment: every corpus vector -> nearest centroid
+    rn_assign = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            rounded(_cos(F.col("vec"), F.col("cvec")), 6).desc(), F.col("cid")
+        )
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .withColumn("rn", rn_assign)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vec", "cid")
+    )
+
+    q = v.filter(
+        (F.col("vec_id") >= _NLIST) & (F.col("vec_id") < _NLIST + N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    rn_probe = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            rounded(_cos(F.col("qvec"), F.col("cvec")), 6).desc(), F.col("cid")
+        )
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", rn_probe)
+        .filter(F.col("rn") <= _NPROBE)
+        .select("query_id", "qvec", "cid")
+    )
+
+    cand_cos = _cos(F.col("qvec"), F.col("vec"))
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            rounded(cand_cos, 6).desc(), F.col("vec_id")
+        )
+    )
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            rounded(cand_cos, 6).alias("cosine"),
+            rank.alias("rank"),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
