@@ -31,7 +31,11 @@ HEADLINE = [
     "w1_topk_per_group",
     "dedup_exact",
     "dedup_minhash_signatures",
+    "dedup_simhash_pairs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "mm_decode_stats",
+    "ml_kmeans_profiles",
     "text_token_stats",
     "text_fingerprint",
     "t4_windowed_stream_agg",

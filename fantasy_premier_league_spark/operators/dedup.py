@@ -55,16 +55,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles_col(text: Column) -> Column:
+    # zip_with over shifted slices, NOT transform(sequence) with
+    # element_at(toks, i) lambdas: expressions referenced inside a
+    # higher-order-function lambda are re-evaluated per ELEMENT, so the
+    # naive form re-tokenizes the document once per shingle (~200x the
+    # work; measured 3-5x wall on the dedup pipeline). Here every
+    # subexpression is evaluated once per row.
     toks = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-        ),
-    )
-    # guard: docs with < 3 tokens have no 3-gram (sequence(0, n<0) would descend)
+    n = F.size(toks)
+    t2 = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    t3 = F.slice(toks, 3, F.greatest(n - 2, F.lit(0)))
+    # zip_with pads the shorter side with null and concat_ws skips
+    # nulls, so the tail holds 2-/1-grams -- sliced off below.
+    pairs = F.zip_with(toks, t2, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.zip_with(pairs, t3, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(
-        F.when(F.size(toks) >= 3, grams).otherwise(F.array().cast("array<string>"))
+        F.when(n >= 3, F.slice(grams, 1, n - 2)).otherwise(
+            F.array().cast("array<string>")
+        )
     )
 
 
@@ -80,6 +88,11 @@ _SHINGLES_SQL = """
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # the shingle/hash pipeline is CPU-bound per row; a small parquet
+    # file scans as ONE task, which would serialize it on one core. At
+    # 100 TB maxPartitionBytes splits the scan naturally; here an
+    # explicit round-robin repartition buys 32x on the heavy project.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
 
 

@@ -1,0 +1,279 @@
+"""ML tier: the capabilities the reference SPECS demand but never
+implemented (SURVEY 2.9 -- `/root/reference/docs/Specs.pdf` "Solutions"
+asks for KMeans k=5 profile clustering and a quadratic rating-vs-age
+regression with a rating<0.2 => "retired" rule; no reference code
+exists for either).
+
+Two implementations of clustering:
+
+- ``ml_kmeans_profiles``: Lloyd's algorithm expressed AS DATAFRAME OPS
+  (broadcast centroids -> assign -> re-center, iterated), fully
+  deterministic so a DuckDB oracle verifies every assignment. This is
+  also the 100 TB shape: per iteration one broadcast join (centroids
+  are tiny) + one groupBy(k) -- the corpus never shuffles on anything
+  wider than the cluster id, and AQE handles the skew when one
+  centroid captures most points.
+- ``ml_kmeans_embeddings``: the spec'd pyspark.ml KMeans over the
+  64-dim embedding vectors (seeded; MLlib's init is still
+  sampling-based, so this registers without an oracle and the driver
+  applies the rows-only check).
+
+Determinism notes for the oracle twin (the whole trick of
+``ml_kmeans_profiles``): features are EXACT INTEGERS (value summed in
+fixed-point units, event counts), so centroid means are
+exact-integer-sum / count -- bit-identical across engines regardless
+of summation order. Distances and comparisons then see identical
+doubles on both sides. The same trick makes the regression exact: all
+normal-equation moments are integer sums, and Cramer's rule is written
+with the identical expression tree in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.functions import fixed_units, rounded
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+_K = 4
+_ITERS = 3
+
+_FEATURES_SQL = """
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+             count(*) AS y
+      FROM events GROUP BY user_id
+"""
+
+
+def user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user profile features, exact-integer valued: x = total value
+    in cents, y = event count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sum(fixed_units(F.col("value"))).alias("x"),
+        F.count("*").alias("y"),
+    )
+
+
+def _dist2(x: Column, y: Column, cx: Column, cy: Column) -> Column:
+    dx = x.cast("double") - cx
+    dy = y.cast("double") - cy
+    return dx * dx + dy * dy
+
+
+def _assign(feats: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast join + windowed argmin."""
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            _dist2(F.col("x"), F.col("y"), F.col("cx"), F.col("cy")).asc(),
+            F.col("cid").asc(),
+        )
+    )
+    return (
+        feats.crossJoin(F.broadcast(cent))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("user_id", "x", "y", "cid")
+    )
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """New centroids: exact integer sums / counts (order-independent)."""
+    return assigned.groupBy("cid").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("cx"),
+        (F.sum("y").cast("double") / F.count("*")).alias("cy"),
+    )
+
+
+def _kmeans_oracle() -> str:
+    # unrolled Lloyd's: init from the _K smallest user_ids, then
+    # _ITERS rounds of (assign, recenter), final output = assignment
+    sql = f"""
+    WITH f AS ({_FEATURES_SQL}),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY user_id) AS cid,
+             CAST(x AS DOUBLE) AS cx, CAST(y AS DOUBLE) AS cy
+      FROM (SELECT * FROM f ORDER BY user_id LIMIT {_K})
+    )"""
+    prev = "c0"
+    for i in range(1, _ITERS + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT user_id, x, y, cid FROM (
+        SELECT f.user_id, f.x, f.y, c.cid,
+               row_number() OVER (
+                 PARTITION BY f.user_id
+                 ORDER BY (CAST(f.x AS DOUBLE) - c.cx) * (CAST(f.x AS DOUBLE) - c.cx)
+                        + (CAST(f.y AS DOUBLE) - c.cy) * (CAST(f.y AS DOUBLE) - c.cy) ASC,
+                        c.cid ASC) AS rn
+        FROM f, {prev} c
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT cid, CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+             CAST(sum(y) AS DOUBLE) / count(*) AS cy
+      FROM a{i} GROUP BY cid
+    )"""
+        prev = f"c{i}"
+    sql += f"""
+    SELECT user_id, CAST(cid AS INT) AS cluster FROM a{_ITERS}
+    ORDER BY user_id
+    """
+    return sql
+
+
+@register("ml_kmeans_profiles", oracle=_kmeans_oracle())
+def ml_kmeans_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's KMeans (k=4, 3 iters) over user profiles."""
+    feats = user_features(spark, sf_dir)
+    cent = (
+        feats.orderBy("user_id")
+        .limit(_K)
+        .select(
+            F.row_number().over(Window.orderBy("user_id")).alias("cid"),
+            F.col("x").cast("double").alias("cx"),
+            F.col("y").cast("double").alias("cy"),
+        )
+    )
+    assigned = None
+    for _ in range(_ITERS):
+        assigned = _assign(feats, cent)
+        cent = _recenter(assigned)
+    return assigned.select(
+        "user_id", F.col("cid").cast("int").alias("cluster")
+    ).orderBy("user_id")
+
+
+@register("ml_kmeans_embeddings", oracle=None)
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec'd KMeans k=5 over 64-dim embeddings via pyspark.ml
+    (Specs.pdf "Solution: Clustering"). MLlib's seeded init is not
+    reproducible in SQL, so this takes the driver's rows-only check;
+    the deterministic DataFrame variant above is the hash-gated one.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=5, seed=42, maxIter=5).fit(emb)
+    pred = model.transform(emb)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quadratic regression, closed form. The reference spec fits rating
+# vs age and declares rating < 0.2 "retired"; the synthetic analog
+# fits event value (fixed-point units) against day index with
+# y = b0 + b1*x + b2*x^2, solved by Cramer's rule on the normal
+# equations. All moments are exact integer sums (see module doc), so
+# one groupBy().agg() -- a single reduction over the whole table, no
+# iteration -- fits the model at any scale.
+# ---------------------------------------------------------------------------
+
+_RETIRE_THRESHOLD = 0.2
+_PREDICT_X = 45  # extrapolation point ("age" in the spec's rule)
+
+
+def _cramer_sql() -> str:
+    det = """(s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3)
+              + s2 * (s1 * s3 - s2 * s2))"""
+    det0 = """(t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3)
+              + s2 * (t1 * s3 - t2 * s2))"""
+    det1 = """(s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3)
+              + s2 * (s1 * t2 - s2 * t1))"""
+    det2 = """(s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s3 * t0)
+              + t0 * (s1 * s3 - s2 * s2))"""
+    return f"""
+    WITH pts AS (
+      SELECT CAST(date_diff('day',
+               (SELECT min(date_trunc('day', ts)) FROM events),
+               date_trunc('day', ts)) + 1 AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS yu
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS s0,
+             CAST(sum(x) AS DOUBLE) AS s1,
+             CAST(sum(x * x) AS DOUBLE) AS s2,
+             CAST(sum(x * x * x) AS DOUBLE) AS s3,
+             CAST(sum(x * x * x * x) AS DOUBLE) AS s4,
+             CAST(sum(yu) AS DOUBLE) AS t0,
+             CAST(sum(x * yu) AS DOUBLE) AS t1,
+             CAST(sum(x * x * yu) AS DOUBLE) AS t2
+      FROM pts
+    )
+    SELECT round({det0} / {det} / 100.0, 6) AS b0,
+           round({det1} / {det} / 100.0, 6) AS b1,
+           round({det2} / {det} / 100.0, 6) AS b2,
+           round(({det0} / {det}
+                  + {det1} / {det} * {_PREDICT_X}
+                  + {det2} / {det} * {_PREDICT_X * _PREDICT_X}) / 100.0 / 200.0,
+                 6) AS pred_norm,
+           (({det0} / {det}
+              + {det1} / {det} * {_PREDICT_X}
+              + {det2} / {det} * {_PREDICT_X * _PREDICT_X}) / 100.0 / 200.0)
+             < {_RETIRE_THRESHOLD} AS retired
+    FROM m
+    """
+
+
+@register("ml_quadratic_fit", oracle=_cramer_sql())
+def ml_quadratic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares quadratic fit of event value vs day index.
+
+    pred_norm scales the day-{_PREDICT_X} prediction into the [0,1]
+    perf scale (units/100/200, as the rating pipeline does) and
+    ``retired`` applies the spec's < 0.2 rule.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    min_day = ev.agg(F.min(day).alias("min_day"))
+    pts = ev.crossJoin(F.broadcast(min_day)).select(
+        (F.datediff(day, F.col("min_day")) + 1).cast("long").alias("x"),
+        fixed_units(F.col("value")).alias("yu"),
+    )
+    m = pts.agg(
+        F.count("*").cast("double").alias("s0"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(F.expr("x * x")).cast("double").alias("s2"),
+        F.sum(F.expr("x * x * x")).cast("double").alias("s3"),
+        F.sum(F.expr("x * x * x * x")).cast("double").alias("s4"),
+        F.sum("yu").cast("double").alias("t0"),
+        F.sum(F.expr("x * yu")).cast("double").alias("t1"),
+        F.sum(F.expr("x * x * yu")).cast("double").alias("t2"),
+    )
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    t0, t1, t2 = F.col("t0"), F.col("t1"), F.col("t2")
+    det = s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s2 * s3) + s2 * (
+        s1 * s3 - s2 * s2
+    )
+    det0 = t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - t2 * s3) + s2 * (
+        t1 * s3 - t2 * s2
+    )
+    det1 = s0 * (t1 * s4 - t2 * s3) - t0 * (s1 * s4 - s2 * s3) + s2 * (
+        s1 * t2 - s2 * t1
+    )
+    det2 = s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s3 * t0) + t0 * (
+        s1 * s3 - s2 * s2
+    )
+    b0u, b1u, b2u = det0 / det, det1 / det, det2 / det
+    pred_norm = (
+        b0u + b1u * _PREDICT_X + b2u * (_PREDICT_X * _PREDICT_X)
+    ) / 100.0 / 200.0
+    return m.select(
+        rounded(b0u / 100.0, 6).alias("b0"),
+        rounded(b1u / 100.0, 6).alias("b1"),
+        rounded(b2u / 100.0, 6).alias("b2"),
+        rounded(pred_norm, 6).alias("pred_norm"),
+        (pred_norm < _RETIRE_THRESHOLD).alias("retired"),
+    )

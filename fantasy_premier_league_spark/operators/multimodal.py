@@ -1,0 +1,192 @@
+"""Multimodal columns (north-star extension, SURVEY 2.10): treat
+image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, and run decode / feature-extract / frame-sample stages as
+Arrow-batched pandas stages over ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step itself is
+a clearly-marked STUB (``_stub_decode``) that derives deterministic
+fake media properties from the payload's md5 digest -- but everything
+Spark-side is real and is what would ship at 100 TB:
+
+- payloads are true ``BinaryType`` columns (``encode(text)`` stands in
+  for reading media bytes; a production source reads
+  ``spark.read.format("binaryFile")`` or parquet with a binary column);
+- decode runs in ``mapInPandas`` so each Python worker sees Arrow
+  record batches of (id, kind, bytes) -- the exact shape a Pillow /
+  ffmpeg UDF would consume -- and never a per-row Python crossing;
+- the metadata path (byte length, digest, kind) never leaves the JVM;
+- frame sampling composes a Python stage with JVM-side
+  ``sequence``/``explode`` -- the mixed plan a real pipeline has.
+
+At 100 TB: payload columns dominate storage, so the scan must prune
+them unless the stage consumes bytes (parquet column pruning gives
+this for free -- ``mm_binary_metadata`` reads only the text column it
+derives from, and a real media table would store metadata beside the
+blob so filters run without touching bytes); decode is embarrassingly
+parallel, sized by ``spark.sql.files.maxPartitionBytes`` against
+executor memory since batches hold raw bytes in Arrow buffers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+
+def media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, kind, payload:binary).
+
+    Stand-in media table: the utf-8 bytes of ``text`` act as the blob
+    (deterministic, so the DuckDB oracle can recompute digests), the
+    ``source`` column as the media kind.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("source").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id, source AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the blob column -- pure JVM, no decode."""
+    media = media_payloads(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# STUB decoder. A real deployment replaces the body of _stub_decode
+# with Pillow / soundfile / pyav calls over the same bytes; the
+# signature, Arrow batch shape, and output schema stay identical.
+# Properties derive from md5(payload) so the oracle can verify the
+# plumbing end to end without any codec in the container.
+# ---------------------------------------------------------------------------
+
+_DECODE_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes bigint, "
+    "width bigint, height bigint, n_frames bigint"
+)
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB: deterministic fake (width, height, n_frames) from bytes.
+
+    Replace with a real decoder when codecs are available; raise-path
+    kept explicit so callers see this is not a real decode.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    width = int(h[0:2], 16) % 64 + 16
+    height = int(h[2:4], 16) % 64 + 16
+    n_frames = int(h[4:6], 16) % 7 + 1
+    return width, height, n_frames
+
+
+def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: Arrow batch of blobs in, media properties out."""
+    for pdf in batches:
+        props = pdf["payload"].map(_stub_decode)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(len),
+                "width": props.map(lambda t: t[0]),
+                "height": props.map(lambda t: t[1]),
+                "n_frames": props.map(lambda t: t[2]),
+            }
+        )
+
+
+_DECODED_SQL = """
+      SELECT doc_id, source AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 + 16 AS width,
+             ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 + 16 AS height,
+             ('0x' || substr(md5(text), 5, 2))::BIGINT % 7 + 1 AS n_frames
+      FROM documents
+"""
+
+
+def decoded_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_payloads(spark, sf_dir).mapInPandas(
+        decode_batches, schema=_DECODE_SCHEMA
+    )
+
+
+@register(
+    "mm_decode_stats",
+    oracle=f"""
+    WITH d AS ({_DECODED_SQL})
+    SELECT kind, count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(width * height) AS BIGINT) AS total_pixels,
+           CAST(max(n_frames) AS BIGINT) AS max_frames
+    FROM d GROUP BY kind ORDER BY kind
+    """,
+)
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode (stub) every payload, aggregate media properties by kind.
+
+    Plan shape: Scan -> mapInPandas (Arrow) -> partial agg -> final
+    agg; the only shuffle carries one row per (partition, kind).
+    """
+    d = decoded_media(spark, sf_dir)
+    return (
+        d.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum(F.col("width") * F.col("height")).alias("total_pixels"),
+            F.max("n_frames").alias("max_frames"),
+        )
+        .orderBy("kind")
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH d AS ({_DECODED_SQL})
+    SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx,
+           width, height
+    FROM d WHERE kind = 'src1'
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling: Python decode stage composed with a
+    JVM-side sequence/explode -- rows fan out without re-entering
+    Python."""
+    d = decoded_media(spark, sf_dir).filter(F.col("kind") == "src1")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.lit(2).cast("long"))
+            ).alias("frame_idx"),
+            "width",
+            "height",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

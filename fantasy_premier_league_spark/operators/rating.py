@@ -75,7 +75,14 @@ def rating_trace(perf_df: DataFrame) -> DataFrame:
             }
         )
 
-    return perf_df.groupBy("user_id").applyInPandas(
+    # explicit hash repartition on the grouping key: AQE would coalesce
+    # the tiny pre-grouped-map shuffle to ONE partition (shuffle-volume
+    # optimal, Python-compute pessimal) and serialize the per-key folds
+    # on a single worker. A fixed partition count keeps the Arrow
+    # batches spread across every core; at cluster scale the key space
+    # dwarfs the partition count so this is the natural layout anyway.
+    n = perf_df.sparkSession.sparkContext.defaultParallelism
+    return perf_df.repartition(n, "user_id").groupBy("user_id").applyInPandas(
         fold, schema="user_id bigint, day string, rating double, delta double"
     )
 

@@ -50,6 +50,8 @@ def _load_all() -> None:
         api,
         dedup,
         fpl_events,
+        ml,
+        multimodal,
         pipeline,
         rating,
         relational,

@@ -28,6 +28,20 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "fpl-spark-engine", master: str | None = None) -> SparkSession:
     cores = default_parallelism()
+    # Python workers unpickle groupBy().applyInPandas closures by module
+    # reference, so the package root must be importable in the WORKER
+    # process, not just the driver. Drivers launched from another cwd
+    # (bench harness, notebooks) would otherwise fail with
+    # ModuleNotFoundError inside the first pandas-UDF stage. Local mode
+    # forks workers from the driver env, so exporting PYTHONPATH before
+    # the JVM starts covers both; on a real cluster the same line is
+    # what --py-files / spark.executorEnv.PYTHONPATH provide.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cores}]")
