@@ -50,11 +50,15 @@ def main() -> None:
     spark = get_spark("fpl-spark-bench")
     queries = all_queries()
 
-    # JVM/codegen warmup on the smallest SF so per-query numbers measure
-    # the plan, not first-call overhead.
-    queries["a2a3_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warmup on the smallest SF so per-query numbers measure the plan,
+    # not one-time process startup. Three distinct cold paths exist:
+    # JVM/codegen (any query), the Python worker pool (first pandas-UDF
+    # stage forks ~1 worker per core, ~7-9 s), and the streaming engine
+    # (first query spins up checkpoint + listener machinery).
+    for warm in ("a2a3_pricing_summary", "a5_rating_recurrence", "t4_windowed_stream_agg"):
+        queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -127,23 +127,36 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("sz"))
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    a = posting.alias("a")
-    b = posting.alias("b")
+    # carry |shingles| THROUGH the posting list instead of joining a
+    # separate sizes table back in afterwards: the naive
+    # inter-join-sizes-join-sizes shape re-runs the whole tokenize ->
+    # distinct pipeline two more times (no exchange to reuse across a
+    # broadcast boundary), while here sz rides along as one extra int
+    # per posting row and the grouping key, so the corpus is scanned
+    # and shingled exactly twice (once per join side, identical shuffle
+    # exchanges -> at execution AQE reuses the first side's exchange
+    # and the pipeline effectively runs ONCE).
+    posting = sh.select(
+        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+    )
+    a = posting.alias("a").hint("shuffle_hash")
+    b = posting.alias("b").hint("shuffle_hash")
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
         .agg(F.count("*").alias("n_common"))
     )
-    jac = F.col("n_common").cast("double") / (F.col("s1.sz") + F.col("s2.sz") - F.col("n_common"))
+    jac = F.col("n_common").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("n_common"))
     return (
-        inter.join(sizes.alias("s1"), F.col("doc1") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("doc2") == F.col("s2.doc_id"))
-        .filter(jac >= 0.2)
+        inter.filter(jac >= 0.2)
         .select("doc1", "doc2", rounded(jac, 6).alias("jaccard"))
         .orderBy("doc1", "doc2")
     )
@@ -245,8 +258,12 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"mh{2 * band + 1}").alias("r1"),
         )
         bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # shuffle_hash on both sides: the bucket self-join must never
+    # broadcast (each side is the full corpus at scale), and identical
+    # shuffle exchanges let AQE reuse the first side's exchange so the
+    # shingle -> minhash pipeline runs once, not twice.
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -361,7 +378,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expr: F.shiftright only takes a literal shift amount
         "band_val", F.expr("shiftright(simhash, band * 4) & 15")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # same shuffle_hash rationale as the LSH candidate join above
+    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b").hint("shuffle_hash")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")

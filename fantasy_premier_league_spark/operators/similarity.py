@@ -172,6 +172,15 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_COS = 0.35  # synthetic corpus tops out ~0.51; 0.35 is selective
 
+# 8 hyperplane bits for the near-dup prefilter (vs 4 for the coarse
+# bucket-histogram operator above): bucket count is THE pruning lever.
+# 4 bits / 16 buckets leaves ~1/16 of the n^2 pair space as candidates
+# (measured: 5k vectors -> 1.6M candidate pairs, ~7 s at sf0.1); 8
+# bits / 256 buckets cuts candidate density ~16x further at the usual
+# recall cost, which is the knob a 100 TB run tunes (more tables for
+# recall, more bits for precision).
+_NEARDUP_STRIDES = [1, 2, 4, 8, 16, 32, 3, 5]
+
 
 def _bucket_col(vec: Column) -> Column:
     return (
@@ -179,15 +188,16 @@ def _bucket_col(vec: Column) -> Column:
     )
 
 
-_BUCKET_SQL = """
-      SELECT vec_id, vec,
-             {b0} * 8 + {b1} * 4 + {b2} * 2 + {b3} AS bucket
-      FROM v
-""".format(
-    b0=_BIT_SQL.format(stride=1),
-    b1=_BIT_SQL.format(stride=2),
-    b2=_BIT_SQL.format(stride=4),
-    b3=_BIT_SQL.format(stride=8),
+def _neardup_bucket_col(vec: Column) -> Column:
+    out = F.lit(0)
+    for k, stride in enumerate(_NEARDUP_STRIDES):
+        out = out + _bit(vec, stride) * (1 << (len(_NEARDUP_STRIDES) - 1 - k))
+    return out
+
+
+_NEARDUP_BUCKET_SQL = " + ".join(
+    f"({_BIT_SQL.format(stride=stride)}) * {1 << (len(_NEARDUP_STRIDES) - 1 - k)}"
+    for k, stride in enumerate(_NEARDUP_STRIDES)
 )
 
 
@@ -195,37 +205,51 @@ _BUCKET_SQL = """
     "dedup_embedding_cosine",
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-    b AS ({_BUCKET_SQL})
-    SELECT a.vec_id AS vec1, b2.vec_id AS vec2,
-           round(list_dot_product(a.vec, b2.vec)
-             / (sqrt(list_dot_product(a.vec, a.vec))
-                * sqrt(list_dot_product(b2.vec, b2.vec))), 6) AS cosine
-    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    WHERE list_dot_product(a.vec, b2.vec)
-          / (sqrt(list_dot_product(a.vec, a.vec))
-             * sqrt(list_dot_product(b2.vec, b2.vec))) >= {_NEARDUP_COS}
+    b AS (
+      SELECT vec_id,
+             [x / sqrt(list_dot_product(vec, vec)) for x in vec] AS nvec,
+             {_NEARDUP_BUCKET_SQL} AS bucket
+      FROM v
+    )
+    SELECT vec1, vec2, round(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS vec1, b2.vec_id AS vec2,
+             list_dot_product(a.nvec, b2.nvec) AS cosine
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ) WHERE cosine >= {_NEARDUP_COS}
     ORDER BY vec1, vec2
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vectors(spark, sf_dir).select(
-        "vec_id", "vec", _bucket_col(F.col("vec")).alias("bucket")
+    raw = _vectors(spark, sf_dir)
+    # normalize per ROW before the pair join: cosine then costs one dot
+    # product per pair instead of dot + two norms (3x less of the
+    # dominant per-pair arithmetic). nrm must be materialized as a
+    # column FIRST -- referencing norm(vec) inside the transform lambda
+    # would re-run the whole reduction once per element.
+    v = (
+        raw.withColumn("nrm", norm(F.col("vec")))
+        .select(
+            "vec_id",
+            F.transform(F.col("vec"), lambda x: x / F.col("nrm")).alias("nvec"),
+            _neardup_bucket_col(F.col("vec")).alias("bucket"),
+        )
     )
-    a, b = v.alias("a"), v.alias("b")
-    cos = dot(F.col("a.vec"), F.col("b.vec")) / (
-        norm(F.col("a.vec")) * norm(F.col("b.vec"))
-    )
+    # shuffle_hash both sides: the bucket self-join must not broadcast
+    # (each side is the full corpus at scale) and identical shuffle
+    # exchanges let AQE reuse the first side's bucket computation.
+    a, b = v.alias("a").hint("shuffle_hash"), v.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= _NEARDUP_COS)
+        .withColumn("cos", dot(F.col("a.nvec"), F.col("b.nvec")))
+        .filter(F.col("cos") >= _NEARDUP_COS)
         .select(
             F.col("a.vec_id").alias("vec1"),
             F.col("b.vec_id").alias("vec2"),
-            rounded(cos, 6).alias("cosine"),
+            rounded(F.col("cos"), 6).alias("cosine"),
         )
         .orderBy("vec1", "vec2")
     )
