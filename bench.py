@@ -29,6 +29,11 @@ HEADLINE = [
     "a5_rating_recurrence",
     "c1_json_extract",
     "w1_topk_per_group",
+    "asof_join_events",
+    "session_windows",
+    "rollup_revenue",
+    "salted_skew_join",
+    "range_join_neighbors",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_simhash_pairs",

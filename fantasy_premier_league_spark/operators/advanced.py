@@ -1,0 +1,325 @@
+"""Advanced relational operators the reference cannot express but a
+production Spark engine needs (SURVEY 2.10 scale mandate): as-of join,
+session windows, rollup, salted skew join, and a binned range join.
+
+None of these exist in the reference (its only joins are per-batch
+equi hash joins on playerId, master.py:364-372); they are the
+"operator Spark lacks -> compose from DataFrame ops" tier:
+
+- as-of join: Spark has no ASOF JOIN operator. The classic scalable
+  form is union-the-two-streams + one partitioned sort + a running
+  ``last(ignorenulls)`` -- ONE shuffle on the key, no range-condition
+  join that Catalyst would execute as a broadcast-nested-loop.
+- session windows (batch): gaps-and-islands with lag + running sum --
+  one shuffle on user_id; the streaming twin is
+  ``F.session_window`` (streaming/pipeline.py covers watermarked state).
+- rollup: native ``df.rollup`` (Catalyst Expand), subtotals + grand
+  total in one pass over the fact table.
+- salted skew join: the hand-rolled mitigation for a hot key joining a
+  large dim when AQE skew-split cannot kick in (e.g. the skewed side
+  feeds an aggregation that must not be split). Salting trades an
+  S-times replication of the small side for an even key distribution;
+  results are provably identical to the plain join (the oracle IS the
+  plain join).
+- range join: |ts - ts'| <= W as equality on coarse time bins +
+  neighbor-bin explosion + exact re-filter: turns an O(n^2)
+  theta-join (BroadcastNestedLoopJoin) into a hash join whose
+  candidate set is only the +-1-bin neighborhood.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.functions import fixed_units, rounded
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# As-of join: every purchase matched to the user's most recent click
+# at-or-before the purchase time.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY purchase_id
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union + running last: one shuffle on user_id.
+
+    DuckDB states the semantics with its native ASOF JOIN; Spark
+    executes the scalable composition (a range-condition join would
+    plan as BroadcastNestedLoopJoin). Clicks are deduped per
+    (user, ts) keeping max event_id so tie behavior is deterministic
+    on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dedupe = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(dedupe))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.struct(F.col("ts").alias("cts"), F.col("event_id").alias("cid")).alias("c"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("struct<cts:timestamp,cid:bigint>").alias("c"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # kind orders clicks before purchases at equal ts => "at-or-before"
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click", F.last("c", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter((F.col("kind") == 1) & F.col("last_click").isNotNull())
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("last_click.cid").alias("click_id"),
+            (F.unix_micros("ts") - F.unix_micros("last_click.cts")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows (batch gaps-and-islands). 30-minute inactivity gap.
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "session_windows",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > {_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+             AS total_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize per user on a 30-min gap: lag -> flag -> running sum
+    -> groupBy. One shuffle on user_id; every window reuses it."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    flagged = ev.select("user_id", "ts", "value").withColumn(
+        "is_new", F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("is_new").over(run))
+    return (
+        sessions.groupBy("user_id", F.col("session_id").cast("int").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+            rounded(F.sum(fixed_units(F.col("value"))) / 100.0, 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup: subtotal hierarchy (year, priority) in one Expand pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+    ORDER BY yr NULLS FIRST, priority NULLS FIRST
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            rounded(F.sum(fixed_units(F.col("o_totalprice"))) / 100.0, 2).alias("revenue"),
+        )
+        .orderBy(F.col("yr").asc_nulls_first(), F.col("priority").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join: identical result to the plain join, even key
+# distribution by construction. The oracle IS the plain join.
+# ---------------------------------------------------------------------------
+
+_SALT = 16
+_HOT_THRESHOLD = 5  # keys with >= this many fact rows get salted
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority AS priority, count(*) AS n_items,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY priority
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-only salted join: detect keys above a frequency
+    threshold, salt ONLY those (fact side by row hash, dim side
+    exploded x _SALT), plain-join the long tail, union before the
+    aggregation.
+
+    Salting everything would replicate the entire dim side x _SALT --
+    fine at toy scale, catastrophic at 100 TB. The production recipe is
+    exactly this split: the hot-key set is tiny (it must be, to be
+    hot), so it broadcasts into both semi/anti filters and the
+    replication cost is bounded by |hot| x _SALT. This is the manual
+    fallback for when AQE's skew split can't apply (skewed side under
+    an aggregation); correctness is gated on the UNSALTED plain-join
+    oracle, which is the entire point.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+
+    hot = (
+        li.groupBy("l_orderkey")
+        .count()
+        .filter(F.col("count") >= _HOT_THRESHOLD)
+        .select(F.col("l_orderkey").alias("hot_key"))
+    )
+
+    li_hot = li.join(
+        F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_semi"
+    ).withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT)))
+    li_cold = li.join(F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_anti")
+
+    od_hot = od.join(
+        F.broadcast(hot), od.o_orderkey == hot.hot_key, "left_semi"
+    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT)])))
+    od_cold = od.join(F.broadcast(hot), od.o_orderkey == hot.hot_key, "left_anti")
+
+    joined_hot = li_hot.join(
+        od_hot, (li_hot.l_orderkey == od_hot.o_orderkey) & (li_hot.salt == od_hot.salt)
+    ).select("o_orderpriority", "l_extendedprice")
+    joined_cold = li_cold.join(
+        od_cold, li_cold.l_orderkey == od_cold.o_orderkey
+    ).select("o_orderpriority", "l_extendedprice")
+
+    return (
+        joined_hot.unionByName(joined_cold)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            rounded(F.sum(fixed_units(F.col("l_extendedprice"))) / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join via time binning: same-user events within +-5 minutes of
+# each error event.
+# ---------------------------------------------------------------------------
+
+_WIN_US = 5 * 60 * 1_000_000
+
+
+@register(
+    "range_join_neighbors",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, count(*) AS n_neighbors
+    FROM events e JOIN events o
+      ON e.user_id = o.user_id AND o.event_id <> e.event_id
+     AND abs(epoch_us(e.ts) - epoch_us(o.ts)) <= {_WIN_US}
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    ORDER BY e.event_id
+    """,
+)
+def range_join_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|ts - ts'| <= 5 min as a HASH join: errors keep their exact time
+    bin, candidates explode to the 3 neighboring bins, and the exact
+    predicate re-filters. A raw range condition would plan as
+    BroadcastNestedLoopJoin -- O(n^2) per user and a driver OOM at any
+    real scale; binning bounds candidates to the +-1-bin neighborhood.
+    """
+    base = load_table(spark, sf_dir, "events")
+    ev = base.select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    errors = (
+        base.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+        .withColumn("bin", (F.col("us") / _WIN_US).cast("long"))
+    )
+    others = ev.select(
+        F.col("event_id").alias("o_id"),
+        F.col("user_id").alias("o_user"),
+        F.col("us").alias("o_us"),
+        F.explode(
+            F.array(*[(F.col("us") / _WIN_US).cast("long") + d for d in (-1, 0, 1)])
+        ).alias("bin"),
+    )
+    return (
+        errors.join(others, (errors.user_id == others.o_user) & (errors.bin == others.bin))
+        .filter(
+            (F.col("o_id") != F.col("event_id"))
+            & (F.abs(F.col("us") - F.col("o_us")) <= _WIN_US)
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("n_neighbors"))
+        .orderBy("event_id")
+    )

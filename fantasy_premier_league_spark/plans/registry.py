@@ -47,6 +47,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from fantasy_premier_league_spark.operators import (  # noqa: F401
+        advanced,
         api,
         dedup,
         fpl_events,
