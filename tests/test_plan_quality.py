@@ -1,0 +1,173 @@
+"""Physical-plan assertions: the scale discipline, pinned as tests.
+
+Correctness tests (oracle parity) prove the answers are right at
+sf0.01; these tests prove the PLANS are the ones that survive a 100x
+scale-up — filters reach the parquet scan, projections prune the read
+schema, dimension joins broadcast instead of shuffling the fact side,
+top-k never global-sorts, aggregates combine map-side, and no operator
+ever drops to row-at-a-time Python (`BatchEvalPython`).
+
+Each assertion names the SURVEY.md section-2 operator it guards and the
+failure mode it would catch (e.g. a refactor that breaks pushdown by
+wrapping the filter column in a non-pushable expression).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from fantasy_premier_league_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    """Physical-plan string exactly as ``df.explain(mode)`` prints it."""
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def build(spark, name: str):
+    return all_queries()[name](spark, SF)
+
+
+# ---------------------------------------------------------------------------
+# Predicate pushdown (SURVEY section 4 "Predicate pushdown"): the literal
+# filters in F3/F4/Q1/Q3 must reach the parquet reader as PushedFilters,
+# not run as a post-scan Filter over full row groups.
+# ---------------------------------------------------------------------------
+
+PUSHDOWN_CASES = [
+    ("a2a3_pricing_summary", "l_shipdate"),
+    ("f3_point_lookup", "c_name"),
+    ("f4_predicate_search", "o_orderstatus"),
+    ("f5_key_filter", "user_id"),
+    ("q3_shipping_priority", "c_mktsegment"),
+]
+
+
+@pytest.mark.parametrize(("name", "column"), PUSHDOWN_CASES)
+def test_filter_reaches_parquet_scan(spark, name, column):
+    plan = plan_of(build(spark, name))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, f"{name}: no parquet scan with PushedFilters in plan"
+    assert any(column in p for p in pushed), (
+        f"{name}: filter on {column} not pushed to scan; pushed={pushed}"
+    )
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Q1 projects 7 of lineitem's 11 columns; the scan must read only
+    those (a scan reading all columns for a narrow projection is wrong
+    at 100 TB regardless of correctness)."""
+    plan = plan_of(build(spark, "a2a3_pricing_summary"))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet ReadSchema found"
+    read_cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols, (
+        f"unused key columns not pruned from scan: {sorted(read_cols)}"
+    )
+    assert {"l_quantity", "l_returnflag", "l_shipdate"} <= read_cols
+
+
+# ---------------------------------------------------------------------------
+# Join strategy (SURVEY section 4 "Join strategy"): dimension lookups
+# (J1/J3/J5 families) broadcast the small side — the fact side must not
+# shuffle for a lookup join.
+# ---------------------------------------------------------------------------
+
+BROADCAST_CASES = ["j1_broadcast_dim_join", "j3_agg_dim_join", "q3_shipping_priority"]
+
+
+@pytest.mark.parametrize("name", BROADCAST_CASES)
+def test_dim_joins_broadcast(spark, name):
+    plan = plan_of(build(spark, name))
+    assert "BroadcastHashJoin" in plan, f"{name}: dimension join did not broadcast"
+
+
+def test_point_lookup_has_no_shuffle(spark):
+    """F3 is a pushed-down scan + limit; any Exchange means a refactor
+    turned a point lookup into a distributed job."""
+    plan = plan_of(build(spark, "f3_point_lookup"))
+    assert "Exchange" not in plan, f"point lookup shuffles:\n{plan}"
+
+
+# ---------------------------------------------------------------------------
+# Top-k (O2/W1): limit+orderBy must compile to TakeOrderedAndProject
+# (per-partition heaps + driver merge), never a global sort.
+# ---------------------------------------------------------------------------
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(build(spark, "o2_topk_orders"))
+    assert "TakeOrderedAndProject" in plan, f"top-k plan global-sorts:\n{plan}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation (A2/A3): groupBy.agg must go partial (map-side combine)
+# so the shuffle carries one row per (partition, key), not per event.
+# ---------------------------------------------------------------------------
+
+
+def test_aggregates_combine_map_side(spark):
+    plan = plan_of(build(spark, "a2a3_pricing_summary"))
+    assert "partial_sum" in plan, "no partial aggregation before the exchange"
+    assert plan.count("HashAggregate") >= 2, "missing partial/final agg pair"
+
+
+def test_codegen_covers_the_hot_path(spark):
+    """Scan->filter->project->partial-agg must fuse into one
+    WholeStageCodegen span (SURVEY section 4 'Vectorization'). AQE only
+    reveals codegen markers in the final plan, so execute first."""
+    df = build(spark, "a2a3_pricing_summary")
+    df.collect()
+    plan = plan_of(df, mode="simple")
+    assert re.search(r"\*\(\d+\)\s*HashAggregate", plan), (
+        f"hash aggregate outside codegen:\n{plan}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python boundary (SURVEY section 2.8 rebuild policy): the ONLY Python in
+# any plan is Arrow-batched (FlatMapGroupsInPandas / MapInPandas /
+# ArrowEvalPython). Row-at-a-time BatchEvalPython anywhere is a
+# regression to the reference's per-record closure model.
+# ---------------------------------------------------------------------------
+
+# Queries whose *construction* runs real work (streaming batch gate,
+# KMeans iterations) — plan shape is covered by their own suites.
+SLOW_TO_BUILD = {"fpl_t5_stateful_stream", "t4_windowed_stream_agg"}
+
+# Broadcast-hinted nested-loop joins that are genuinely all-pairs by
+# design (tiny side broadcast): pair generation, centroid assignment,
+# query-vector fan-out, scalar fan-in of a 1-row aggregate.
+CARTESIAN_OK = {
+    "j4_pair_generation",
+    "a6_chemistry_pairs",
+    "fpl_a6_chemistry",
+    "fpl_req1_win_prediction",
+}
+
+
+def _buildable_names():
+    return sorted(set(all_queries()) - SLOW_TO_BUILD)
+
+
+@pytest.mark.parametrize("name", _buildable_names())
+def test_no_row_at_a_time_python(spark, name):
+    plan = plan_of(all_queries()[name](spark, SF))
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan (use pandas_udf/mapInPandas)"
+    )
+
+
+@pytest.mark.parametrize("name", _buildable_names())
+def test_no_unhinted_cartesian(spark, name):
+    """CartesianProduct (both sides materialized per-pair, no broadcast)
+    must never appear; BroadcastNestedLoopJoin is allowed only where the
+    broadcast side is bounded by design (centroids, query vectors,
+    1-row scalars, pair blocks)."""
+    plan = plan_of(all_queries()[name](spark, SF))
+    assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian product"
