@@ -1,0 +1,203 @@
+"""Breadth analytics tier: capabilities beyond the reference's surface.
+
+The reference has no window frames, grouping sets, distinct
+aggregation, percentiles, or subqueries (SURVEY.md sections 2.4-2.5
+note their absence) — but a user replacing it with this engine gets
+them from Spark, so they are exposed and oracle-gated here as
+first-class queries.
+
+Every query is a single declarative plan; scale notes inline. Shared
+discipline: exact integer units for money sums (order-independent
+across engines and partitionings, see ``functions.fixed_units``),
+single shuffle per logical step, window functions partitioned on the
+natural key so state stays partition-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.functions import fixed_units, rounded
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# W2: window frames — moving average + running sum per user over event
+# time. One shuffle on user_id, then both frames evaluate in a single
+# sort within the partition (Spark fuses same-partitioning windows).
+# At 100 TB: user_id partitioning is the natural key distribution;
+# skewed users are bounded by per-user event counts, not corpus size.
+# (ts, user_id) is unique in the events table, so ordering by
+# (ts, event_id) is total and both engines see the same prefix order —
+# sequential prefix sums are then bit-identical before rounding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_moving_average",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-3, 0)
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        rounded(F.avg("value").over(frame), 4).alias("mov_avg"),
+        rounded(F.sum("value").over(running), 4).alias("run_sum"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
+# their part's average quantity. Catalyst's subquery decorrelation
+# rewrite, written explicitly: aggregate once per part, join back.
+# At 100 TB the per-part aggregate is tiny relative to lineitem (one
+# row per part) — broadcast it so the fact side never shuffles; the
+# quantity average of integral quantities is exact in a double, so the
+# 0.2*avg threshold compare is engine-independent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    thresholds = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            rounded(F.sum(fixed_units(F.col("l_extendedprice"))) / 100.0 / 7.0, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / CUBE with grouping_id: all 4 aggregation levels of
+# (returnflag, linestatus) in ONE pass. Spark expands grouping sets
+# before the partial aggregate, so the shuffle still carries one row per
+# (grouping set, key) per map partition — 4x a 6-key space, not 4 scans.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS BIGINT) / 10000.0, 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_u = fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count("*").alias("n_items"),
+            rounded(F.sum(rev_u) / 10_000.0, 2).alias("revenue"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_items", "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation: count(DISTINCT) per group. Spark plans this as
+# a two-phase aggregate (expand on the distinct column, then final) —
+# still a single logical shuffle on the group key. At 100 TB prefer
+# approx_count_distinct (HLL, no expand) when +-2% suffices; the exact
+# form is the oracle-checkable one.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_count_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        rounded(F.sum(fixed_units(F.col("o_totalprice"))) / 100.0, 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles + dispersion per group. Spark's exact `percentile`
+# and DuckDB's `quantile_cont` both sort-and-linearly-interpolate, so
+# they agree bit-for-bit on identical inputs; stddev is summation-order
+# sensitive in the last ulps, hence 4-dp rounding on both sides.
+# At 100 TB exact percentiles require a per-group sort — swap in
+# approx_percentile (t-digest) when the group cardinality is unbounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_percentiles",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(stddev_samp(value), 4) AS sd,
+           round(min(value), 2) AS vmin,
+           round(max(value), 2) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        rounded(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        rounded(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        rounded(F.stddev_samp("value"), 4).alias("sd"),
+        rounded(F.min("value"), 2).alias("vmin"),
+        rounded(F.max("value"), 2).alias("vmax"),
+    )

@@ -48,6 +48,7 @@ def _load_all() -> None:
     """Import every operator module for its registration side effects."""
     from fantasy_premier_league_spark.operators import (  # noqa: F401
         advanced,
+        analytics,
         api,
         dedup,
         fpl_events,
