@@ -201,3 +201,82 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounded(F.min("value"), 2).alias("vmin"),
         rounded(F.max("value"), 2).alias("vmax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order counts and exact revenue per priority, one column per
+# order status. Spark's pivot is a single groupBy with conditional
+# partial aggregates (one shuffle on the group key, map-side combine);
+# the oracle spells out the equivalent sum(CASE ...) form, which is
+# also what a 100 TB plan should look like — never N scans.
+# Pivot values are listed explicitly so the plan skips the extra
+# distinct-values job (mandatory at scale: unlisted pivot = 2 jobs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P,
+           round(CAST(sum(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+                 AS BIGINT) / 100.0, 2) AS rev_F
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = fixed_units(F.col("o_totalprice"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_F"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_O"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_P"),
+        rounded(
+            F.sum(F.when(F.col("o_orderstatus") == "F", cents).otherwise(F.lit(0)))
+            / 100.0,
+            2,
+        ).alias("rev_F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT and EXCEPT over key sets (customers with
+# open vs. finished orders). Spark plans both as aggregate-based
+# semi/anti forms under AQE; expressing them as set ops (not joins)
+# lets Catalyst pick the strategy. The union of the two branches is a
+# single result so the driver contract sees one deterministic table.
+# At 100 TB each branch is one shuffle on o_custkey; the branches share
+# the scan via the reused orders DataFrame.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setops_customer_status",
+    oracle="""
+    SELECT 'both' AS bucket, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'open_only' AS bucket, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def setops_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    open_k = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_k = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = open_k.intersect(done_k).agg(F.count("*").alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    open_only = open_k.subtract(done_k).agg(F.count("*").alias("n")).select(
+        F.lit("open_only").alias("bucket"), "n"
+    )
+    return both.unionByName(open_only)
