@@ -89,10 +89,14 @@ _SHINGLES_SQL = """
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the shingle/hash pipeline is CPU-bound per row; a small parquet
-    # file scans as ONE task, which would serialize it on one core. At
-    # 100 TB maxPartitionBytes splits the scan naturally; here an
-    # explicit round-robin repartition buys 32x on the heavy project.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # file scans as fewer tasks than cores, which would serialize it. At
+    # 100 TB maxPartitionBytes splits the scan naturally, so the
+    # round-robin repartition (a shuffle of the raw text payload) is
+    # gated on the scan actually under-splitting -- it only fires for
+    # small-file inputs where the shuffled bytes are trivially small.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
 
 
@@ -319,12 +323,19 @@ _SIMHASH_SQL_BITS = " + ".join(
     for b in range(_SIMHASH_BITS)
 )
 
-_SIMHASH_SQL = f"""
+def _simhash_sql(nonempty: bool = False) -> str:
+    # nonempty: drop docs whose shingle set is empty (<3 tokens). Their
+    # vote sums are all 0 -> the identical all-ones fingerprint, so every
+    # short-doc pair would meet as a hamming-0 "near-dup" (an O(k^2) pair
+    # blow-up carrying zero similarity signal). The pairs operator always
+    # filters them; the fingerprint operator keeps all docs.
+    where = "WHERE len(shingles) > 0" if nonempty else ""
+    return f"""
     WITH sh AS ({_SHINGLES_SQL}),
     ints AS (
       SELECT doc_id,
              [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs
-      FROM sh
+      FROM sh {where}
     ),
     sig AS (
       SELECT doc_id, {_SIMHASH_SQL_BITS} AS simhash
@@ -333,15 +344,17 @@ _SIMHASH_SQL = f"""
 """
 
 
-def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_df(spark: SparkSession, sf_dir: str, nonempty: bool = False) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
+    if nonempty:
+        sh = sh.filter(F.size("shingles") > 0)
     ints = sh.select("doc_id", F.transform(F.col("shingles"), _shingle_int).alias("xs"))
     return ints.select("doc_id", simhash_col(F.col("xs")).alias("simhash"))
 
 
 @register(
     "dedup_simhash",
-    oracle=_SIMHASH_SQL
+    oracle=_simhash_sql()
     + """
     SELECT doc_id, CAST(simhash AS INT) AS simhash FROM sig ORDER BY doc_id
     """,
@@ -354,7 +367,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash_pairs",
-    oracle=_SIMHASH_SQL
+    oracle=_simhash_sql(nonempty=True)
     + """
     , bands AS (
       SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS band_val
@@ -369,7 +382,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _simhash_df(spark, sf_dir)
+    # nonempty: content-less fingerprints (docs with <3 tokens) carry no
+    # similarity signal and would all collide pairwise -- see _simhash_sql
+    sig = _simhash_df(spark, sf_dir, nonempty=True)
     bands = sig.select(
         "doc_id",
         "simhash",

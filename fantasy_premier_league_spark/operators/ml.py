@@ -133,7 +133,10 @@ def ml_kmeans_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.orderBy("user_id")
         .limit(_K)
         .select(
-            F.row_number().over(Window.orderBy("user_id")).alias("cid"),
+            # constant partition key: the input is <= _K rows (post-limit),
+            # so a single window partition is by design; the explicit key
+            # keeps WindowExec off its move-everything-global path/warning
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("user_id")).alias("cid"),
             F.col("x").cast("double").alias("cx"),
             F.col("y").cast("double").alias("cy"),
         )

@@ -126,6 +126,12 @@ _BIT_SQL = """
 """
 
 
+def _bucket_col(vec: Column) -> Column:
+    return (
+        _bit(vec, 1) * 8 + _bit(vec, 2) * 4 + _bit(vec, 4) * 2 + _bit(vec, 8)
+    )
+
+
 @register(
     "ann_lsh_buckets",
     oracle="""
@@ -147,14 +153,8 @@ _BIT_SQL = """
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
-    bucket = (
-        _bit(F.col("vec"), 1) * 8
-        + _bit(F.col("vec"), 2) * 4
-        + _bit(F.col("vec"), 4) * 2
-        + _bit(F.col("vec"), 8)
-    )
     return (
-        v.select("vec_id", bucket.alias("bucket"))
+        v.select("vec_id", _bucket_col(F.col("vec")).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
@@ -180,12 +180,6 @@ _NEARDUP_COS = 0.35  # synthetic corpus tops out ~0.51; 0.35 is selective
 # recall cost, which is the knob a 100 TB run tunes (more tables for
 # recall, more bits for precision).
 _NEARDUP_STRIDES = [1, 2, 4, 8, 16, 32, 3, 5]
-
-
-def _bucket_col(vec: Column) -> Column:
-    return (
-        _bit(vec, 1) * 8 + _bit(vec, 2) * 4 + _bit(vec, 4) * 2 + _bit(vec, 8)
-    )
 
 
 def _neardup_bucket_col(vec: Column) -> Column:

@@ -140,14 +140,17 @@ def test_codegen_covers_the_hot_path(spark):
 # KMeans iterations) — plan shape is covered by their own suites.
 SLOW_TO_BUILD = {"fpl_t5_stateful_stream", "t4_windowed_stream_agg"}
 
-# Broadcast-hinted nested-loop joins that are genuinely all-pairs by
-# design (tiny side broadcast): pair generation, centroid assignment,
-# query-vector fan-out, scalar fan-in of a 1-row aggregate.
+# Broadcast nested-loop joins that are genuinely all-pairs by design
+# (tiny side broadcast): pair generation, centroid assignment,
+# query-vector fan-out, scalar fan-in of a 1-row aggregate. Any OTHER
+# query planning a BroadcastNestedLoopJoin fails the test below.
 CARTESIAN_OK = {
-    "j4_pair_generation",
-    "a6_chemistry_pairs",
-    "fpl_a6_chemistry",
-    "fpl_req1_win_prediction",
+    "j4_pair_generation",     # J4: all-pairs roster generation (tiny dim)
+    "a10_win_chance",         # scalar fan-in of 1-row strength aggregate
+    "ann_cosine_topk",        # query-vector fan-out (N_QUERIES rows broadcast)
+    "ann_ivf_topk",           # centroid fan-out (_NLIST rows broadcast)
+    "ml_kmeans_profiles",     # centroid fan-out (_K rows broadcast)
+    "ml_quadratic_fit",       # scalar fan-in of the 1-row moment aggregate
 }
 
 
@@ -166,8 +169,13 @@ def test_no_row_at_a_time_python(spark, name):
 @pytest.mark.parametrize("name", _buildable_names())
 def test_no_unhinted_cartesian(spark, name):
     """CartesianProduct (both sides materialized per-pair, no broadcast)
-    must never appear; BroadcastNestedLoopJoin is allowed only where the
-    broadcast side is bounded by design (centroids, query vectors,
-    1-row scalars, pair blocks)."""
+    must never appear; BroadcastNestedLoopJoin is allowed only for the
+    CARTESIAN_OK queries whose broadcast side is bounded by design
+    (centroids, query vectors, 1-row scalars, pair blocks)."""
     plan = plan_of(all_queries()[name](spark, SF))
     assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian product"
+    if name not in CARTESIAN_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected nested-loop join (unbounded side?); add to "
+            f"CARTESIAN_OK only if the broadcast side is bounded by design"
+        )
