@@ -59,6 +59,7 @@ def _load_all() -> None:
         relational,
         similarity,
         textstats,
+        tpch,
     )
     from fantasy_premier_league_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -151,6 +151,7 @@ CARTESIAN_OK = {
     "ann_ivf_topk",           # centroid fan-out (_NLIST rows broadcast)
     "ml_kmeans_profiles",     # centroid fan-out (_K rows broadcast)
     "ml_quadratic_fit",       # scalar fan-in of the 1-row moment aggregate
+    "q22_idle_customers",     # scalar fan-in of the 1-row avg-balance aggregate
 }
 
 
