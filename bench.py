@@ -44,6 +44,14 @@ HEADLINE = [
     "text_token_stats",
     "text_fingerprint",
     "t4_windowed_stream_agg",
+    # round 2 additions: TPC-H shape vocabulary + north-star ops
+    "q5_regional_revenue",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "sketch_hll_distinct",
+    "text_vocab_topk",
+    "dedup_cluster_components",
+    "t7_stream_stream_join",
 ]
 
 

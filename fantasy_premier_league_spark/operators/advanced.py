@@ -217,19 +217,22 @@ _HOT_THRESHOLD = 5  # keys with >= this many fact rows get salted
     """,
 )
 def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key-only salted join: detect keys above a frequency
-    threshold, salt ONLY those (fact side by row hash, dim side
-    exploded x _SALT), plain-join the long tail, union before the
-    aggregation.
+    """Conditional-salt skew join: detect keys above a frequency
+    threshold, then run ONE join on (key, salt) where cold keys carry
+    salt 0 on both sides and hot keys spread across _SALT salts (fact
+    side by row hash, dim side exploded x _SALT).
 
     Salting everything would replicate the entire dim side x _SALT --
-    fine at toy scale, catastrophic at 100 TB. The production recipe is
-    exactly this split: the hot-key set is tiny (it must be, to be
-    hot), so it broadcasts into both semi/anti filters and the
-    replication cost is bounded by |hot| x _SALT. This is the manual
-    fallback for when AQE's skew split can't apply (skewed side under
-    an aggregation); correctness is gated on the UNSALTED plain-join
-    oracle, which is the entire point.
+    fine at toy scale, catastrophic at 100 TB. The production recipe
+    salts only the hot set (tiny by definition, so it broadcasts into
+    the membership probe) and the replication cost is bounded by
+    |hot| x _SALT. Fusing hot and cold into one conditional-salt join
+    (rather than semi/anti splitting into two joins) scans each input
+    once and shuffles once -- the earlier two-join form cost 2x scans
+    and an extra union. This is the manual fallback for when AQE's
+    skew split can't apply (skewed side under an aggregation);
+    correctness is gated on the UNSALTED plain-join oracle, which is
+    the entire point.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
@@ -240,28 +243,38 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .count()
         .filter(F.col("count") >= _HOT_THRESHOLD)
-        .select(F.col("l_orderkey").alias("hot_key"))
+        .select(F.col("l_orderkey").alias("hot_key"), F.lit(True).alias("is_hot"))
     )
 
-    li_hot = li.join(
-        F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_semi"
-    ).withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT)))
-    li_cold = li.join(F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_anti")
-
-    od_hot = od.join(
-        F.broadcast(hot), od.o_orderkey == hot.hot_key, "left_semi"
-    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT)])))
-    od_cold = od.join(F.broadcast(hot), od.o_orderkey == hot.hot_key, "left_anti")
-
-    joined_hot = li_hot.join(
-        od_hot, (li_hot.l_orderkey == od_hot.o_orderkey) & (li_hot.salt == od_hot.salt)
-    ).select("o_orderpriority", "l_extendedprice")
-    joined_cold = li_cold.join(
-        od_cold, li_cold.l_orderkey == od_cold.o_orderkey
-    ).select("o_orderpriority", "l_extendedprice")
+    li_salted = (
+        li.join(F.broadcast(hot), li.l_orderkey == hot.hot_key, "left_outer")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"),
+                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT)),
+            ).otherwise(F.lit(0)),
+        )
+        .select("l_orderkey", "l_extendedprice", "salt")
+    )
+    all_salts = F.array(*[F.lit(i) for i in range(_SALT)])
+    od_salted = (
+        od.join(F.broadcast(hot), od.o_orderkey == hot.hot_key, "left_outer")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(F.col("is_hot"), all_salts).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .select("o_orderkey", "o_orderpriority", "salt")
+    )
 
     return (
-        joined_hot.unionByName(joined_cold)
+        li_salted.join(
+            od_salted,
+            (li_salted.l_orderkey == od_salted.o_orderkey)
+            & (li_salted.salt == od_salted.salt),
+        )
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count("*").alias("n_items"),

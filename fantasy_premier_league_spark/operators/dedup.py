@@ -220,10 +220,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ints.select("doc_id", *mins).orderBy("doc_id")
 
 
-@register(
-    "dedup_minhash_lsh_candidates",
-    oracle="""
-    WITH sh AS ({sh}),
+# shared CTE chain: documents -> shingles -> minhash signatures -> LSH
+# bands -> distinct candidate pairs (reused by the clustering oracle)
+_LSH_CAND_CTES = """
+    sh AS ({sh}),
     ints AS (
       SELECT doc_id,
              [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS xs
@@ -238,18 +238,28 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
       UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
       UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
-    )
-    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.doc_id < b.doc_id
-    ORDER BY doc1, doc2
-    """.format(
-        sh=_SHINGLES_SQL,
-        mins=", ".join(
-            f"CAST(list_min([({a} * x + {b}) % {_P} for x in xs]) AS BIGINT) AS mh{j}"
-            for j, (a, b) in enumerate(_HASHES)
-        ),
     ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.r0 = b.r0 AND a.r1 = b.r1
+       AND a.doc_id < b.doc_id
+    )
+""".format(
+    sh=_SHINGLES_SQL,
+    mins=", ".join(
+        f"CAST(list_min([({a} * x + {b}) % {_P} for x in xs]) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(_HASHES)
+    ),
+)
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_LSH_CAND_CTES}
+    SELECT doc1, doc2 FROM cand ORDER BY doc1, doc2
+    """,
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup_minhash_signatures(spark, sf_dir)
@@ -414,3 +424,77 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc1", "doc2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment: connected components over the MinHash-LSH
+# candidate graph by iterative min-label propagation. Each doc in any
+# candidate pair gets cluster = min doc_id reachable through candidate
+# edges, i.e. one canonical survivor per duplicate cluster -- the step a
+# training-data pipeline runs AFTER candidate generation to pick keepers.
+#
+# At 100 TB: label propagation is the standard distributed-CC pattern
+# (one shuffle join + min-agg per round, O(component diameter) rounds;
+# near-dup clusters are shallow so this converges in 2-4 rounds). The
+# driver loop only issues actions and reads a scalar changed-count --
+# no row data ever reaches the driver. The DuckDB oracle computes the
+# exact fixpoint with a recursive CTE, so the gate proves the iteration
+# converged, not just ran.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CAND_CTES},
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM cand
+      UNION SELECT doc2, doc1 FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc1", "doc2")
+    edges = (
+        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+        .unionByName(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+    )
+    # candidate generation is expensive (shingle -> minhash -> band join);
+    # cache the edge list once, every round joins against it
+    edges = edges.cache()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("lbl", F.col("node"))
+        .cache()
+    )
+    try:
+        for _ in range(20):  # >= diameter of any near-dup cluster
+            prop = edges.join(labels, F.col("src") == F.col("node")).select(
+                F.col("dst").alias("node"), F.col("lbl")
+            )
+            new_labels = (
+                labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+            ).cache()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") < F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster")
+        ).orderBy("doc_id")
+    finally:
+        edges.unpersist()

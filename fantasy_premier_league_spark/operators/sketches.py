@@ -1,0 +1,101 @@
+"""Approximate-aggregation sketches (north-star extension, SURVEY 2.10).
+
+Spark ships approx_count_distinct (HLL++) but its register layout is
+engine-internal, so a differential gate against DuckDB's own HLL would
+compare two different approximations. Instead the sketch here is a
+hand-rolled, fully deterministic HyperLogLog built from portable
+primitives (md5 -> 32-bit hash, fixed m=16 registers): both engines
+compute the IDENTICAL registers and estimate, so the oracle check is
+exact even though the answer is approximate.
+
+Scale: this is the streaming/distributed cardinality pattern -- one
+groupBy (key, bucket) max-agg (map-side combinable, 16 rows per key
+out of the shuffle), then a 16-row fold per key. Register arrays merge
+with elementwise max, so sketches compose across partitions, days, or
+cluster tiers without re-scanning raw data. The 2^-register harmonic
+sum is a sum of dyadic rationals (exact in binary floating point), so
+the estimate is bit-identical regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fantasy_premier_league_spark.functions import rounded
+from fantasy_premier_league_spark.plans.registry import register
+from fantasy_premier_league_spark.sources.testdata import load_table
+
+_M = 16  # registers; alpha_16 from the HLL paper (Flajolet et al. 2007)
+_ALPHA = 0.673
+
+
+def _hash32(c: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 (same in DuckDB)."""
+    return F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+@register(
+    "sketch_hll_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h % {_M} AS bucket,
+             CASE WHEN h // {_M} = 0 THEN 29
+                  ELSE 28 - CAST(floor(log2(h // {_M})) AS INT) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+    est AS (
+      SELECT event_type,
+             {_ALPHA} * {_M * _M} / (sum(power(2.0, -m)) + ({_M} - count(*))) AS e
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1
+    )
+    SELECT est.event_type AS event_type, round(e, 3) AS hll_estimate, exact_distinct
+    FROM est JOIN exact ON est.event_type = exact.event_type
+    ORDER BY est.event_type
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-user estimate per event_type, next to
+    the exact count so the sketch's error is visible in the result.
+
+    bucket = low 4 hash bits; rho = leftmost-1 position of the
+    remaining 28 bits; estimate = alpha * m^2 / harmonic mean, with
+    absent buckets contributing 2^0. No small/large-range correction:
+    bias is part of the pinned, reproducible answer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = _hash32(F.col("user_id"))
+    w = F.shiftright(h, 4)  # h // 16: top 28 bits
+    rho = F.when(w == 0, F.lit(29)).otherwise(
+        (28 - F.floor(F.log2(w))).cast("int")
+    )
+    regs = (
+        ev.select("event_type", F.pmod(h, F.lit(_M)).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    est = regs.groupBy("event_type").agg(
+        (
+            F.lit(_ALPHA * _M * _M)
+            / (F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (_M - F.count("*")))
+        ).alias("e")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", rounded(F.col("e"), 3).alias("hll_estimate"), "exact_distinct")
+        .orderBy("event_type")
+    )

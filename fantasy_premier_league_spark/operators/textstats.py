@@ -210,3 +210,64 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-split sampling: the reproducible train/val/test
+# split primitive. At 100 TB a random() sample is neither reproducible
+# nor resumable; hashing a stable key means the SAME documents land in
+# the sample on every run, on any cluster, with no coordination -- and
+# the split composes with incremental ingestion (new docs hash
+# independently). Portable hash: first 8 hex chars of md5 of the doc_id
+# string, mod 100 -> a stable percentile; stratum = lang comes along
+# for per-language accounting.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return docs.filter(pct < 10).select("doc_id", "lang").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary top-k: global token frequencies (the vocab/BPE-prep pass of
+# a text pipeline). One explode -> groupBy(token) with map-side combine
+# -> TakeOrderedAndProject: the shuffle carries one row per (partition,
+# token), and the top-k never global-sorts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_tok(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )

@@ -58,6 +58,7 @@ def _load_all() -> None:
         rating,
         relational,
         similarity,
+        sketches,
         textstats,
         tpch,
     )

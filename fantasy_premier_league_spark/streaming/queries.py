@@ -49,6 +49,25 @@ def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") ->
     return stream_df.sparkSession.table(name)
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with proper timestamps.
+
+    The parquet carries ts as TIMESTAMP(NANOS): declare it long for the
+    file source (with the legacy nanos conf, set by load_table) and
+    convert with integer arithmetic, exactly like the batch path."""
+    batch_schema = load_table(spark, sf_dir, "events").schema
+    raw_fields = [
+        T.StructField("ts", T.LongType()) if f.name == "ts" else f
+        for f in batch_schema.fields
+    ]
+    return (
+        spark.readStream.schema(T.StructType(raw_fields))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
 @register(
     "t4_windowed_stream_agg",
     oracle="""
@@ -60,20 +79,8 @@ def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") ->
     """,
 )
 def windowed_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The parquet carries ts as TIMESTAMP(NANOS): declare it long for the
-    # file source (with the legacy nanos conf, set by load_table) and
-    # convert with integer arithmetic, exactly like the batch path.
-    batch_schema = load_table(spark, sf_dir, "events").schema
-    raw_fields = [
-        T.StructField("ts", T.LongType()) if f.name == "ts" else f
-        for f in batch_schema.fields
-    ]
-    # file source requires a directory: point at sf_dir with a glob filter
     stream = (
-        spark.readStream.schema(T.StructType(raw_fields))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.sum(fixed_units(F.col("value"))).alias("total_value_c"))
     )
@@ -84,6 +91,99 @@ def windowed_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rounded(F.col("total_value_c") / 100.0, 2).alias("total_value"),
     ).orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T6: streaming deduplication. dropDuplicates over a keyed state store,
+# with the event-time day in the key and a watermark so expired days are
+# EVICTED from state -- the bounded-state form of exact dedup for an
+# unbounded 100 TB stream (the batch twin is dedup_exact). Only the key
+# columns are returned: which physical row survives per key is
+# arrival-order-dependent, the key set is not.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t6_stream_dedup",
+    oracle="""
+    SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           user_id, event_type
+    FROM events ORDER BY day, user_id, event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .withColumn("day_ts", F.date_trunc("day", F.col("ts")))
+        .dropDuplicates(["day_ts", "user_id", "event_type"])
+        .select("day_ts", "user_id", "event_type")
+    )
+    result = run_stream_to_memory(stream, output_mode="append")
+    return result.select(
+        F.date_format("day_ts", "yyyy-MM-dd").alias("day"), "user_id", "event_type"
+    ).orderBy("day", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T7: stream-stream interval join. Purchases join signups of the same
+# user within a 1-day window; both sides carry watermarks and the join
+# condition bounds event-time distance, so each side's state store holds
+# at most one watermark-delay's worth of rows at 100 TB. (The reference
+# J2 is stream-static; this is the genuinely-streaming join the rebuild
+# adds.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t7_stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           s.event_id AS signup_event, p.event_id AS purchase_event,
+           CAST(date_diff('second', s.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 1 DAY
+    ORDER BY p.user_id, signup_event, purchase_event
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    signups = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "1 day")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    result = run_stream_to_memory(joined, output_mode="append")
+    return result.select(
+        F.col("p_user").alias("user_id"),
+        "signup_event",
+        "purchase_event",
+        (F.col("p_ts").cast("long") - F.col("s_ts").cast("long")).alias(
+            "secs_to_purchase"
+        ),
+    ).orderBy("user_id", "signup_event", "purchase_event")
 
 
 # ---------------------------------------------------------------------------

@@ -137,8 +137,15 @@ def test_codegen_covers_the_hot_path(spark):
 # ---------------------------------------------------------------------------
 
 # Queries whose *construction* runs real work (streaming batch gate,
-# KMeans iterations) — plan shape is covered by their own suites.
-SLOW_TO_BUILD = {"fpl_t5_stateful_stream", "t4_windowed_stream_agg"}
+# label-propagation driver loop) — plan shape is covered by their own
+# suites / the oracle-parity run.
+SLOW_TO_BUILD = {
+    "fpl_t5_stateful_stream",
+    "t4_windowed_stream_agg",
+    "t6_stream_dedup",
+    "t7_stream_stream_join",
+    "dedup_cluster_components",
+}
 
 # Broadcast nested-loop joins that are genuinely all-pairs by design
 # (tiny side broadcast): pair generation, centroid assignment,
