@@ -94,8 +94,11 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-robin repartition (a shuffle of the raw text payload) is
     # gated on the scan actually under-splitting -- it only fires for
     # small-file inputs where the shuffled bytes are trivially small.
+    # inputFiles() is plan metadata (no RDD materialization); the scan
+    # produces at least one task per file, so fewer files than cores is
+    # the exact under-split condition.
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if len(docs.inputFiles()) < target:
         docs = docs.repartition(target)
     return docs.select("doc_id", shingles_col(F.col("text")).alias("shingles"))
 
@@ -105,46 +108,66 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # jaccard(A,B) = |A n B| / (|A| + |B| - |A n B|); only pairs sharing a
 # shingle are materialized. Threshold 0.2 keeps the result non-trivial
 # on the synthetic corpus.
+#
+# Hot-shingle cap: a shingle appearing in more than _MAX_SHINGLE_DF
+# documents (boilerplate, stop-word runs) is dropped from the posting
+# list BEFORE the self-join -- at 100 TB one ubiquitous 3-gram would
+# otherwise create a quadratic posting bucket. Jaccard is then computed
+# over the CAPPED shingle sets on both engines (sizes recomputed after
+# the cap), so the capped semantics are themselves oracle-gated.
 # ---------------------------------------------------------------------------
+
+_MAX_SHINGLE_DF = 100
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
     posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    capped AS (
+      SELECT doc_id, shingle FROM posting
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_SHINGLE_DF}
+    ),
+    sized AS (
+      SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS sz
+      FROM capped
+    ),
     inter AS (
-      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_common
-      FROM posting a JOIN posting b
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             a.sz AS sz1, b.sz AS sz2, count(*) AS n_common
+      FROM sized a JOIN sized b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      GROUP BY 1, 2, 3, 4
     )
-    SELECT i.doc1, i.doc2,
-           round(CAST(i.n_common AS DOUBLE) / (s1.sz + s2.sz - i.n_common), 6) AS jaccard
-    FROM inter i
-    JOIN sizes s1 ON i.doc1 = s1.doc_id
-    JOIN sizes s2 ON i.doc2 = s2.doc_id
-    WHERE CAST(i.n_common AS DOUBLE) / (s1.sz + s2.sz - i.n_common) >= 0.2
+    SELECT doc1, doc2,
+           round(CAST(n_common AS DOUBLE) / (sz1 + sz2 - n_common), 6) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / (sz1 + sz2 - n_common) >= 0.2
     ORDER BY doc1, doc2
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     sh = doc_shingles(spark, sf_dir)
-    # carry |shingles| THROUGH the posting list instead of joining a
-    # separate sizes table back in afterwards: the naive
-    # inter-join-sizes-join-sizes shape re-runs the whole tokenize ->
-    # distinct pipeline two more times (no exchange to reuse across a
-    # broadcast boundary), while here sz rides along as one extra int
-    # per posting row and the grouping key, so the corpus is scanned
-    # and shingled exactly twice (once per join side, identical shuffle
-    # exchanges -> at execution AQE reuses the first side's exchange
-    # and the pipeline effectively runs ONCE).
-    posting = sh.select(
-        "doc_id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # document frequency per shingle via a window (one shuffle on the
+    # shingle key -- the same key the candidate join shuffles on), then
+    # per-doc size RECOMPUTED over the surviving shingles (one shuffle
+    # on doc_id). sz rides through the join as a grouping column instead
+    # of re-joining a sizes table afterwards, so the shingle pipeline
+    # runs once per join side and AQE reuses the first side's exchange.
+    capped = posting.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= _MAX_SHINGLE_DF)
+    sized = capped.select(
+        "doc_id",
+        "shingle",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("sz"),
     )
-    a = posting.alias("a").hint("shuffle_hash")
-    b = posting.alias("b").hint("shuffle_hash")
+    a = sized.alias("a").hint("shuffle_hash")
+    b = sized.alias("b").hint("shuffle_hash")
     inter = (
         a.join(
             b,
@@ -208,7 +231,9 @@ def _permutation(a: int, b: int):
         ),
     ),
 )
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_signatures(
+    spark: SparkSession, sf_dir: str, sort: bool = True
+) -> DataFrame:
     sh = doc_shingles(spark, sf_dir)
     ints = sh.select(
         "doc_id", F.transform(F.col("shingles"), _shingle_int).alias("xs")
@@ -217,7 +242,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(F.col("xs"), _permutation(a, b))).alias(f"mh{j}")
         for j, (a, b) in enumerate(_HASHES)
     ]
-    return ints.select("doc_id", *mins).orderBy("doc_id")
+    out = ints.select("doc_id", *mins)
+    # sort is presentation-only (stable driver hashing); internal
+    # consumers (LSH banding) skip it
+    return out.orderBy("doc_id") if sort else out
 
 
 # shared CTE chain: documents -> shingles -> minhash signatures -> LSH
@@ -254,15 +282,14 @@ _LSH_CAND_CTES = """
 )
 
 
-@register(
-    "dedup_minhash_lsh_candidates",
-    oracle=f"""
-    WITH {_LSH_CAND_CTES}
-    SELECT doc1, doc2 FROM cand ORDER BY doc1, doc2
-    """,
-)
-def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = dedup_minhash_signatures(spark, sf_dir)
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc1 < doc2) LSH candidate pairs, UNSORTED.
+
+    Internal building block: the registered query adds a presentation
+    orderBy; iterative consumers (connected components) must not pay a
+    global sort for input whose order is irrelevant.
+    """
+    sig = dedup_minhash_signatures(spark, sf_dir, sort=False)
     bands = None
     for band in range(4):
         part = sig.select(
@@ -288,8 +315,18 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
-        .orderBy("doc1", "doc2")
     )
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_LSH_CAND_CTES}
+    SELECT doc1, doc2 FROM cand ORDER BY doc1, doc2
+    """,
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lsh_candidate_pairs(spark, sf_dir).orderBy("doc1", "doc2")
 
 
 # ---------------------------------------------------------------------------
@@ -428,19 +465,31 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Duplicate-cluster assignment: connected components over the MinHash-LSH
-# candidate graph by iterative min-label propagation. Each doc in any
-# candidate pair gets cluster = min doc_id reachable through candidate
-# edges, i.e. one canonical survivor per duplicate cluster -- the step a
-# training-data pipeline runs AFTER candidate generation to pick keepers.
+# candidate graph by min-label propagation WITH POINTER JUMPING. Each doc
+# in any candidate pair gets cluster = min doc_id reachable through
+# candidate edges, i.e. one canonical survivor per duplicate cluster --
+# the step a training-data pipeline runs AFTER candidate generation to
+# pick keepers.
 #
-# At 100 TB: label propagation is the standard distributed-CC pattern
-# (one shuffle join + min-agg per round, O(component diameter) rounds;
-# near-dup clusters are shallow so this converges in 2-4 rounds). The
-# driver loop only issues actions and reads a scalar changed-count --
-# no row data ever reaches the driver. The DuckDB oracle computes the
-# exact fixpoint with a recursive CTE, so the gate proves the iteration
-# converged, not just ran.
+# At 100 TB: per round, one edge-join + min-agg (neighbor propagation)
+# and one label-composition join (lbl <- lbl(lbl), the pointer-jumping
+# step of Shiloach-Vishkin-style CC; cf. Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14) -- path lengths double
+# each round, so a diameter-d chain converges in O(log d) rounds, not
+# O(d). The driver loop only reads a scalar checksum per round -- no row
+# data ever reaches the driver. Convergence is detected by sum(lbl):
+# labels are node-id minima, so the sum is strictly decreasing until the
+# fixpoint; an unchanged sum means the propagation step moved nothing,
+# i.e. every node already holds its component minimum. localCheckpoint
+# every _CKPT_EVERY rounds truncates the logical lineage so the plan
+# does not grow linearly with rounds (at scale the growing plan alone
+# would stall the driver). Non-convergence within _MAX_ROUNDS raises:
+# the DuckDB recursive-CTE oracle computes the exact fixpoint, so a
+# silently-partial result must never reach the gate.
 # ---------------------------------------------------------------------------
+
+_MAX_ROUNDS = 15  # pointer jumping: covers diameter ~2^15 per component
+_CKPT_EVERY = 3
 
 
 @register(
@@ -462,39 +511,62 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc1", "doc2")
-    edges = (
-        pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-        .unionByName(pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst")))
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc1").alias("src"), F.col("doc2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc2").alias("src"), F.col("doc1").alias("dst"))
     )
-    # candidate generation is expensive (shingle -> minhash -> band join);
-    # cache the edge list once, every round joins against it
-    edges = edges.cache()
+    # candidate generation is expensive (shingle -> minhash -> band
+    # join); materialize the edge list ONCE and cut its lineage, so no
+    # per-round job re-plans the generation pipeline
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("lbl", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(20):  # >= diameter of any near-dup cluster
-            prop = edges.join(labels, F.col("src") == F.col("node")).select(
-                F.col("dst").alias("node"), F.col("lbl")
-            )
-            new_labels = (
-                labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
-            ).cache()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lbl") < F.col("o.lbl"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(
-            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster")
-        ).orderBy("doc_id")
-    finally:
-        edges.unpersist()
+    prev_sum = None
+    converged = False
+    for rnd in range(1, _MAX_ROUNDS + 1):
+        # 1) neighbor propagation: lbl(v) <- min(lbl(v), min_{u->v} lbl(u))
+        prop = edges.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), F.col("lbl")
+        )
+        stepped = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        # 2) pointer jumping: lbl(v) <- lbl(lbl(v)). Every label IS a
+        # node id (minima over node ids, init lbl=node), so composing
+        # the mapping with itself is a plain equi-join; path-to-minimum
+        # lengths double per round.
+        m = stepped.select(
+            F.col("node").alias("m_node"), F.col("lbl").alias("m_lbl")
+        )
+        jumped = stepped.join(m, F.col("lbl") == F.col("m_node")).select(
+            "node", F.col("m_lbl").alias("lbl")
+        )
+        if rnd % _CKPT_EVERY == 0:
+            jumped = jumped.localCheckpoint(eager=False)
+        else:
+            jumped = jumped.cache()
+        # single scalar action per round: materializes `jumped` and
+        # reads the monotone checksum (labels only ever decrease, so an
+        # unchanged sum == no label moved == fixpoint)
+        cur_sum = jumped.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = jumped
+        if cur_sum is None:  # empty candidate graph: trivially converged
+            converged = True
+            break
+        if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {_MAX_ROUNDS} rounds"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster")
+    ).orderBy("doc_id")
