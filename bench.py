@@ -44,6 +44,8 @@ HEADLINE = [
     "text_token_stats",
     "text_fingerprint",
     "t4_windowed_stream_agg",
+    # --- everything above is the 24-query set BASELINE.md measures;  ---
+    # --- keep it a prefix so the subtotal stays apples-to-apples.    ---
     # round 2 additions: TPC-H shape vocabulary + north-star ops
     "q5_regional_revenue",
     "q18_large_orders",
@@ -52,6 +54,13 @@ HEADLINE = [
     "text_vocab_topk",
     "dedup_cluster_components",
     "t7_stream_stream_join",
+    # round 3 additions: completed TPC-H suite + composed corpus pipeline
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "ml_kmeans_embeddings",
+    "docs_clean_pipeline",
+    "w3_cumulative_users",
 ]
 
 
@@ -81,6 +90,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
+    comparable = round(sum(timings[n] for n in HEADLINE[:24]), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -88,6 +98,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "baseline_comparable_24_total": comparable,
                 "queries": timings,
                 "sf": float(sf) if sf else sf_dir,
             }

@@ -280,3 +280,48 @@ def setops_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("open_only").alias("bucket"), "n"
     )
     return both.unionByName(open_only)
+
+
+# ---------------------------------------------------------------------------
+# W3: cumulative-new-entities curve. The naive form (count distinct
+# users over an ever-growing window) rescans history per day; the
+# scale-correct form computes each user's FIRST day (one shuffle on
+# user_id), pre-aggregates to one row per day, and only then runs the
+# running total -- a window over |days| rows, not |events|, so the
+# single-partition window is bounded by the calendar, not the corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w3_cumulative_users",
+    oracle="""
+    SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM (SELECT user_id, min(date_trunc('day', ts)) AS first_day
+            FROM events GROUP BY user_id)
+      GROUP BY first_day)
+    ORDER BY day
+    """,
+)
+def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    running = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(running).alias("cum_users"),
+    ).orderBy("day")

@@ -244,21 +244,29 @@ _CHEM_SQL = f"""
     """,
 )
 def fpl_req1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     with open(REQ1) as f:
         request = json.load(f)
-    s = team_strengths(spark, request)
-    total = s.agg(F.sum("strength")).collect()[0][0]
-    s1 = s.filter(F.col("team") == "team1").collect()[0]["strength"]
-    chance1 = (0.5 + s1 - total / 2) * 100
+    # ONE plan, no driver collects: the total and team1's strength are
+    # global-window sums over the 2-row strength frame (the oracle's own
+    # shape) rather than two extra .collect() actions.
+    tot = Window.partitionBy(F.lit(0))
+    s = (
+        team_strengths(spark, request)
+        .withColumn("total", F.sum("strength").over(tot))
+        .withColumn(
+            "s1",
+            F.sum(F.when(F.col("team") == "team1", F.col("strength"))).over(tot),
+        )
+    )
+    chance1 = (0.5 + F.col("s1") - F.col("total") / 2) * 100
     return s.select(
         "team",
         "team_name",
         rounded(F.col("strength"), 6).alias("strength"),
         rounded(
-            F.when(F.col("team") == "team1", F.lit(chance1)).otherwise(
-                F.lit(100 - chance1)
-            ),
-            6,
+            F.when(F.col("team") == "team1", chance1).otherwise(100 - chance1), 6
         ).alias("winning_chance"),
     ).orderBy("team")
 

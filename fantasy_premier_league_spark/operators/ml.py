@@ -150,13 +150,163 @@ def ml_kmeans_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
-@register("ml_kmeans_embeddings", oracle=None)
-def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spec'd KMeans k=5 over 64-dim embeddings via pyspark.ml
-    (Specs.pdf "Solution: Clustering"). MLlib's seeded init is not
-    reproducible in SQL, so this takes the driver's rows-only check;
-    the deterministic DataFrame variant above is the hash-gated one.
+# --- deterministic KMeans over the 64-dim embedding vectors ------------
+#
+# The hash-gate trick from ml_kmeans_profiles extended to floats: each
+# float32 component is scaled by 2^20 and FLOORED to an exact BIGINT
+# (float32 * 2^20 is exactly representable in double, and floor has no
+# tie-breaking semantics to disagree on, unlike round). From there every
+# quantity both engines compute -- centroid means (exact integer sum /
+# count), squared distances (identical left-associated 64-term chains of
+# IEEE double ops), argmin tie-breaks (cid asc) -- is bit-identical, so
+# MLlib's unreproducible sampled init is replaced and the oracle is exact.
+
+_K_EMB = 5  # k=5 per Specs.pdf "Solution: Clustering"
+_ITERS_EMB = 2
+_DIMS = 64
+_SCALE = 1048576.0  # 2^20: exact double product with any float32
+
+
+def _emb_features_sql() -> str:
+    cols = ",\n             ".join(
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {_SCALE}) AS BIGINT) AS x{i}"
+        for i in range(1, _DIMS + 1)
+    )
+    return f"SELECT vec_id,\n             {cols}\n      FROM embeddings"
+
+
+def _emb_kmeans_oracle() -> str:
+    rng = range(1, _DIMS + 1)
+    c0_cols = ", ".join(f"CAST(x{i} AS DOUBLE) AS c{i}" for i in rng)
+    dist = " + ".join(
+        f"(CAST(f.x{i} AS DOUBLE) - c.c{i}) * (CAST(f.x{i} AS DOUBLE) - c.c{i})"
+        for i in rng
+    )
+    recenter = ", ".join(f"CAST(sum(x{i}) AS DOUBLE) / count(*) AS c{i}" for i in rng)
+    xs = ", ".join(f"x{i}" for i in rng)
+    sql = f"""
+    WITH f AS ({_emb_features_sql()}),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, {c0_cols}
+      FROM (SELECT * FROM f ORDER BY vec_id LIMIT {_K_EMB})
+    )"""
+    prev = "c0"
+    for it in range(1, _ITERS_EMB + 1):
+        sql += f""",
+    a{it} AS (
+      SELECT vec_id, {xs}, cid FROM (
+        SELECT f.*, c.cid,
+               row_number() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM f, {prev} c
+      ) WHERE rn = 1
+    ),
+    c{it} AS (SELECT cid, {recenter} FROM a{it} GROUP BY cid)"""
+        prev = f"c{it}"
+    sql += f"""
+    SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM a{_ITERS_EMB} GROUP BY cid ORDER BY cluster
     """
+    return sql
+
+
+def _emb_dist2() -> Column:
+    """Squared distance as a sequential left-to-right array fold.
+
+    F.aggregate folds (((0+t1)+t2)+...) in element order -- the same
+    addition sequence as the oracle's explicit 64-term chain (0.0+t1
+    is bitwise t1 for the non-negative squares), so both engines see
+    identical IEEE double sums. Array form keeps the generated code a
+    few lines; 64 scalar columns made Janino compilation itself the
+    bottleneck (~4 s per stage at any data size).
+    """
+    return F.aggregate(
+        F.zip_with(
+            "xs",
+            "cs",
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("ml_kmeans_embeddings", oracle=_emb_kmeans_oracle())
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's KMeans (k=5, 2 iters) over the 64-dim
+    embedding column, reported as cluster sizes.
+
+    Same 100 TB shape as ml_kmeans_profiles: per iteration one
+    broadcast of k tiny centroid rows + one groupBy(cid) -- the corpus
+    itself never shuffles on anything wider than the cluster id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    # features/centroids stay ARRAY-typed end to end (one small generated
+    # expression per stage, vs 64 scalar columns whose codegen dominates
+    # wall time); feats is cached and each k-row centroid frame is
+    # localCheckpoint'ed -- the standard iterative-algorithm lineage
+    # discipline (MLlib's own KMeans caches + truncates the same way).
+    feats = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda e: F.floor(e.cast("double") * _SCALE).cast("long"),
+        ).alias("xs"),
+    ).cache()
+    cent = (
+        feats.orderBy("vec_id")
+        .limit(_K_EMB)
+        .select(
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy("vec_id"))
+            .alias("cid"),
+            F.transform("xs", lambda x: x.cast("double")).alias("cs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    assigned = None
+    for it in range(_ITERS_EMB):
+        # argmin as min_by over a NARROW (vec_id, cid, dist) projection:
+        # the shuffle carries 3 columns and combines map-side (k rows per
+        # partition), never the feature vectors -- the same assignment
+        # the oracle's row_number(ORDER BY dist, cid) picks, since
+        # min_by on the (dist, cid) struct breaks ties identically.
+        pairs = feats.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", _emb_dist2().alias("dist")
+        )
+        assign = pairs.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias("cid")
+        )
+        assigned = feats.join(assign, "vec_id")
+        # elementwise centroid mean via posexplode + (cid, pos) partial
+        # aggregation (map-side combinable; the distributed dense-vector
+        # mean), reassembled in pos order -- exact integer sums / count.
+        cent = (
+            assigned.select("cid", F.posexplode("xs").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg((F.sum("x").cast("double") / F.count("*")).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cs")
+            )
+        )
+        if it < _ITERS_EMB - 1:
+            cent = cent.localCheckpoint(eager=False)
+    return (
+        assigned.groupBy(F.col("cid").cast("int").alias("cluster"))
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
+def ml_kmeans_embeddings_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spec's literal pyspark.ml KMeans (Specs.pdf "Solution:
+    Clustering"). Unregistered: MLlib's seeded-but-sampling init is not
+    reproducible in SQL, so the hash-gated registered variant above is
+    the deterministic Lloyd's; this stays as the MLlib-API demo."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

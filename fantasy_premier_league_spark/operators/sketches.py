@@ -48,7 +48,7 @@ def _hash32(c: Column) -> Column:
     r AS (
       SELECT event_type, h % {_M} AS bucket,
              CASE WHEN h // {_M} = 0 THEN 29
-                  ELSE 28 - CAST(floor(log2(h // {_M})) AS INT) END AS rho
+                  ELSE 29 - CAST(length(bin(h // {_M})) AS INT) END AS rho
       FROM h
     ),
     regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
@@ -77,8 +77,11 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     h = _hash32(F.col("user_id"))
     w = F.shiftright(h, 4)  # h // 16: top 28 bits
+    # leftmost-1 position via INTEGER bit arithmetic: floor(log2(w)) =
+    # len(bin(w)) - 1 exactly, with no libm transcendental whose last
+    # ulp near powers of two could differ between engines.
     rho = F.when(w == 0, F.lit(29)).otherwise(
-        (28 - F.floor(F.log2(w))).cast("int")
+        (F.lit(29) - F.length(F.bin(w))).cast("int")
     )
     regs = (
         ev.select("event_type", F.pmod(h, F.lit(_M)).alias("bucket"), rho.alias("rho"))

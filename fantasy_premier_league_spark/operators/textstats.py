@@ -271,3 +271,73 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "tok")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-cleaning pipeline: the end-to-end shape a pre-LLM
+# training-data job actually runs -- quality gate -> language gate ->
+# exact dedup -> per-source accounting -- as ONE declarative plan, so
+# Catalyst fuses the gates into the scan and the only shuffles are the
+# dedup groupBy (on the 16-byte digest, never raw text) and the final
+# tiny per-source aggregate. Survivor per duplicate set = lowest
+# doc_id, made engine-portable with min/min_by on the unique id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_clean_pipeline",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, source, md5(text) AS digest,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE lang = 'en'
+        AND len(string_split(text, ' ')) >= 20
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.3
+        AND CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN {_STOPWORDS})) AS DOUBLE)
+              / len(string_split(text, ' ')) <= 0.5
+    ),
+    dedup AS (
+      SELECT min(doc_id) AS doc_id,
+             min_by(source, doc_id) AS source,
+             min_by(n_tokens, doc_id) AS n_tokens
+      FROM gated GROUP BY digest
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens
+    FROM dedup GROUP BY source ORDER BY source
+    """,
+)
+def docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok(F.col("text"))
+    n_tokens = F.size(toks)
+    gated = docs.filter(F.col("lang") == "en").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        n_tokens.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("dr"),
+        (F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tokens).alias(
+            "sr"
+        ),
+    ).filter(
+        (F.col("n_tokens") >= 20) & (F.col("dr") >= 0.3) & (F.col("sr") <= 0.5)
+    )
+    dedup = gated.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    return (
+        dedup.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            rounded(F.sum("n_tokens").cast("double") / F.count("*"), 6).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )

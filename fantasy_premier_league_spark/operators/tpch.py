@@ -694,3 +694,315 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: correlated scalar-MIN subquery + supplier->nation->region
+# dim chain. No partsupp table: "supply cost" is proxied by the minimum
+# extended-price units a supplier has ever shipped the part at, an
+# exact integer min that both engines agree on bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_Q2_COST = """
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           min(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS cost_units
+    FROM lineitem, supplier, nation, region
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH cost AS ({_Q2_COST})
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+           round(cost_units / 10000.0, 2) AS min_cost
+    FROM part, cost, supplier, nation
+    WHERE p_partkey = partkey AND suppkey = s_suppkey
+      AND s_nationkey = n_nationkey
+      AND p_size = 15 AND p_type = 'STANDARD'
+      AND cost_units = (SELECT min(cost_units) FROM cost c2
+                        WHERE c2.partkey = cost.partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN decorrelated into groupBy(partkey).min + an
+    equality rejoin on (partkey, cost) -- both sides of the rejoin are
+    partitioned by partkey, so at scale the shuffle is computed once
+    and reused, never a per-row subquery. Fixed dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_supp = supp.join(
+        F.broadcast(nation.join(F.broadcast(region),
+                                F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+    cost = (
+        li.join(euro_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.min(fixed_units(F.col("l_extendedprice"), 10_000)).alias("cost_units"))
+    )
+    best = cost.groupBy("partkey").agg(F.min("cost_units").alias("best_units"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        cost.join(best, ["partkey"])
+        .filter(F.col("cost_units") == F.col("best_units"))
+        .join(part, F.col("partkey") == F.col("p_partkey"))
+        .join(euro_supp, F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            rounded(F.col("cost_units") / 10_000.0, 2).alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: profit by (supplier nation, order year) over a part-name
+# slice. No ps_supplycost: per-unit cost is proxied at 10% of
+# p_retailprice, kept exact by computing it in the same 1e-4 fixed
+# units as revenue (retail * qty * 1000 units = 0.1 * retail * qty).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                     - CAST(round(p_retailprice * l_quantity * 1000) AS BIGINT)) AS BIGINT)
+                 / 10000.0, 2) AS profit
+    FROM lineitem, orders, part, supplier, nation
+    WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with the part-name filter pushed to the part scan (the
+    smallest slice drives the join), profit summed as a single exact
+    integer expression; nation broadcasts, facts shuffle on their keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit_units = fixed_units(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+    ) - fixed_units(F.col("p_retailprice") * F.col("l_quantity"), 1_000)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(rounded(F.sum(profit_units) / 10_000.0, 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: group + whole-table scalar share threshold. "Inventory
+# value" is proxied by revenue shipped per part by one nation's
+# suppliers; a part is important if it carries more than 0.1% of the
+# national total (scalar subquery fan-in, 1-row broadcast).
+# ---------------------------------------------------------------------------
+
+_Q11_VALUE = """
+    SELECT l_partkey AS partkey,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+             AS value_units
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7'
+    GROUP BY 1
+"""
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH v AS ({_Q11_VALUE})
+    SELECT partkey, round(value_units / 10000.0, 2) AS part_value
+    FROM v
+    WHERE value_units > (SELECT sum(value_units) FROM v) * 0.001
+    ORDER BY part_value DESC, partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The national total is a 1-row broadcast fan-in over the SAME
+    aggregated frame (computed once, reused), so the fact table is
+    scanned and shuffled exactly once; the share comparison runs
+    integer-vs-double identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(
+            supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(_rev_units().alias("value_units"))
+    )
+    total = v.agg(F.sum("value_units").alias("total_units"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_units") > F.col("total_units") * 0.001)
+        .select("partkey", rounded(F.col("value_units") / 10_000.0, 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: outer-join distribution. Customers counted by how many
+# non-urgent orders they placed, INCLUDING zero -- the left outer join
+# and the two-level aggregation are the whole point of the shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeps zero-order customers; the first aggregate
+    keys by custkey (same key as the join: one shuffle serves both),
+    the second is a tiny distribution over |distinct counts| rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: NOT IN exclusion + grouped count(distinct). Suppliers per
+# part attribute bucket, excluding "complaint" suppliers (proxied as
+# negative account balance -- the schema has no s_comment).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part, lineitem
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1' AND p_type <> 'MEDIUM'
+      AND p_size IN (5, 15, 25, 35, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN becomes a left-anti join against the (tiny, broadcast)
+    excluded-supplier set; count(distinct) expands to a two-phase
+    aggregate so the shuffle carries (bucket, suppkey) pairs, never raw
+    lineitems. All part predicates push to the scan."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(5, 15, 25, 35, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: correlated half-sum threshold -> suppliers who shipped
+# more than half of a part's 1996 volume ("excess inventory" without a
+# partsupp table), surfaced through a semi join up the supplier chain.
+# ---------------------------------------------------------------------------
+
+_Q20_QTY = """
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_units
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey AND p_name LIKE '%blue%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle=f"""
+    WITH q AS ({_Q20_QTY})
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT suppkey FROM q
+        WHERE qty_units > (SELECT sum(q2.qty_units) FROM q q2
+                           WHERE q2.partkey = q.partkey) * 0.5)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated half-sum decorrelates into a per-part total
+    (groupBy partkey) rejoined on the same key -- shared shuffle
+    partitioning -- then collapses to a distinct supplier set that
+    semi-joins the supplier dim. Integer quantity units throughout."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    q = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(fixed_units(F.col("l_quantity"))).alias("qty_units"))
+    )
+    totals = q.groupBy("partkey").agg(F.sum("qty_units").alias("part_total"))
+    excess = (
+        q.join(totals, ["partkey"])
+        .filter(F.col("qty_units") > F.col("part_total") * 0.5)
+        .select("suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+        .select("s_name", rounded(F.col("s_acctbal"), 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -25,6 +25,79 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# The driver's correctness gate checks the FIRST 50 registered queries
+# (CORRECTNESS_r01/r02 are exactly the head of the registry in insertion
+# order). With >50 registered, rotate: queries listed here are emitted
+# first so the least-recently-driver-verified ones get checked each
+# round; everything else follows in module-import order. Round 3 head =
+# the 40 queries absent from CORRECTNESS_r01+r02, the 5 whose
+# implementation changed after the r02 run (dedup trio reworked in
+# 87768e7, kmeans-embeddings oracle added, fpl_req1 single-plan), and
+# the queries newly added this round.
+SAMPLE_PRIORITY: list[str] = [
+    # --- never driver-verified (registered after the r01/r02 cutoff) ---
+    "a8_composition_count",
+    "a10_win_chance",
+    "a11_max_per_key",
+    "o2_topk_orders",
+    "o1_sorted_scan",
+    "u1_union_distinct",
+    "w1_topk_per_group",
+    "c1_json_extract",
+    "c5_string_date_funcs",
+    "c8_safe_division",
+    "q3_shipping_priority",
+    "j7_semi_anti_join",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "sketch_hll_distinct",
+    "text_token_stats",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_fingerprint",
+    "sample_hash_split",
+    "text_vocab_topk",
+    "q4_order_priority",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q21_waiting_supplier",
+    "q22_idle_customers",
+    "t4_windowed_stream_agg",
+    "t6_stream_dedup",
+    "t7_stream_stream_join",
+    "fpl_t5_stateful_stream",
+    # --- implementation or oracle changed since their last green row ---
+    "dedup_cluster_components",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_candidates",
+    "ml_kmeans_embeddings",
+    "fpl_req1_win_prediction",
+    # --- new this round (tail past position 50 rotates next round) ---
+    "q13_customer_distribution",
+    "q2_min_cost_supplier",
+    "q16_supplier_counts",
+    "q9_product_profit",
+    "w3_cumulative_users",
+    "q11_important_parts",
+    "q20_excess_suppliers",
+    "docs_clean_pipeline",
+]
+
+
+def _prioritized(d: dict) -> dict:
+    head = {n: d[n] for n in SAMPLE_PRIORITY if n in d}
+    return head | {n: v for n, v in d.items() if n not in head}
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a (spark, sf_dir) -> DataFrame operator.
@@ -67,9 +140,9 @@ def _load_all() -> None:
 
 def all_queries() -> dict[str, QueryFn]:
     _load_all()
-    return dict(QUERIES)
+    return _prioritized(QUERIES)
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return dict(ORACLES)
+    return _prioritized(ORACLES)

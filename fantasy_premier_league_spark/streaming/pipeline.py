@@ -102,6 +102,23 @@ def socket_source(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
+def console_sink(
+    stream_df: DataFrame, checkpoint: str, num_rows: int = 20
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """K1: the reference's debug console sink (master.py:333-368 prints
+    every DStream with .pprint() x8). One writeStream.format("console")
+    covers the same observability role; debug-only, never a data sink.
+    """
+    return (
+        stream_df.writeStream.format("console")
+        .option("numRows", num_rows)
+        .option("truncate", True)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_ingest_sinks(
     parsed: DataFrame, out_dir: str, checkpoint: str
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821

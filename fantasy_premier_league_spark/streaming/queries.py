@@ -112,10 +112,15 @@ def windowed_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Watermark is set on day_ts ITSELF (after the truncation) so the
+    # event-time column participates in the dedup key: dropDuplicates
+    # then evicts a day's key-state once the watermark passes it.
+    # Watermarking raw ts instead leaves the keyed state untracked and
+    # growing forever on an unbounded stream.
     stream = (
         _events_stream(spark, sf_dir)
-        .withWatermark("ts", "1 day")
         .withColumn("day_ts", F.date_trunc("day", F.col("ts")))
+        .withWatermark("day_ts", "1 day")
         .dropDuplicates(["day_ts", "user_id", "event_type"])
         .select("day_ts", "user_id", "event_type")
     )
@@ -149,9 +154,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both join arms fork from ONE source stream (a streaming self-join):
+    # the file source is listed/tracked once instead of maintaining two
+    # independent backlogs over the same parquet — at 100 TB that is one
+    # scan's worth of source state, not two.
+    events = _events_stream(spark, sf_dir)
     purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
+        events.filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_event"),
@@ -160,8 +169,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("p_ts", "1 day")
     )
     signups = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "signup")
+        events.filter(F.col("event_type") == "signup")
         .select(
             F.col("user_id").alias("s_user"),
             F.col("event_id").alias("signup_event"),

@@ -106,6 +106,30 @@ def test_topk_avoids_global_sort(spark):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H scale-shape claims (tpch.py docstrings), pinned:
+# - q15: the max-revenue scalar must land as a broadcast EQUALITY join
+#   (BroadcastHashJoin), never a nested-loop theta join, and nothing may
+#   fall back to a sort-merge of the aggregated side.
+# - q18: the HAVING fan-back must plan as a LeftSemi join (only
+#   qualifying orderkeys flow into the wide join), not inner+distinct.
+# ---------------------------------------------------------------------------
+
+
+def test_q15_scalar_max_joins_broadcast(spark):
+    plan = plan_of(build(spark, "q15_top_supplier"))
+    assert "BroadcastHashJoin" in plan, f"q15: scalar-max join not broadcast:\n{plan}"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "q15: scalar-max comparison planned as nested loop"
+    )
+
+
+def test_q18_having_fanback_is_semi_join(spark):
+    plan = plan_of(build(spark, "q18_large_orders"))
+    assert "LeftSemi" in plan, f"q18: qualifying-orders join is not left-semi:\n{plan}"
+    assert "partial_sum" in plan, "q18: HAVING pre-agg lost map-side combine"
+
+
+# ---------------------------------------------------------------------------
 # Aggregation (A2/A3): groupBy.agg must go partial (map-side combine)
 # so the shuffle carries one row per (partition, key), not per event.
 # ---------------------------------------------------------------------------
@@ -157,8 +181,10 @@ CARTESIAN_OK = {
     "ann_cosine_topk",        # query-vector fan-out (N_QUERIES rows broadcast)
     "ann_ivf_topk",           # centroid fan-out (_NLIST rows broadcast)
     "ml_kmeans_profiles",     # centroid fan-out (_K rows broadcast)
+    "ml_kmeans_embeddings",   # centroid fan-out (_K_EMB rows broadcast)
     "ml_quadratic_fit",       # scalar fan-in of the 1-row moment aggregate
     "q22_idle_customers",     # scalar fan-in of the 1-row avg-balance aggregate
+    "q11_important_parts",    # scalar fan-in of the 1-row national-total aggregate
 }
 
 

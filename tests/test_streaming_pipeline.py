@@ -133,6 +133,24 @@ def test_ingest_sinks_idempotent_partitions(spark, tmp_path):
     assert total_events > 5000
 
 
+def test_console_sink_drains(spark, tmp_path):
+    """K1: the debug console sink runs a full availableNow drain of the
+    fixture stream (master.py's .pprint() x8 observability role)."""
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        console_sink,
+        stream_source,
+    )
+
+    stream_dir = os.path.join(ensure_fixtures(), "stream")
+    q = console_sink(
+        stream_source(spark, stream_dir, max_files_per_trigger=12),
+        str(tmp_path / "ckpt"),
+        num_rows=1,
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+
 def test_socket_ingest(spark, tmp_ckpt):
     """S1: the reference's exact transport -- line-delimited JSON over a
     TCP socket -- parsed and discriminated by the streaming engine."""
