@@ -61,6 +61,7 @@ HEADLINE = [
     "ml_kmeans_embeddings",
     "docs_clean_pipeline",
     "w3_cumulative_users",
+    "sketch_quantile_hist",
 ]
 
 

@@ -102,3 +102,85 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", rounded(F.col("e"), 3).alias("hll_estimate"), "exact_distinct")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile histogram: fixed-width integer bins over the exact
+# cent units. Like the HLL above, the sketch state (bin -> count) merges
+# across partitions/days with plain addition, so quantile estimates for
+# any slice union come from summing histograms, never re-scanning rows.
+# Estimates are the lower edge of the first bin whose cumulative count
+# crosses the target rank -- exact integer logic, identical on both
+# engines (vs approx_percentile, whose internal sketch is engine-
+# specific and cannot be oracle-checked).
+# ---------------------------------------------------------------------------
+
+_BIN_UNITS = 500  # 5.00 in value units of 0.01
+
+
+@register(
+    "sketch_quantile_hist",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) // {_BIN_UNITS} AS bin,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM b
+    )
+    SELECT event_type, CAST(max(tot) AS BIGINT) AS n_events,
+           round(min(CASE WHEN cum >= 0.5 * tot THEN bin END) * {_BIN_UNITS} / 100.0, 2)
+             AS p50_est,
+           round(min(CASE WHEN cum >= 0.9 * tot THEN bin END) * {_BIN_UNITS} / 100.0, 2)
+             AS p90_est
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch p50/p90 per event_type (bin width 5.00)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            F.expr(f"CAST(round(value * 100) AS BIGINT) div {_BIN_UNITS}").alias("bin"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    cum_w = (
+        Window.partitionBy("event_type").orderBy("bin")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bin",
+        "n",
+        F.sum("n").over(cum_w).alias("cum"),
+        F.sum("n").over(tot_w).alias("tot"),
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("tot").alias("n_events"),
+            rounded(
+                F.min(F.when(F.col("cum") >= 0.5 * F.col("tot"), F.col("bin")))
+                * _BIN_UNITS
+                / 100.0,
+                2,
+            ).alias("p50_est"),
+            rounded(
+                F.min(F.when(F.col("cum") >= 0.9 * F.col("tot"), F.col("bin")))
+                * _BIN_UNITS
+                / 100.0,
+                2,
+            ).alias("p90_est"),
+        )
+        .orderBy("event_type")
+    )

@@ -91,6 +91,8 @@ SAMPLE_PRIORITY: list[str] = [
     "q11_important_parts",
     "q20_excess_suppliers",
     "docs_clean_pipeline",
+    "t9_session_window_stream",
+    "sketch_quantile_hist",
 ]
 
 

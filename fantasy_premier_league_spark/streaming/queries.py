@@ -217,6 +217,65 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T9: NATIVE streaming session windows (F.session_window) -- the engine
+# merges per-key sessions in the state store as events arrive, vs the
+# batch gaps-and-islands form (advanced.session_windows) that needs the
+# whole history sorted. Same 30-min gap; a session's window ends at
+# last_event + gap, and an event landing exactly AT the previous
+# session's end starts a NEW session (the window is [start, end)), so
+# the oracle flags new sessions with >= gap, not > gap.
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "t9_session_window_stream",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) >= {_GAP_US}
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id, count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) + {_GAP_US} AS end_us,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
+             AS total_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, start_us
+    """,
+)
+def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(fixed_units(F.col("value"))).alias("total_value_c"),
+        )
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        result = run_stream_to_memory(stream, output_mode="complete")
+    return result.select(
+        "user_id",
+        "n_events",
+        F.unix_micros(F.col("win.start")).alias("start_us"),
+        F.unix_micros(F.col("win.end")).alias("end_us"),
+        rounded(F.col("total_value_c") / 100.0, 2).alias("total_value"),
+    ).orderBy("user_id", "start_us")
+
+
+# ---------------------------------------------------------------------------
 # T5: the stateful tier (A4+A5) run THROUGH the streaming engine --
 # applyInPandasWithState over the fixture stream, one micro-batch per
 # match file. The oracle is the same recursive-CTE recurrence used for

@@ -168,6 +168,7 @@ SLOW_TO_BUILD = {
     "t4_windowed_stream_agg",
     "t6_stream_dedup",
     "t7_stream_stream_join",
+    "t9_session_window_stream",
     "dedup_cluster_components",
 }
 

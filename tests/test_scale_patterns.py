@@ -89,3 +89,30 @@ def test_partition_pruning_skips_directories(spark, tmp_path):
     )
     # the pruned read returns exactly the slice
     assert df.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """When the partition-column filter lives on the JOIN DIM side, the
+    fact scan must still prune -- Catalyst injects a dynamicpruning
+    subquery that evaluates the dim filter first and feeds the surviving
+    partition keys to the fact scan at runtime. Without DPP, a 100 TB
+    date-partitioned fact joined to a filtered calendar dim reads every
+    partition."""
+    out = str(tmp_path / "events_dpp")
+    ev = load_table(spark, SF, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("signup", 0), ("click", 0), ("view", 0), ("error", 0)],
+        "etype string, is_revenue int",
+    )
+    fact = spark.read.parquet(out)
+    joined = fact.join(
+        dim.filter(F.col("is_revenue") == 1),
+        fact.event_type == dim.etype,
+    )
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning on the fact scan:\n{plan}"
+    )
+    assert joined.count() == ev.filter(F.col("event_type") == "purchase").count()
