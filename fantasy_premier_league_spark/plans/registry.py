@@ -93,6 +93,7 @@ SAMPLE_PRIORITY: list[str] = [
     "docs_clean_pipeline",
     "t9_session_window_stream",
     "sketch_quantile_hist",
+    "sql_frontend_topday",
 ]
 
 
@@ -134,6 +135,7 @@ def _load_all() -> None:
         relational,
         similarity,
         sketches,
+        sql_frontend,
         textstats,
         tpch,
     )
