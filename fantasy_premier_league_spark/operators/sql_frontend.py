@@ -22,9 +22,15 @@ from fantasy_premier_league_spark.plans.registry import register
 from fantasy_premier_league_spark.sources.testdata import load_table
 
 # one string, two engines: keep to the common dialect (date_trunc, rank,
-# CAST, round) and exact fixed-point revenue units. Dialect trap: a
-# literal like 10000.0 parses as DECIMAL in Spark SQL but DOUBLE in
-# DuckDB -- scientific notation (1e4) is a double literal in both.
+# CAST, round) and exact fixed-point revenue units. Dialect traps: a
+# literal like 100.0 parses as DECIMAL in Spark SQL but DOUBLE in
+# DuckDB -- scientific notation (1e2) is a double literal in both; and
+# round(x, 2) half-boundary behavior DIFFERS between engines (Spark
+# rounds the shortest decimal repr half-up, DuckDB rounds the scaled
+# double), so the final revenue uses the scaled form
+# round(units / 1e2) / 100 -- at scale 0 the only half-way doubles are
+# exact k+0.5 where both engines round away from zero, making the
+# shared string bit-stable (see functions/scalars.py rounded()).
 _TOPDAY_SQL = """
     WITH rev AS (
       SELECT n_name,
@@ -42,7 +48,7 @@ _TOPDAY_SQL = """
              rank() OVER (PARTITION BY n_name ORDER BY units DESC, day) AS rk
       FROM rev
     )
-    SELECT n_name AS nation, day, round(units / 1e4, 2) AS revenue
+    SELECT n_name AS nation, day, round(units / 1e2) / 100 AS revenue
     FROM ranked WHERE rk = 1 ORDER BY nation
 """
 
