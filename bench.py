@@ -62,6 +62,11 @@ HEADLINE = [
     "docs_clean_pipeline",
     "w3_cumulative_users",
     "sketch_quantile_hist",
+    # round 5 additions: graph + corpus-pipeline tier
+    "graph_pagerank",
+    "text_winnowing",
+    "sketch_cms_heavy_hitters",
+    "stats_zscore_outliers",
 ]
 
 
@@ -83,29 +88,44 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # One broken query must not zero out the whole bench artifact: time
+    # what runs, record what fails, and ALWAYS emit the JSON line.
+    # (BENCH_r04 was lost entirely to one AnalysisException; BENCH_r03
+    # printed its JSON but a post-print shutdown error flipped the exit
+    # code to 1 and the driver recorded parsed=null.)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # noqa: BLE001 - record and continue
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    comparable = round(sum(timings[n] for n in HEADLINE[:24]), 3)
+    comparable = round(sum(timings.get(n, 0.0) for n in HEADLINE[:24]), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "baseline_comparable_24_total": comparable,
-                "queries": timings,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
-    spark.stop()
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "baseline_comparable_24_total": comparable,
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
+    sys.stdout.flush()
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    # guarantee rc=0 once the JSON line is out: lingering non-daemon
+    # threads / JVM teardown races must not invalidate the artifact
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,38 @@ def rounded(col: Column, scale: int = 6) -> Column:
     return F.round(col * factor) / factor
 
 
+def _epoch_ntz() -> Column:
+    # built lazily: F.lit needs an active SparkContext, and this module
+    # is imported before the session exists
+    return F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch of a TIMESTAMP_NTZ column.
+
+    Pure wall-clock arithmetic with no timezone interpretation, so it
+    matches DuckDB's ``epoch_us(ts)`` on naive timestamps in ANY
+    session timezone (``unix_micros`` only accepts TIMESTAMP and would
+    shift with the session zone). The loader canonicalizes every ts
+    column to TIMESTAMP_NTZ (sources/testdata.py), making this the one
+    epoch-extraction helper operators need.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("MICROSECOND", _epoch_ntz(), c)
+
+
+def epoch_secs(col: Column | str) -> Column:
+    """Whole seconds since epoch (floor) of a TIMESTAMP_NTZ column.
+
+    ``epoch_secs(b) - epoch_secs(a)`` counts second-BOUNDARY crossings
+    (DuckDB ``date_diff('second', a, b)`` semantics), which differs
+    from ``timestamp_diff('SECOND', a, b)`` (complete elapsed units):
+    0.9s -> 1.0s is 1 boundary but 0 complete seconds.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("SECOND", _epoch_ntz(), c)
+
+
 def fixed_units(col: Column, scale: int = 100) -> Column:
     """Fixed-point decimal column -> exact integer units (e.g. cents).
 

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fantasy_premier_league_spark.functions import fixed_units, rounded
+from fantasy_premier_league_spark.functions import epoch_us, fixed_units, rounded
 from fantasy_premier_league_spark.plans.registry import register
 from fantasy_premier_league_spark.sources.testdata import load_table
 
@@ -84,7 +84,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.lit(1).alias("kind"),
-        F.lit(None).cast("struct<cts:timestamp,cid:bigint>").alias("c"),
+        F.lit(None).cast("struct<cts:timestamp_ntz,cid:bigint>").alias("c"),
         F.col("event_id").alias("purchase_id"),
     )
     # kind orders clicks before purchases at equal ts => "at-or-before"
@@ -102,7 +102,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             "user_id",
             F.col("last_click.cid").alias("click_id"),
-            (F.unix_micros("ts") - F.unix_micros("last_click.cts")).alias("gap_us"),
+            (epoch_us("ts") - epoch_us("last_click.cts")).alias("gap_us"),
         )
         .orderBy("purchase_id")
     )
@@ -147,7 +147,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us(F.col("ts"))
     gap = us - F.lag(us).over(w)
     flagged = ev.select("user_id", "ts", "value").withColumn(
         "is_new", F.when(gap.isNull() | (gap > _GAP_US), 1).otherwise(0)
@@ -157,8 +157,8 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.groupBy("user_id", F.col("session_id").cast("int").alias("session_id"))
         .agg(
             F.count("*").alias("n_events"),
-            F.unix_micros(F.min("ts")).alias("start_us"),
-            F.unix_micros(F.max("ts")).alias("end_us"),
+            epoch_us(F.min("ts")).alias("start_us"),
+            epoch_us(F.max("ts")).alias("end_us"),
             rounded(F.sum(fixed_units(F.col("value"))) / 100.0, 2).alias("total_value"),
         )
         .orderBy("user_id", "session_id")
@@ -312,10 +312,10 @@ def range_join_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale; binning bounds candidates to the +-1-bin neighborhood.
     """
     base = load_table(spark, sf_dir, "events")
-    ev = base.select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    ev = base.select("event_id", "user_id", epoch_us("ts").alias("us"))
     errors = (
         base.filter(F.col("event_type") == "error")
-        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+        .select("event_id", "user_id", epoch_us("ts").alias("us"))
         .withColumn("bin", (F.col("us") / _WIN_US).cast("long"))
     )
     others = ev.select(

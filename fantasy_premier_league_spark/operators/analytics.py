@@ -325,3 +325,59 @@ def cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(running).alias("cum_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier detection: the per-group anomaly gate of a training-
+# data pipeline (drop events whose value is > 3 sigma from its event
+# type's mean). Moments are computed from EXACT integer cents (sum and
+# sum-of-squares as BIGINT), so mean/variance/z are bit-identical
+# doubles on both engines -- the same fixed-point discipline as
+# fixed_units, extended to second moments. The broadcast of the 5-row
+# moments table back onto the fact scan is one map-side join: the fact
+# table shuffles ZERO times end-to-end (groupBy feeds partial aggs; the
+# probe side streams). At 100 TB sum(cents^2) needs DECIMAL(38) -- at
+# the gate's scale factors BIGINT holds with 6 orders of headroom.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_zscore_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s2,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(((CAST(round(e.value * 100) AS BIGINT) - CAST(m.s AS DOUBLE) / m.n)
+                  / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                         - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n)))
+                 * 1000000) / 1000000 AS z
+    FROM events e JOIN m USING (event_type)
+    WHERE abs((CAST(round(e.value * 100) AS BIGINT) - CAST(m.s AS DOUBLE) / m.n)
+              / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                     - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n))) > 3.0
+    ORDER BY event_id
+    """,
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = fixed_units(F.col("value"))
+    moments = ev.groupBy("event_type").agg(
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("s2"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (cents - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(moments), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", rounded(z, 6).alias("z"))
+        .orderBy("event_id")
+    )

@@ -184,3 +184,81 @@ def sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: the bounded-memory frequency
+# estimator for a token stream (Cormode & Muthukrishnan 2005). d=2
+# independent hash rows x w=64 buckets of BIGINT counters -- 128 cells
+# total regardless of vocabulary size; per-partition sketches merge by
+# elementwise ADD, so at 100 TB each executor folds its token slice
+# into 128 counters and the shuffle moves one sketch per partition, not
+# one row per token (here expressed as groupBy(row, bucket), whose
+# partial aggregation IS that merge). Estimates only over-count
+# (collisions add), never under-count; taking the min across the d rows
+# bounds the error. Both engines build the IDENTICAL sketch (portable
+# md5-derived row hashes), so the differential gate is exact even
+# though the answer is approximate. Candidate probing reuses the
+# deduplicated token set; the top-k never global-sorts (TakeOrdered).
+# ---------------------------------------------------------------------------
+
+_CMS_W = 64
+_CMS_ROWS = (0, 1)
+
+
+def _cms_bucket(tok: Column, row: int) -> Column:
+    salted = F.concat(F.lit(f"r{row}:"), tok)
+    return F.pmod(
+        F.conv(F.substring(F.md5(salted.cast("binary")), 1, 8), 16, 10).cast("long"),
+        F.lit(_CMS_W),
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT r, ('0x' || substr(md5('r' || r || ':' || tok), 1, 8))::BIGINT
+                 % {_CMS_W} AS bucket,
+             count(*) AS c
+      FROM toks, (SELECT unnest([0, 1]) AS r)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT tok FROM toks
+    ),
+    est AS (
+      SELECT p.tok, min(c.c) AS est_count
+      FROM probes p
+      JOIN cells c
+        ON c.bucket = ('0x' || substr(md5('r' || c.r || ':' || p.tok), 1, 8))::BIGINT
+                      % {_CMS_W}
+      GROUP BY p.tok
+    )
+    SELECT tok, CAST(est_count AS BIGINT) AS est_count
+    FROM est ORDER BY est_count DESC, tok LIMIT 15
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cells = None
+    for r in _CMS_ROWS:
+        part = toks.select(F.lit(r).alias("r"), _cms_bucket(F.col("tok"), r).alias("bucket"))
+        cells = part if cells is None else cells.unionByName(part)
+    sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    probes = toks.distinct()
+    probe_cells = None
+    for r in _CMS_ROWS:
+        part = probes.select("tok", F.lit(r).alias("r"), _cms_bucket(F.col("tok"), r).alias("bucket"))
+        probe_cells = part if probe_cells is None else probe_cells.unionByName(part)
+    return (
+        probe_cells.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), "tok")
+        .limit(15)
+    )

@@ -10,7 +10,7 @@ where present.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fantasy_premier_league_spark.functions import rounded, safe_div
@@ -340,4 +340,134 @@ def docs_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             rounded(F.sum("n_tokens").cast("double") / F.count("*"), 6).alias("avg_tokens"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified hash sampling: per-language rates (downsample the dominant
+# language, keep the tail) -- the corpus-balancing step of a
+# multilingual training mix. Same reproducible-md5-percentile machinery
+# as sample_hash_split, with the rate looked up per stratum: stable
+# under re-runs, composes with incremental ingestion, needs no
+# coordination across 1000 executors (each row decides for itself).
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 20, "zh": 80, "es": 80, "de": 80, "fr": 80}  # percent
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+            ELSE 50 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    rate = F.lit(50)
+    for k, v in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        docs.filter(pct < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (the MOSS near-dup/plagiarism primitive,
+# Schleimer et al. 2003): hash every word 3-gram, slide a w=4 window
+# over the hash sequence, keep each window's minimum. Guarantees any
+# shared run of >= w+2 words between two documents shares a
+# fingerprint, with ~2/(w+1) selection density. Tie-break is exact on
+# both engines by packing (hash, pos) into ONE integer key --
+# hash * 2^20 + pos -- and taking the plain min, so "smallest hash,
+# leftmost position" needs no engine-specific argmin semantics.
+# Scale shape: shingle+hash are per-row projections (codegen); the
+# window min runs per-document after one shuffle on doc_id; DISTINCT
+# collapses the w-fold duplication before anything leaves the executor.
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4
+_POS_BITS = 1 << 20
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS pos
+      FROM toks
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(t[pos] || ' ' || t[pos + 1] || ' ' || t[pos + 2]),
+                             1, 8))::BIGINT * {_POS_BITS} + pos AS k
+      FROM pos
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS k
+      FROM keyed
+    )
+    SELECT doc_id, CAST(k % {_POS_BITS} AS BIGINT) AS pos,
+           CAST(k // {_POS_BITS} AS BIGINT) AS fp
+    FROM sel ORDER BY doc_id, pos
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # shingle construction stays inside codegen: transform() over the
+    # token array, no self-join, no Python. The size guard matters:
+    # Spark's sequence(0, -1) DESCENDS instead of returning empty.
+    shingled = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
+                " transform(sequence(0, size(split(text, ' ')) - 3),"
+                " i -> concat_ws(' ', split(text, ' ')[i],"
+                " split(text, ' ')[i + 1], split(text, ' ')[i + 2]))"
+                " ELSE array() END"
+            )
+        ).alias("pos0", "shingle"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "shingle")
+    hash32 = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    keyed = shingled.select(
+        "doc_id", "pos", (hash32 * _POS_BITS + F.col("pos")).alias("k")
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    return (
+        keyed.select("doc_id", F.min("k").over(win).alias("k"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.pmod(F.col("k"), F.lit(_POS_BITS)).alias("pos"),
+            (F.col("k") / _POS_BITS).cast("long").alias("fp"),
+        )
+        .orderBy("doc_id", "pos")
     )

@@ -29,71 +29,69 @@ ORACLES: dict[str, str] = {}
 # (CORRECTNESS_r01/r02 are exactly the head of the registry in insertion
 # order). With >50 registered, rotate: queries listed here are emitted
 # first so the least-recently-driver-verified ones get checked each
-# round; everything else follows in module-import order. Round 3 head =
-# the 40 queries absent from CORRECTNESS_r01+r02, the 5 whose
-# implementation changed after the r02 run (dedup trio reworked in
-# 87768e7, kmeans-embeddings oracle added, fpl_req1 single-plan), and
-# the queries newly added this round.
+# round; everything else follows in module-import order. Round 5 head =
+# (a) the 3 streaming queries that FAILED the r04 gate (the testdata
+# regeneration flipped events.ts from nanos-long to micros-NTZ and the
+# stream schema mis-declared it -- fixed this round) plus the 3 batch
+# queries whose unix_micros exprs were rewritten NTZ-safe, (b) the 6
+# queries never yet sampled by any driver round (includes the two the
+# r04 ADVICE named, q11_important_parts and sql_frontend_topday),
+# (c) least-recently-verified fill (last green r01/r02).
 SAMPLE_PRIORITY: list[str] = [
-    # --- never driver-verified (registered after the r01/r02 cutoff) ---
-    "a8_composition_count",
-    "a10_win_chance",
-    "a11_max_per_key",
-    "o2_topk_orders",
-    "o1_sorted_scan",
-    "u1_union_distinct",
-    "w1_topk_per_group",
-    "c1_json_extract",
-    "c5_string_date_funcs",
-    "c8_safe_division",
-    "q3_shipping_priority",
-    "j7_semi_anti_join",
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "dedup_embedding_cosine",
-    "ann_ivf_topk",
-    "sketch_hll_distinct",
-    "text_token_stats",
-    "text_quality_filter",
-    "text_lang_id",
-    "text_fingerprint",
-    "sample_hash_split",
-    "text_vocab_topk",
-    "q4_order_priority",
-    "q5_regional_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q21_waiting_supplier",
-    "q22_idle_customers",
+    # --- failed r04 / implementation changed this round ---
     "t4_windowed_stream_agg",
     "t6_stream_dedup",
     "t7_stream_stream_join",
-    "fpl_t5_stateful_stream",
-    # --- implementation or oracle changed since their last green row ---
-    "dedup_cluster_components",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh_candidates",
-    "ml_kmeans_embeddings",
-    "fpl_req1_win_prediction",
-    # --- new this round (tail past position 50 rotates next round) ---
-    "q13_customer_distribution",
-    "q2_min_cost_supplier",
-    "q16_supplier_counts",
-    "q9_product_profit",
-    "w3_cumulative_users",
+    "asof_join_events",
+    "session_windows",
+    "range_join_neighbors",
+    # --- never in any driver sample ---
     "q11_important_parts",
     "q20_excess_suppliers",
     "docs_clean_pipeline",
     "t9_session_window_stream",
     "sketch_quantile_hist",
     "sql_frontend_topday",
+    # --- new this round ---
+    "stats_zscore_outliers",
+    "sample_stratified",
+    "text_winnowing",
+    "graph_pagerank",
+    "sketch_cms_heavy_hitters",
+    # --- least-recently driver-verified (last green r01/r02) ---
+    "j3_agg_dim_join",
+    "rollup_revenue",
+    "salted_skew_join",
+    "w2_moving_average",
+    "q17_small_quantity_revenue",
+    "cube_revenue",
+    "distinct_count_agg",
+    "stats_percentiles",
+    "pivot_status_revenue",
+    "setops_customer_status",
+    "fpl_a1_metric_vector",
+    "fpl_a2_match_counters",
+    "fpl_a3_final_metrics",
+    "fpl_spans_roster",
+    "fpl_j5_roster_enrich",
+    "fpl_a5_rating",
+    "fpl_a7_final_rating",
+    "fpl_a4_profile",
+    "fpl_a6_chemistry",
+    "fpl_req2_player_profile",
+    "fpl_req3_match_details",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "a1_metric_vector",
+    "a2_keyed_counters",
+    "a3_final_metrics",
+    "a4_profile",
+    "a6_chemistry_pairs",
+    "ml_kmeans_profiles",
+    "ml_quadratic_fit",
+    "mm_binary_metadata",
 ]
 
 
@@ -128,6 +126,7 @@ def _load_all() -> None:
         api,
         dedup,
         fpl_events,
+        graph,
         ml,
         multimodal,
         pipeline,

@@ -31,22 +31,44 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def canonicalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to TIMESTAMP_NTZ whatever the file
+    encoded.
+
+    The driver has regenerated the testdata with different physical
+    encodings across rounds -- TIMESTAMP(NANOS) (reads as long under
+    the legacy conf), and now TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (reads as TIMESTAMP_NTZ). NTZ is the canonical engine type: its
+    wall-clock semantics are timezone-independent and identical to the
+    DuckDB oracle's naive TIMESTAMP in any session zone. Operators use
+    functions.epoch_us/epoch_secs instead of unix_micros (which
+    rejects NTZ).
+    """
+    field = next((f for f in df.schema.fields if f.name == col), None)
+    if field is None:
+        return df
+    if isinstance(field.dataType, T.LongType):
+        # legacy nanos-as-long: integer arithmetic (never float -- ns
+        # epoch exceeds 2^53); DuckDB truncates ns->us the same way.
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz")
+        )
+    if isinstance(field.dataType, T.TimestampType):
+        # session tz is pinned UTC in get_spark, so this cast is
+        # value-preserving relative to the oracle's naive reading.
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as long (legacy conf) and convert to a
-        # microsecond timestamp with integer arithmetic (never float --
-        # ns-epoch values exceed 2^53). DuckDB truncates ns->us the same way.
+        # tolerate the nanos encoding of earlier testdata generations
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        df = spark.read.parquet(path)
-        ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
-        if ts_field is not None and isinstance(ts_field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return canonicalize_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -24,11 +24,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark.sql import types as T
-
-from fantasy_premier_league_spark.functions import fixed_units, rounded
+from fantasy_premier_league_spark.functions import epoch_us, fixed_units, rounded
 from fantasy_premier_league_spark.plans.registry import register
-from fantasy_premier_league_spark.sources.testdata import load_table
+from fantasy_premier_league_spark.sources.testdata import canonicalize_ts, load_table
 
 
 from contextlib import contextmanager
@@ -71,21 +69,23 @@ def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") ->
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream with proper timestamps.
+    """events.parquet as a file-source stream with canonical timestamps.
 
-    The parquet carries ts as TIMESTAMP(NANOS): declare it long for the
-    file source (with the legacy nanos conf, set by load_table) and
-    convert with integer arithmetic, exactly like the batch path."""
-    batch_schema = load_table(spark, sf_dir, "events").schema
-    raw_fields = [
-        T.StructField("ts", T.LongType()) if f.name == "ts" else f
-        for f in batch_schema.fields
-    ]
-    return (
-        spark.readStream.schema(T.StructType(raw_fields))
+    The file source needs an explicit schema; take the RAW footer
+    schema from a batch peek (so the declared types always match what
+    the current testdata generation physically encodes -- it has
+    flipped between nanos-as-long and micros-NTZ across rounds), then
+    apply the same ts canonicalization as the batch path. Hardcoding
+    either encoding silently corrupts values when the generator
+    changes: declaring long over micros data divided every ts by 1000
+    and collapsed all windows onto 1970."""
+    # batch peek also sets the legacy nanos conf when needed
+    load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return canonicalize_ts(
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
@@ -179,7 +179,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file source is listed/tracked once instead of maintaining two
     # independent backlogs over the same parquet — at 100 TB that is one
     # scan's worth of source state, not two.
-    events = _events_stream(spark, sf_dir)
+    #
+    # Stream-STREAM joins require TIMESTAMP watermark columns (plain
+    # watermarked aggregations accept NTZ; the join's state eviction
+    # check does not). The cast is value-preserving under the session's
+    # pinned UTC zone, and the joined seconds-difference is
+    # shift-invariant regardless.
+    events = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -269,8 +275,8 @@ def session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         "user_id",
         "n_events",
-        F.unix_micros(F.col("win.start")).alias("start_us"),
-        F.unix_micros(F.col("win.end")).alias("end_us"),
+        epoch_us(F.col("win.start")).alias("start_us"),
+        epoch_us(F.col("win.end")).alias("end_us"),
         rounded(F.col("total_value_c") / 100.0, 2).alias("total_value"),
     ).orderBy("user_id", "start_us")
 

@@ -25,13 +25,20 @@ from fantasy_premier_league_spark.operators.pipeline import (
     metric_vectors,
 )
 
-TAGS = [101, 102, 302, 701, 702, 703, 1801, 1802]
+# Tag grammar: duel outcomes (701 lost / 702 neutral / 703 won) are
+# mutually exclusive in the upstream event feed -- an event carrying
+# both "won" and "neutral" is not a possible input, and the reference's
+# counting algebra (counters summed per tag) only guarantees
+# won + neutral <= total under that exclusivity. Other tags combine
+# freely.
+FREE_TAGS = [101, 102, 302, 1801, 1802]
 
 EVENT = st.fixed_dictionaries(
     {
         "eventId": st.sampled_from([1, 2, 3, 7, 8, 10]),
         "subEventId": st.sampled_from([0, 35]),
-        "tags": st.lists(st.sampled_from(TAGS), unique=True, max_size=5),
+        "tags": st.lists(st.sampled_from(FREE_TAGS), unique=True, max_size=4),
+        "duel_outcome": st.sampled_from([None, 701, 702, 703]),
         "playerId": st.integers(1, 4),
         "matchId": st.integers(1, 2),
     }
@@ -46,7 +53,8 @@ SCHEMA = (
 def _events_df(spark, events):
     rows = [
         (i, e["playerId"], e["matchId"], e["eventId"], e["subEventId"],
-         [(t,) for t in e["tags"]])
+         [(t,) for t in e["tags"]]
+         + ([(e["duel_outcome"],)] if e["duel_outcome"] is not None else []))
         for i, e in enumerate(events)
     ]
     return spark.createDataFrame(rows, SCHEMA)
@@ -78,9 +86,13 @@ def test_metric_bounds_and_counter_invariants(spark, events):
             "pass_accuracy",
             "duel_effectiveness",
             "shot_effectiveness",
-            "free_kick_effectiveness",
         ):
             assert 0.0 <= m[ratio] <= 1.0, f"{ratio} out of [0,1]: {m}"
+        # free-kick effectiveness = (accurate FKs + penalty goals) / FKs
+        # (reference metrics formula): a penalty that is both accurate
+        # AND a goal contributes 2 to the numerator for 1 free kick, so
+        # the true algebraic bound is 2, not 1.
+        assert 0.0 <= m["free_kick_effectiveness"] <= 2.0, m
 
 
 def test_chemistry_clamped_to_unit_interval(spark):
