@@ -67,6 +67,8 @@ HEADLINE = [
     "text_winnowing",
     "sketch_cms_heavy_hitters",
     "stats_zscore_outliers",
+    "bloom_semi_join",
+    "dedup_winnowing_pairs",
 ]
 
 

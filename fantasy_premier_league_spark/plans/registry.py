@@ -58,6 +58,8 @@ SAMPLE_PRIORITY: list[str] = [
     "text_winnowing",
     "graph_pagerank",
     "sketch_cms_heavy_hitters",
+    "bloom_semi_join",
+    "dedup_winnowing_pairs",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -90,8 +92,6 @@ SAMPLE_PRIORITY: list[str] = [
     "a4_profile",
     "a6_chemistry_pairs",
     "ml_kmeans_profiles",
-    "ml_quadratic_fit",
-    "mm_binary_metadata",
 ]
 
 
