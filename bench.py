@@ -69,6 +69,7 @@ HEADLINE = [
     "stats_zscore_outliers",
     "bloom_semi_join",
     "dedup_winnowing_pairs",
+    "docs_pack_sequences",
 ]
 
 

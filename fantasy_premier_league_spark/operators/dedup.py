@@ -18,7 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fantasy_premier_league_spark.functions import rounded
@@ -570,3 +570,42 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Keep-best exact dedup: beyond detecting duplicate groups
+# (dedup_exact), choose WHICH physical copy survives -- the canonical
+# "representative selection" step before a training run. Policy:
+# longest text wins, doc_id breaks ties (deterministic on both
+# engines). One shuffle on the digest; the argmax is a row_number
+# window inside each digest group, never a self-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_keep_best",
+    oracle="""
+    SELECT md5(text) AS digest,
+           CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+           doc_id AS kept_doc
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text)
+                               ORDER BY length(text) DESC, doc_id) = 1
+    ORDER BY digest
+    """,
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.length("text").alias("n_chars_m"),
+        "doc_id",
+    )
+    w = Window.partitionBy("digest").orderBy(F.col("n_chars_m").desc(), "doc_id")
+    cnt = Window.partitionBy("digest")
+    return (
+        docs.withColumn("n_copies", F.count("*").over(cnt))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("digest", "n_copies", F.col("doc_id").alias("kept_doc"))
+        .orderBy("digest")
+    )

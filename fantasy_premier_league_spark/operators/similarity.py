@@ -361,3 +361,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding hygiene stats: per-label L2-norm distribution -- the sanity
+# gate before any ANN/index build (zero or exploding norms break cosine
+# and IVF alike). Pure per-row fold (JVM lambda over the array, no
+# Python) + one tiny groupBy; at 100 TB this is a single scan with a
+# 5-row result.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(min(nrm) * 1000000) / 1000000 AS min_norm,
+           round(max(nrm) * 1000000) / 1000000 AS max_norm,
+           round(avg(nrm) * 1000000) / 1000000 AS avg_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    n = v.select("label", norm(F.col("vec")).alias("nrm"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            rounded(F.min("nrm"), 6).alias("min_norm"),
+            rounded(F.max("nrm"), 6).alias("max_norm"),
+            rounded(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

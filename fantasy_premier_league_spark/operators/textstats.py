@@ -547,3 +547,83 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _WINNOW_SHARED)
         .orderBy("doc1", "doc2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: chunk the ordered token stream into fixed
+# token-budget bins (the LLM-training batch-prep step: concatenate
+# documents, split every _PACK_BUDGET tokens). A document's bin is
+# floor(tokens_before_it / budget), i.e. an exclusive prefix sum --
+# and prefix sums are THE canonical "looks sequential, isn't" pattern:
+# the naive form is one global-ordered window (single partition,
+# driver-sized at 100 TB), so the Spark side computes it
+# hierarchically -- per-group running sums within doc_id blocks, plus
+# a tiny cross-group offset table (|groups| rows) that joins back
+# broadcast. Identical arithmetic to the oracle's flat window, scale
+# behavior of a two-level scan.
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+_PACK_GROUP = 100  # doc_ids per prefix-sum block
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS tokens_before
+      FROM sized
+    )
+    SELECT CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_started
+    FROM placed GROUP BY 1 ORDER BY bin
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (F.col("doc_id") / _PACK_GROUP).cast("long").alias("g"),
+    )
+    within_w = (
+        Window.partitionBy("g")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = sized.withColumn("within_incl", F.sum("n_tokens").over(within_w))
+    group_w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        sized.groupBy("g")
+        .agg(F.sum("n_tokens").alias("g_total"))
+        .withColumn("offset", F.sum("g_total").over(group_w) - F.col("g_total"))
+        .select("g", "offset")
+    )
+    placed = within.join(F.broadcast(offsets), "g").withColumn(
+        "tokens_before", F.col("offset") + F.col("within_incl") - F.col("n_tokens")
+    )
+    return (
+        placed.groupBy(
+            (F.col("tokens_before") / _PACK_BUDGET).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_tokens").alias("tokens_started"),
+        )
+        .orderBy("bin")
+    )

@@ -501,9 +501,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HAVING pre-aggregation keys by l_orderkey -- the same key as
-    the rejoin, so at scale the two lineitem passes share one shuffle
-    partitioning (exchange reuse), and only qualifying orderkeys (a
-    left-semi join) flow into the wide join."""
+    the rejoin, so both lineitem passes hash-partition identically and
+    the semi join needs no extra repartition of its probe side. (The
+    two exchanges do NOT physically merge: column pruning gives each
+    pass a different payload, which Catalyst prefers over reuse --
+    verified against the executed adaptive plan.) Only qualifying
+    orderkeys (a left-semi join) flow into the wide join."""
     li = load_table(spark, sf_dir, "lineitem")
     qty_u = fixed_units(F.col("l_quantity"))
     big = (

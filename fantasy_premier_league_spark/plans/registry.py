@@ -60,6 +60,10 @@ SAMPLE_PRIORITY: list[str] = [
     "sketch_cms_heavy_hitters",
     "bloom_semi_join",
     "dedup_winnowing_pairs",
+    "docs_pack_sequences",
+    "dedup_exact_keep_best",
+    "emb_norm_stats",
+    "t10_stream_hll",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -88,10 +92,6 @@ SAMPLE_PRIORITY: list[str] = [
     "dedup_simhash_pairs",
     "a1_metric_vector",
     "a2_keyed_counters",
-    "a3_final_metrics",
-    "a4_profile",
-    "a6_chemistry_pairs",
-    "ml_kmeans_profiles",
 ]
 
 

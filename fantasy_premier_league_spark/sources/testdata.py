@@ -60,15 +60,29 @@ def canonicalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# every temporal column the generator writes; all get the same
+# canonicalization so a future encoding flip cannot silently change
+# date-boundary semantics in any table
+TEMPORAL_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    cols = TEMPORAL_COLS.get(name)
+    if cols:
         # tolerate the nanos encoding of earlier testdata generations
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-        return canonicalize_ts(spark.read.parquet(path))
+        df = spark.read.parquet(path)
+        for c in cols:
+            df = canonicalize_ts(df, c)
+        return df
     return spark.read.parquet(path)
 
 

@@ -325,3 +325,71 @@ def _register_stateful() -> None:
 
 
 _register_stateful()
+
+
+# ---------------------------------------------------------------------------
+# T10: streaming HLL -- the deterministic HyperLogLog of
+# operators/sketches.py run THROUGH the streaming engine. Register
+# max-merge is commutative and order-insensitive, so the drained
+# stream's registers are bit-identical to the batch scan's and the SAME
+# batch oracle hash-gates both: sketch-mergeability IS
+# streaming-compatibility. State is |event_types| x 16 registers --
+# constant, no watermark needed; at 100 TB/day the state store still
+# holds ~a hundred integers.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 16
+_HLL_ALPHA = 0.673
+
+
+@register(
+    "t10_stream_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h % {_HLL_M} AS bucket,
+             CASE WHEN h // {_HLL_M} = 0 THEN 29
+                  ELSE 29 - CAST(length(bin(h // {_HLL_M})) AS INT) END AS rho
+      FROM h
+    ),
+    regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2)
+    SELECT event_type,
+           round({_HLL_ALPHA} * {_HLL_M * _HLL_M}
+                 / (sum(power(2.0, -m)) + ({_HLL_M} - count(*))) * 1000) / 1000
+             AS hll_estimate
+    FROM regs GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, 4)
+    rho = F.when(w == 0, F.lit(29)).otherwise(
+        (F.lit(29) - F.length(F.bin(w))).cast("int")
+    )
+    stream = (
+        _events_stream(spark, sf_dir)
+        .select(
+            "event_type", F.pmod(h, F.lit(_HLL_M)).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        regs = run_stream_to_memory(stream, output_mode="complete")
+    return (
+        regs.groupBy("event_type")
+        .agg(
+            rounded(
+                F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+                / (F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (_HLL_M - F.count("*"))),
+                3,
+            ).alias("hll_estimate")
+        )
+        .orderBy("event_type")
+    )
