@@ -528,10 +528,14 @@ _WINNOW_MAXDF = 50  # fingerprints in more docs than this are stop-patterns
     """,
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the fingerprint set feeds three consumers (df filter + both sides
+    # of the self-join); materialize it once instead of re-running the
+    # shingle+window pipeline per consumer
     fps = (
         text_winnowing(spark, sf_dir)
         .select("doc_id", "fp")
         .distinct()
+        .localCheckpoint()
     )
     live = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
         F.col("df") <= _WINNOW_MAXDF
