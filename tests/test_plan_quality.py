@@ -214,3 +214,74 @@ def test_no_unhinted_cartesian(spark, name):
             f"{name}: unexpected nested-loop join (unbounded side?); add to "
             f"CARTESIAN_OK only if the broadcast side is bounded by design"
         )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operator tier (SURVEY 2.10 additions), pinned:
+# - bloom_semi_join: the bit-set probes must be BROADCAST left-semi
+#   joins (the whole point is that the fact side never shuffles for the
+#   prefilter), and the plan must carry exactly one shuffle-exchange
+#   family for the final aggregation.
+# - graph_pagerank: every per-iteration rank join must broadcast (the
+#   rank vector is |nodes| rows); a sort-merge join here means the edge
+#   list is being shuffled once per iteration.
+# - docs_pack_sequences: the only single-partition window may be the
+#   one over the |groups|-row offset table -- the per-document running
+#   sum must stay partitioned by block.
+# - text_winnowing: the window min must run after ONE exchange on
+#   doc_id; the shingle transform must not leave codegen for Python.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_probes_broadcast_and_fact_never_shuffles_early(spark):
+    plan = plan_of(build(spark, "bloom_semi_join"))
+    semi_broadcasts = re.findall(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert len(semi_broadcasts) >= 2, (
+        f"bloom_semi_join: expected the two bit probes (+ exact filter) as "
+        f"broadcast left-semi joins:\n{plan}"
+    )
+    assert "SortMergeJoin" not in plan, (
+        "bloom_semi_join: fact side shuffled for a join; the prefilter must "
+        "be broadcast-only"
+    )
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark):
+    plan = plan_of(build(spark, "graph_pagerank"))
+    assert "SortMergeJoin" not in plan, (
+        f"graph_pagerank: an iteration shuffles the edge list instead of "
+        f"broadcasting the rank vector:\n{plan}"
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "graph_pagerank: expected one broadcast join per iteration"
+    )
+
+
+def test_pack_sequences_prefix_sum_is_hierarchical(spark):
+    plan = plan_of(build(spark, "docs_pack_sequences"), mode="simple")
+    # windows partitioned by the block key keep their partitioning;
+    # only the offset-table window may be single-partition
+    single_part_windows = [
+        ln for ln in plan.splitlines() if "Window" in ln and "[g#" not in ln
+        and "windowspecdefinition(g" not in ln
+    ]
+    per_block = [
+        ln for ln in plan.splitlines() if "Window" in ln and (
+            "windowspecdefinition(g" in ln or "[g#" in ln
+        )
+    ]
+    assert per_block, (
+        f"docs_pack_sequences: per-document running sum lost its block "
+        f"partitioning:\n{plan}"
+    )
+    assert len(single_part_windows) <= 1, (
+        f"docs_pack_sequences: more than one global window:\n{plan}"
+    )
+
+
+def test_winnowing_single_exchange_no_python(spark):
+    plan = plan_of(build(spark, "text_winnowing"))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") <= 1, (
+        f"text_winnowing: window re-shuffles doc_id more than once:\n{plan}"
+    )
