@@ -631,3 +631,55 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Subword token accounting: the "BPE-ish regex" counting pass promised
+# next to whitespace counting (SURVEY 2.10) -- greedy fixed-width
+# chunking ('[a-z]{1,3}') as a stand-in for a merged-vocab tokenizer,
+# because real BPE merges are corpus-stateful and deliberately out of
+# scope for a differential gate. Both engines run the IDENTICAL regex
+# (simple character classes behave the same in Java regex and RE2), so
+# the per-document subword counts and the corpus compression ratio are
+# exact. Pure projection + one low-cardinality agg: whole-stage
+# codegen, no shuffle until the final 1-row-per-source rollup.
+# ---------------------------------------------------------------------------
+
+_SUBWORD_RE = "[a-z]{1,3}"
+
+
+@register(
+    "text_subword_stats",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '{_SUBWORD_RE}', 0)) AS n_subwords,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_subwords) AS BIGINT) AS total_subwords,
+           round(CAST(sum(n_subwords) AS DOUBLE) / sum(n_words) * 1000000)
+             / 1000000 AS subwords_per_word
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def text_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_SUBWORD_RE), 0)).alias("n_subwords"),
+        F.size(F.split("text", " ")).alias("n_words"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_subwords").alias("total_subwords"),
+            rounded(
+                F.sum("n_subwords").cast("double") / F.sum("n_words"), 6
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("source")
+    )

@@ -64,6 +64,7 @@ SAMPLE_PRIORITY: list[str] = [
     "dedup_exact_keep_best",
     "emb_norm_stats",
     "t10_stream_hll",
+    "text_subword_stats",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -91,7 +92,6 @@ SAMPLE_PRIORITY: list[str] = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "a1_metric_vector",
-    "a2_keyed_counters",
 ]
 
 
