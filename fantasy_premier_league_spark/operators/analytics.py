@@ -381,3 +381,50 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", rounded(z, 6).alias("z"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# W4: ntile decile bucketing -- the rank-based frame family missing
+# from W1 (row_number top-k), W2 (moving average), W3 (running total).
+# Prices bucket into 10 equal-count tiles per priority; ties broken by
+# o_orderkey so both engines assign the identical bucket to every row
+# (ntile itself is deterministic given a total order). Per-partition
+# sort after one shuffle on the priority key; the decile summary
+# aggregates map-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w4_ntile_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority AS priority,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders
+    )
+    SELECT priority, decile, count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY priority, decile
+    ORDER BY priority, decile
+    """,
+)
+def w4_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.ntile(10).over(w).alias("decile"),
+        "o_totalprice",
+    )
+    return (
+        t.groupBy("priority", "decile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            rounded(F.min("o_totalprice"), 2).alias("lo"),
+            rounded(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("priority", "decile")
+    )

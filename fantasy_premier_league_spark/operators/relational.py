@@ -710,3 +710,58 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(with_orders, without)], "with_orders long, without_orders long"
     )
     return spark_df
+
+
+# ---------------------------------------------------------------------------
+# J8: FULL OUTER join -- the reconciliation shape (two event feeds
+# merged hour by hour, keeping hours where either side is absent).
+# Completes the join-type inventory next to inner/broadcast (J1),
+# left-semi/anti (J7) and interval stream-stream (T7). Both inputs
+# pre-aggregate to one row per hour BEFORE the join, so the full-outer
+# shuffle carries |hours| rows, not |events| -- at 100 TB the join
+# state is the calendar, not the corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j8_full_outer_reconcile",
+    oracle="""
+    WITH s AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS n_signups
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    e AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT strftime(coalesce(s.hr, e.hr), '%Y-%m-%d %H') AS hour,
+           CAST(coalesce(n_signups, 0) AS BIGINT) AS n_signups,
+           CAST(coalesce(n_errors, 0) AS BIGINT) AS n_errors,
+           CAST(CASE WHEN s.hr IS NULL OR e.hr IS NULL THEN 1 ELSE 0 END AS INT)
+             AS one_sided
+    FROM s FULL OUTER JOIN e ON s.hr = e.hr
+    ORDER BY hour
+    """,
+)
+def j8_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy(hr.alias("s_hr"))
+        .agg(F.count("*").alias("n_signups"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(hr.alias("e_hr"))
+        .agg(F.count("*").alias("n_errors"))
+    )
+    joined = s.join(e, s.s_hr == e.e_hr, "full_outer")
+    return joined.select(
+        F.date_format(F.coalesce("s_hr", "e_hr"), "yyyy-MM-dd HH").alias("hour"),
+        F.coalesce("n_signups", F.lit(0)).alias("n_signups"),
+        F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        F.when(F.col("s_hr").isNull() | F.col("e_hr").isNull(), 1)
+        .otherwise(0)
+        .alias("one_sided"),
+    ).orderBy("hour")

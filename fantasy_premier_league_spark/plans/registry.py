@@ -65,6 +65,8 @@ SAMPLE_PRIORITY: list[str] = [
     "emb_norm_stats",
     "t10_stream_hll",
     "text_subword_stats",
+    "j8_full_outer_reconcile",
+    "w4_ntile_deciles",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -91,7 +93,6 @@ SAMPLE_PRIORITY: list[str] = [
     "dedup_minhash_signatures",
     "dedup_simhash",
     "dedup_simhash_pairs",
-    "a1_metric_vector",
 ]
 
 
