@@ -428,3 +428,132 @@ def w4_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered signup -> click -> purchase conversion per
+# user, cohorted by signup day. Each step's timestamp must be AT OR
+# AFTER the previous step's (min-after-threshold semantics). Three
+# aggregate+join passes all keyed on user_id, so at scale the plan is
+# one co-partitioned key family -- no step ever re-shuffles on a new
+# key -- and the final cohort rollup is |days| rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN u ON e.user_id = u.user_id AND e.ts >= u.t1
+      WHERE e.event_type = 'click'
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t2
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    )
+    SELECT strftime(date_trunc('day', u.t1), '%Y-%m-%d') AS cohort_day,
+           count(*) AS n_signups,
+           CAST(count(c.t2) AS BIGINT) AS n_clicked,
+           CAST(count(p.t3) AS BIGINT) AS n_purchased
+    FROM u
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    WHERE u.t1 IS NOT NULL
+    GROUP BY 1 ORDER BY cohort_day
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(u, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        u.filter(F.col("t1").isNotNull())
+        .join(c, "user_id", "left_outer")
+        .join(p, "user_id", "left_outer")
+        .groupBy(F.date_format(F.date_trunc("day", "t1"), "yyyy-MM-dd").alias("cohort_day"))
+        .agg(
+            F.count("*").alias("n_signups"),
+            F.count("t2").alias("n_clicked"),
+            F.count("t3").alias("n_purchased"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen week, activity tracked
+# as distinct (cohort_week, weeks_since) cells -- the standard
+# retention-matrix query. Two shuffles total (first-seen per user,
+# then the cell count); the matrix itself is |weeks|^2 / 2 rows no
+# matter how many events feed it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+                  AS BIGINT) AS weeks_since
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    GROUP BY 1, 2 ORDER BY cohort_week, weeks_since
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "weeks_since",
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )

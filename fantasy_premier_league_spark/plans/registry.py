@@ -67,6 +67,8 @@ SAMPLE_PRIORITY: list[str] = [
     "text_subword_stats",
     "j8_full_outer_reconcile",
     "w4_ntile_deciles",
+    "events_funnel",
+    "retention_cohorts",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -91,8 +93,6 @@ SAMPLE_PRIORITY: list[str] = [
     "fpl_req3_match_details",
     "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
 ]
 
 
