@@ -190,3 +190,88 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-style windowed energy: the blob interpreted as int8 PCM,
+# chunked into fixed 64-sample windows, per-window energy = sum of
+# squared samples (exact integers). The numpy stage (frombuffer ->
+# reduceat) is the real DSP plumbing a soundfile/librosa UDF would
+# run over the same Arrow batches; because the stand-in payload is
+# ASCII, DuckDB can recompute every sample as ascii(text[i]) and the
+# differential gate checks the WHOLE pipeline -- batch shape, window
+# boundaries, accumulation -- with zero codec dependencies.
+# At 100 TB, same scan discipline as the decode stage: bytes only
+# reach Python for rows that need them, in Arrow batches, one pass.
+# ---------------------------------------------------------------------------
+
+_WIN_SAMPLES = 64
+
+_ENERGY_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_windows bigint, "
+    "total_energy bigint, max_win_energy bigint"
+)
+
+
+def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.int8).astype(np.int64)
+            n = len(samples)
+            sq = samples * samples
+            starts = np.arange(0, n, _WIN_SAMPLES)
+            wins = np.add.reduceat(sq, starts) if n else np.array([], dtype=np.int64)
+            rows.append(
+                (
+                    doc_id,
+                    n,
+                    len(starts),
+                    int(sq.sum()),
+                    int(wins.max()) if len(wins) else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_samples",
+                "n_windows",
+                "total_energy",
+                "max_win_energy",
+            ],
+        )
+
+
+@register(
+    "mm_audio_energy",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, pos,
+             ascii(substring(text, pos, 1)) AS code
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) + 1)) AS pos
+            FROM documents)
+    ),
+    w AS (
+      SELECT doc_id, (pos - 1) // {_WIN_SAMPLES} AS win,
+             sum(code * code) AS energy, count(*) AS n
+      FROM s GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_samples,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(energy) AS BIGINT) AS total_energy,
+           CAST(max(energy) AS BIGINT) AS max_win_energy
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_payloads(spark, sf_dir)
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(energy_batches, schema=_ENERGY_SCHEMA)
+        .orderBy("doc_id")
+    )

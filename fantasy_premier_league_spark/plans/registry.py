@@ -69,6 +69,7 @@ SAMPLE_PRIORITY: list[str] = [
     "w4_ntile_deciles",
     "events_funnel",
     "retention_cohorts",
+    "mm_audio_energy",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -91,8 +92,6 @@ SAMPLE_PRIORITY: list[str] = [
     "fpl_a6_chemistry",
     "fpl_req2_player_profile",
     "fpl_req3_match_details",
-    "dedup_exact",
-    "dedup_minhash_signatures",
 ]
 
 
