@@ -557,3 +557,56 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic: the pre-join health check a 100 TB pipeline runs
+# BEFORE choosing a join strategy (plain / broadcast / salted / AQE
+# skew-split). Reports the key-frequency distribution of the fact
+# join key -- max/mean bucket ratio and the heaviest keys -- from one
+# map-side-combinable aggregation. The salted_skew_join operator is
+# the remedy; this is the detector.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS key, count(*) AS n
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_per_key,
+             round(CAST(sum(n) AS DOUBLE) / count(*) * 1000000) / 1000000
+               AS mean_per_key,
+             round(CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*))
+                   * 1000000) / 1000000 AS skew_ratio
+      FROM per_key
+    ),
+    heavy AS (
+      SELECT CAST(key AS BIGINT) AS heaviest_key FROM per_key
+      ORDER BY n DESC, key LIMIT 1
+    )
+    SELECT * FROM stats CROSS JOIN heavy
+    """,
+)
+def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(F.count("*").alias("n"))
+    mean = F.sum("n").cast("double") / F.count("*")
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        rounded(mean, 6).alias("mean_per_key"),
+        rounded(F.max("n").cast("double") / mean, 6).alias("skew_ratio"),
+    )
+    heavy = (
+        per_key.orderBy(F.col("n").desc(), "key")
+        .limit(1)
+        .select(F.col("key").alias("heaviest_key"))
+    )
+    return stats.crossJoin(F.broadcast(heavy))

@@ -400,3 +400,101 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall measurement: for each query vector, what fraction of its
+# EXACT cosine top-k shares the query's sign-LSH bucket? The
+# approximation-quality readout every ANN deployment needs before
+# trusting the bucketed path -- computed here as a differential query
+# so the measurement itself is oracle-checked. Composes the exact
+# brute-force ranking (ann_cosine_topk's shape) with the bucket
+# assignment (ann_lsh_buckets' shape); both engines reuse their
+# existing, already-verified formulations.
+#
+# The measured number is deliberately honest: one 4-bit sign-LSH table
+# over these 64-dim embeddings recalls only ~0-20% of the exact top-5
+# (single-table LSH at 16 buckets prunes hard). That is the
+# prune/recall trade the operator exists to expose -- production tuning
+# raises tables and lowers bits-per-table until this query's output
+# meets the recall target.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_lsh_recall",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id,
+             {b0} * 8 + {b1} * 4 + {b2} * 2 + {b3} AS bucket
+      FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {nq}),
+    exact AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT q.query_id, v.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qvec, v.vec)
+                     / (sqrt(list_dot_product(q.qvec, q.qvec))
+                        * sqrt(list_dot_product(v.vec, v.vec))), 6) DESC,
+                   v.vec_id) AS rank
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rank <= {k}
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN bq.bucket = bv.bucket THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_bucket,
+           round(CAST(sum(CASE WHEN bq.bucket = bv.bucket THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1000000) / 1000000 AS recall
+    FROM exact e
+    JOIN b bq ON bq.vec_id = e.query_id
+    JOIN b bv ON bv.vec_id = e.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """.format(
+        b0=_BIT_SQL.format(stride=1),
+        b1=_BIT_SQL.format(stride=2),
+        b2=_BIT_SQL.format(stride=4),
+        b3=_BIT_SQL.format(stride=8),
+        nq=N_QUERIES,
+        k=TOP_K,
+    ),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    buckets = v.select("vec_id", _bucket_col(F.col("vec")).alias("bucket"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            rounded(
+                dot(F.col("qvec"), F.col("vec")) / (norm(F.col("qvec")) * norm(F.col("vec"))), 6
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    bq = buckets.select(F.col("vec_id").alias("query_id"), F.col("bucket").alias("q_bucket"))
+    bv = buckets.select(F.col("vec_id").alias("vec_id"), F.col("bucket").alias("v_bucket"))
+    hit = F.when(F.col("q_bucket") == F.col("v_bucket"), 1).otherwise(0)
+    return (
+        exact.join(F.broadcast(bq), "query_id")
+        .join(bv, "vec_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(hit).alias("n_same_bucket"),
+            rounded(F.sum(hit).cast("double") / F.count("*"), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -70,6 +70,8 @@ SAMPLE_PRIORITY: list[str] = [
     "events_funnel",
     "retention_cohorts",
     "mm_audio_energy",
+    "ann_lsh_recall",
+    "stats_key_skew",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -90,8 +92,6 @@ SAMPLE_PRIORITY: list[str] = [
     "fpl_a7_final_rating",
     "fpl_a4_profile",
     "fpl_a6_chemistry",
-    "fpl_req2_player_profile",
-    "fpl_req3_match_details",
 ]
 
 

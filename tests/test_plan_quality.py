@@ -186,6 +186,8 @@ CARTESIAN_OK = {
     "ml_quadratic_fit",       # scalar fan-in of the 1-row moment aggregate
     "q22_idle_customers",     # scalar fan-in of the 1-row avg-balance aggregate
     "q11_important_parts",    # scalar fan-in of the 1-row national-total aggregate
+    "ann_lsh_recall",         # query-vector fan-out (N_QUERIES rows broadcast)
+    "stats_key_skew",         # scalar fan-in of the 1-row heaviest-key row
 }
 
 
