@@ -1,0 +1,43 @@
+"""The bench artifact contract, regression-proofed.
+
+Rounds 3 and 4 both lost their BENCH_r{N}.json to process-level
+failures: r4 died on one query's AnalysisException before printing,
+and r3 printed its JSON but exited nonzero during JVM teardown, so the
+driver recorded parsed=null. The contract is: bench.py ALWAYS exits 0
+and ALWAYS prints exactly one parseable JSON line with the agreed
+keys, whatever individual queries do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_exits_zero_and_prints_one_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, f"bench exited {proc.returncode}:\n{proc.stderr[-2000:]}"
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith("{") and ln.endswith("}")
+    ]
+    assert len(json_lines) == 1, f"expected exactly one JSON line, got: {proc.stdout!r}"
+    payload = json.loads(json_lines[0])
+    for key in ("metric", "value", "unit", "queries", "sf", "baseline_comparable_24_total"):
+        assert key in payload, f"missing key {key}"
+    assert payload["unit"] == "sec"
+    # a query that raises must be recorded, not fatal -- and on healthy
+    # testdata nothing should be failing at all
+    assert "errors" not in payload, f"bench recorded per-query errors: {payload.get('errors')}"
+    assert len(payload["queries"]) >= 24
