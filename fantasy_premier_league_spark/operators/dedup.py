@@ -609,3 +609,73 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digest", "n_copies", F.col("doc_id").alias("kept_doc"))
         .orderBy("digest")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy readout: for every LSH candidate pair, the k=8
+# slot-match Jaccard ESTIMATE next to the EXACT shingle-set Jaccard --
+# the dedup twin of ann_lsh_recall. This is the calibration query a
+# pipeline runs before picking the similarity threshold: with k=8 the
+# estimate is quantized to eighths, and seeing estimate-vs-exact side
+# by side (oracle-checked on both engines) is what justifies the
+# banding parameters. Candidates only -- the exact Jaccard runs on the
+# LSH-pruned pair set, never all pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_accuracy",
+    oracle=f"""
+    WITH {_LSH_CAND_CTES},
+    sets AS (
+      SELECT doc_id, list_distinct(shingles) AS s FROM sh
+    )
+    SELECT c.doc1, c.doc2,
+           CAST({' + '.join(f'CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END' for j in range(8))}
+                AS BIGINT) AS n_match_slots,
+           round(CAST({' + '.join(f'CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END' for j in range(8))}
+                 AS DOUBLE) / 8 * 1000000) / 1000000 AS est_jaccard,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+                 * 1000000) / 1000000 AS exact_jaccard
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc1
+    JOIN sig b ON b.doc_id = c.doc2
+    JOIN sets sa ON sa.doc_id = c.doc1
+    JOIN sets sb ON sb.doc_id = c.doc2
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    sig = dedup_minhash_signatures(spark, sf_dir, sort=False)
+    sets = doc_shingles(spark, sf_dir).select(
+        "doc_id", F.array_distinct("shingles").alias("s")
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc1"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc2"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)]
+    )
+    sa = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("sb"))
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(8)
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(a, "doc1")
+        .join(b, "doc2")
+        .join(sa, "doc1")
+        .join(sb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            matches.cast("long").alias("n_match_slots"),
+            rounded(matches.cast("double") / 8, 6).alias("est_jaccard"),
+            rounded(inter.cast("double") / union, 6).alias("exact_jaccard"),
+        )
+        .orderBy("doc1", "doc2")
+    )

@@ -72,6 +72,7 @@ SAMPLE_PRIORITY: list[str] = [
     "mm_audio_energy",
     "ann_lsh_recall",
     "stats_key_skew",
+    "dedup_minhash_accuracy",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -91,7 +92,6 @@ SAMPLE_PRIORITY: list[str] = [
     "fpl_a5_rating",
     "fpl_a7_final_rating",
     "fpl_a4_profile",
-    "fpl_a6_chemistry",
 ]
 
 
