@@ -60,3 +60,64 @@ def sql_frontend_topday(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TOPDAY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Two more shared-dialect strings, chosen to cover the surfaces a user
+# switching from the DataFrame tier would reach for first: a correlated
+# EXISTS + anti pattern, and a windowed running total over a CTE.
+# Same discipline as _TOPDAY_SQL: common-dialect functions only, fixed-
+# point units for money, scaled rounding, explicit CASTs at engine
+# type-divergence points (sum(int) is HUGEINT in DuckDB, LONG in
+# Spark).
+# ---------------------------------------------------------------------------
+
+_REPEAT_BUYERS_SQL = """
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_repeat_buyers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+    GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
+@register("sql_frontend_repeat_buyers", oracle=_REPEAT_BUYERS_SQL)
+def sql_frontend_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS/NOT EXISTS through spark.sql; Catalyst plans
+    them as left-semi + left-anti joins -- the same physical shapes the
+    DataFrame tier's j7 pins."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REPEAT_BUYERS_SQL)
+
+
+_RUNNING_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('DAY', o_orderdate) AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS units,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY CAST(date_trunc('DAY', o_orderdate) AS DATE)
+    )
+    SELECT day, n_orders,
+           round(CAST(sum(units) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / 1e2) / 100 AS running_revenue
+    FROM daily ORDER BY day LIMIT 100
+"""
+
+
+@register("sql_frontend_running_total", oracle=_RUNNING_SQL)
+def sql_frontend_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + running-total window through spark.sql; the window runs
+    over the |days| pre-aggregate, never the order rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RUNNING_SQL)

@@ -73,6 +73,8 @@ SAMPLE_PRIORITY: list[str] = [
     "ann_lsh_recall",
     "stats_key_skew",
     "dedup_minhash_accuracy",
+    "sql_frontend_repeat_buyers",
+    "sql_frontend_running_total",
     # --- least-recently driver-verified (last green r01/r02) ---
     "j3_agg_dim_join",
     "rollup_revenue",
@@ -90,8 +92,6 @@ SAMPLE_PRIORITY: list[str] = [
     "fpl_spans_roster",
     "fpl_j5_roster_enrich",
     "fpl_a5_rating",
-    "fpl_a7_final_rating",
-    "fpl_a4_profile",
 ]
 
 
