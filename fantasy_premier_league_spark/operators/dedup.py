@@ -529,10 +529,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sum = None
     converged = False
     for rnd in range(1, _MAX_ROUNDS + 1):
+        # Both per-round joins carry shuffle_hash hints: label tables
+        # are equi-joined on exact keys and nothing downstream needs
+        # sort order, so the default SortMergeJoin pays 2 sorts per
+        # join x rounds for nothing (audited: 25 SMJs / 26 Sorts in the
+        # unhinted adaptive plan). Hash join keeps the same shuffle and
+        # drops the sorts; at scale the build side is the per-partition
+        # label slice, which is exactly what fits.
         # 1) neighbor propagation: lbl(v) <- min(lbl(v), min_{u->v} lbl(u))
-        prop = edges.join(labels, F.col("src") == F.col("node")).select(
-            F.col("dst").alias("node"), F.col("lbl")
-        )
+        prop = edges.join(
+            labels.hint("shuffle_hash"), F.col("src") == F.col("node")
+        ).select(F.col("dst").alias("node"), F.col("lbl"))
         stepped = (
             labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
         )
@@ -543,9 +550,9 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = stepped.select(
             F.col("node").alias("m_node"), F.col("lbl").alias("m_lbl")
         )
-        jumped = stepped.join(m, F.col("lbl") == F.col("m_node")).select(
-            "node", F.col("m_lbl").alias("lbl")
-        )
+        jumped = stepped.join(
+            m.hint("shuffle_hash"), F.col("lbl") == F.col("m_node")
+        ).select("node", F.col("m_lbl").alias("lbl"))
         if rnd % _CKPT_EVERY == 0:
             jumped = jumped.localCheckpoint(eager=False)
         else:
