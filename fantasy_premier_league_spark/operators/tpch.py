@@ -754,11 +754,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
+    # the decorrelated rejoin and the supplier re-enrichment are exact
+    # equi-joins whose sort order nothing downstream consumes (the
+    # final TakeOrdered re-sorts anyway): shuffle_hash drops the
+    # SortMergeJoin sorts while keeping the same exchanges, with the
+    # smaller aggregate (best: one row per partkey) as the build side
     return (
-        cost.join(best, ["partkey"])
+        cost.join(best.hint("shuffle_hash"), ["partkey"])
         .filter(F.col("cost_units") == F.col("best_units"))
         .join(part, F.col("partkey") == F.col("p_partkey"))
-        .join(euro_supp, F.col("suppkey") == F.col("s_suppkey"))
+        .join(euro_supp.hint("shuffle_hash"), F.col("suppkey") == F.col("s_suppkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey",
             rounded(F.col("cost_units") / 10_000.0, 2).alias("min_cost"),
