@@ -66,12 +66,14 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines.
     """
     ev = load_table(spark, sf_dir, "events")
-    dedupe = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    # "keep max event_id per (user, ts)" is a plain aggregate, not a
+    # row_number window: the hash groupBy combines map-side and never
+    # sorts, where the window form paid an exchange + per-partition
+    # sort on a key nothing else reuses
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        .select("user_id", "ts", "event_id")
-        .withColumn("rn", F.row_number().over(dedupe))
-        .filter(F.col("rn") == 1)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
         .select(
             "user_id",
             "ts",
