@@ -105,7 +105,8 @@ def windowed_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
         .agg(F.count("*").alias("n"), F.sum(fixed_units(F.col("value"))).alias("total_value_c"))
     )
-    result = run_stream_to_memory(stream, output_mode="complete")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        result = run_stream_to_memory(stream, output_mode="complete")
     return result.select(
         F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -145,7 +146,8 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["day_ts", "user_id", "event_type"])
         .select("day_ts", "user_id", "event_type")
     )
-    result = run_stream_to_memory(stream, output_mode="append")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        result = run_stream_to_memory(stream, output_mode="append")
     return result.select(
         F.date_format("day_ts", "yyyy-MM-dd").alias("day"), "user_id", "event_type"
     ).orderBy("day", "user_id", "event_type")
