@@ -431,7 +431,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nonempty: content-less fingerprints (docs with <3 tokens) carry no
     # similarity signal and would all collide pairwise -- see _simhash_sql
-    sig = _simhash_df(spark, sf_dir, nonempty=True)
+    # The 16-bit voting aggregate over the shingle hashes is the CPU-hot
+    # stage and feeds BOTH sides of the self-join; materialize the tiny
+    # (doc_id, simhash) table once instead of recomputing it per side.
+    sig = _simhash_df(spark, sf_dir, nonempty=True).localCheckpoint()
     bands = sig.select(
         "doc_id",
         "simhash",
