@@ -18,6 +18,7 @@ so 100 TB of history never accumulates in the state store.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -51,7 +52,13 @@ def scoped_conf(spark: SparkSession, key: str, value: str):
 
 
 def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
-    """Drain a streaming aggregation into a memory sink, synchronously."""
+    """Drain a streaming aggregation into a memory sink, synchronously.
+
+    The checkpoint is a throwaway (the memory sink's rows live in the
+    session, and each gate invocation uses a fresh query name), so it is
+    deleted after the drain -- without this, every invocation leaks a
+    WAL+state directory into the temp dir (~1.5 MB each, hundreds per
+    verification sweep)."""
     name = "s" + uuid.uuid4().hex[:12]
     checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
     query = (
@@ -65,6 +72,7 @@ def run_stream_to_memory(stream_df: DataFrame, output_mode: str = "complete") ->
         query.processAllAvailable()
     finally:
         query.stop()
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
@@ -317,7 +325,12 @@ def _register_stateful() -> None:
         stream_dir = os.path.join(fpl_fixtures.ensure_fixtures(), "stream")
         ckpt = os.path.join(tempfile.gettempdir(), "t5_ckpt_" + uuid.uuid4().hex[:8])
         out = streaming_player_state(stream_source(spark, stream_dir))
-        table = run_stream_to_memory(out, ckpt, query_name="t5_" + uuid.uuid4().hex[:8])
+        try:
+            table = run_stream_to_memory(
+                out, ckpt, query_name="t5_" + uuid.uuid4().hex[:8]
+            )
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)  # throwaway, like the gate's
         return table.select(
             "playerId",
             "matchId",
