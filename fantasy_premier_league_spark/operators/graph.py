@@ -87,13 +87,18 @@ def _oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # dedupe on the INTEGER key pair -- the distinct is the widest
+    # shuffle in the query, and 16-byte (long, long) rows beat
+    # concatenated strings; the typed node ids are built after, on the
+    # already-deduped rows
     pairs = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
