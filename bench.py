@@ -70,6 +70,9 @@ HEADLINE = [
     "bloom_semi_join",
     "dedup_winnowing_pairs",
     "docs_pack_sequences",
+    # round 6 additions: AQE skew twin + blocked pair space
+    "aqe_skew_join",
+    "fpl_chem_blocked_pairs",
 ]
 
 
@@ -96,26 +99,52 @@ def main() -> None:
     # (BENCH_r04 was lost entirely to one AnalysisException; BENCH_r03
     # printed its JSON but a post-print shutdown error flipped the exit
     # code to 1 and the driver recorded parsed=null.)
+    #
+    # The bench VM has ~3x wall-clock jitter (BASELINE.md), which at
+    # 1.x ratios swamps the signal -- so each query runs REPEATS times
+    # in-session (plans warm after the first) and "queries" reports the
+    # per-query MEDIAN; min/median/max spread ships alongside.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
-        start = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # noqa: BLE001 - record and continue
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        samples: list[float] = []
+        for _ in range(repeats):
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+            except Exception as exc:  # noqa: BLE001 - record and continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+        if samples:
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            spread[name] = {
+                "min": round(samples[0], 3),
+                "med": timings[name],
+                "max": round(samples[-1], 3),
+            }
 
     total = round(sum(timings.values()), 3)
-    comparable = round(sum(timings.get(n, 0.0) for n in HEADLINE[:24]), 3)
+    # A partial run must not be readable as a speedup: the comparable
+    # subtotal is only meaningful when every baseline query ran.
+    comparable = (
+        None
+        if any(n in errors for n in HEADLINE[:24])
+        else round(sum(timings[n] for n in HEADLINE[:24]), 3)
+    )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "baseline_comparable_24_total": comparable,
+        "repeats": repeats,
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf else sf_dir,
     }
     if errors:

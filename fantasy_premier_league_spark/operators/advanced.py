@@ -287,6 +287,114 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AQE skew-join twin of salted_skew_join: the AUTOMATIC recipe next to
+# the manual one. A synthetic hot key (30% of fact rows remapped onto
+# one order key by a DuckDB-portable arithmetic rule) makes one shuffle
+# partition ~14x the median; with skew-join thresholds sized for the
+# test SFs, AQE's OptimizeSkewedJoin splits that partition at runtime
+# -- no salt, no dim replication, same plain-join oracle.
+#
+# Runtime confs only apply if set at EXECUTION time, so this query
+# executes eagerly inside a conf guard (result is |priorities| ~ 5
+# rows, materialized via localCheckpoint) and restores every conf it
+# touched; the executed plan is kept in LAST_AQE_SKEW_PLAN so
+# tests/test_plan_quality.py can assert the skew split actually
+# happened (isFinalPlan=true + skew=true on the join).
+# ---------------------------------------------------------------------------
+
+_AQE_SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # sized so the sf0.01/sf0.1 hot partition (hundreds of KB) counts
+    # as skewed; production keeps the 256MB-ish defaults
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+}
+
+# AQE splits a skewed REDUCE partition into ranges of MAP outputs, so a
+# skewed partition fed by a single mapper is unsplittable no matter how
+# skewed (empirically verified: the single-row-group toy parquet scans
+# as ONE map task even under a tiny maxPartitionBytes, and
+# OptimizeSkewedJoin then reports "0 skewed partitions"). The fact side
+# therefore round-robins across _AQE_MAPPERS tasks first -- standing in
+# for the many-file scan a 100 TB table has naturally.
+_AQE_MAPPERS = 16
+
+LAST_AQE_SKEW_PLAN: str = ""
+
+
+@register(
+    "aqe_skew_join",
+    oracle="""
+    WITH hot AS (SELECT min(o_orderkey) AS hk FROM orders),
+    fact AS (
+      SELECT CASE WHEN (l_orderkey * 37 + l_linenumber) % 10 < 3
+                  THEN (SELECT hk FROM hot) ELSE l_orderkey END AS k,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT o.o_orderpriority AS priority, count(*) AS n_items,
+           round(CAST(sum(CAST(round(f.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM fact f JOIN orders o ON f.k = o.o_orderkey
+    GROUP BY o.o_orderpriority ORDER BY priority
+    """,
+)
+def aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE-split skew join, same oracle discipline as salted_skew_join
+    (the unsalted plain join IS the oracle). The merge hint forces a
+    sort-merge join so the skewed shuffle actually exists for AQE to
+    re-plan (at these SFs orders would otherwise broadcast and there
+    would be nothing to split)."""
+    global LAST_AQE_SKEW_PLAN
+    saved = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    try:
+        for k, v in _AQE_SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        # plan built INSIDE the guard: file-scan partitioning reads the
+        # maxPartitionBytes conf when the scan node is planned
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_extendedprice"
+        )
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        hot_key = od.agg(F.min("o_orderkey")).collect()[0][0]  # one scalar
+
+        fact = li.select(
+            F.when(
+                (F.col("l_orderkey") * 37 + F.col("l_linenumber")) % 10 < 3,
+                F.lit(hot_key).cast("long"),
+            )
+            .otherwise(F.col("l_orderkey"))
+            .cast("long")
+            .alias("k"),
+            "l_extendedprice",
+        ).repartition(_AQE_MAPPERS)
+
+        plan = (
+            fact.join(od.hint("merge"), fact.k == od.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count("*").alias("n_items"),
+                rounded(F.sum(fixed_units(F.col("l_extendedprice"))) / 100.0, 2).alias(
+                    "revenue"
+                ),
+            )
+        )
+        result = plan.localCheckpoint()  # eager: executes under the confs
+        LAST_AQE_SKEW_PLAN = plan._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return result.orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
 # Range join via time binning: same-user events within +-5 minutes of
 # each error event.
 # ---------------------------------------------------------------------------

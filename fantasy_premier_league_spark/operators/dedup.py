@@ -495,6 +495,35 @@ _MAX_ROUNDS = 15  # pointer jumping: covers diameter ~2^15 per component
 _CKPT_EVERY = 3
 
 
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One CC round: neighbor min-propagation then pointer jumping.
+
+    Factored out so tests/test_plan_quality.py can pin the per-round
+    physical plan (both equi-joins as ShuffledHashJoin, zero
+    SortMergeJoin -- the r5 hand-audit that removed 25 per-loop sorts,
+    now a regression test). Both per-round joins carry shuffle_hash
+    hints: label tables are equi-joined on exact keys and nothing
+    downstream needs sort order, so the default SortMergeJoin pays 2
+    sorts per join x rounds for nothing. At scale the build side is
+    the per-partition label slice, which is exactly what fits.
+    """
+    # 1) neighbor propagation: lbl(v) <- min(lbl(v), min_{u->v} lbl(u))
+    prop = edges.join(
+        labels.hint("shuffle_hash"), F.col("src") == F.col("node")
+    ).select(F.col("dst").alias("node"), F.col("lbl"))
+    stepped = (
+        labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+    )
+    # 2) pointer jumping: lbl(v) <- lbl(lbl(v)). Every label IS a
+    # node id (minima over node ids, init lbl=node), so composing
+    # the mapping with itself is a plain equi-join; path-to-minimum
+    # lengths double per round.
+    m = stepped.select(F.col("node").alias("m_node"), F.col("lbl").alias("m_lbl"))
+    return stepped.join(
+        m.hint("shuffle_hash"), F.col("lbl") == F.col("m_node")
+    ).select("node", F.col("m_lbl").alias("lbl"))
+
+
 @register(
     "dedup_cluster_components",
     oracle=f"""
@@ -532,30 +561,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_sum = None
     converged = False
     for rnd in range(1, _MAX_ROUNDS + 1):
-        # Both per-round joins carry shuffle_hash hints: label tables
-        # are equi-joined on exact keys and nothing downstream needs
-        # sort order, so the default SortMergeJoin pays 2 sorts per
-        # join x rounds for nothing (audited: 25 SMJs / 26 Sorts in the
-        # unhinted adaptive plan). Hash join keeps the same shuffle and
-        # drops the sorts; at scale the build side is the per-partition
-        # label slice, which is exactly what fits.
-        # 1) neighbor propagation: lbl(v) <- min(lbl(v), min_{u->v} lbl(u))
-        prop = edges.join(
-            labels.hint("shuffle_hash"), F.col("src") == F.col("node")
-        ).select(F.col("dst").alias("node"), F.col("lbl"))
-        stepped = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        )
-        # 2) pointer jumping: lbl(v) <- lbl(lbl(v)). Every label IS a
-        # node id (minima over node ids, init lbl=node), so composing
-        # the mapping with itself is a plain equi-join; path-to-minimum
-        # lengths double per round.
-        m = stepped.select(
-            F.col("node").alias("m_node"), F.col("lbl").alias("m_lbl")
-        )
-        jumped = stepped.join(
-            m.hint("shuffle_hash"), F.col("lbl") == F.col("m_node")
-        ).select("node", F.col("m_lbl").alias("lbl"))
+        jumped = _cc_round(edges, labels)
         if rnd % _CKPT_EVERY == 0:
             jumped = jumped.localCheckpoint(eager=False)
         else:

@@ -303,3 +303,97 @@ def chemistry_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(rounded(F.greatest(F.lit(0.0), F.least(F.lit(1.0), chem)), 6).alias("chemistry"))
         .orderBy("p1", "p2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chemistry at adversarial roster width (SURVEY section 4 note: "at
+# 100 TB [the chemistry pass] needs block partitioning of the pair
+# space"). a6/fpl_a6 are match-bounded (22 players -> 231 pairs per
+# match, reference metrics.py:18-49); this variant runs the SAME sign
+# rule over ONE roster of every customer (1.5k at sf0.01, 15k at
+# sf0.1 -> 112M raw pairs), where a naive same-key self-join puts the
+# whole quadratic pair set into a single task.
+#
+# Block partitioning: entity -> block g = id % B; pair (a, b) belongs
+# to block-cell (g_a, g_b); each side replicates B ways on the
+# OPPOSITE block coordinate, so the equi-join key (g_a, g_b) spreads
+# the pair space over B^2 shuffle partitions -- replication cost B per
+# row, task size n^2/B^2, the standard blocked self-join trade. The
+# shuffle_hash hint pins the scale plan (at toy SF Catalyst would
+# broadcast and hide the pattern under test).
+#
+# Everything stays in INTEGER units (deltas in pmod-folded cents, pair
+# magnitude = abs(d_a + d_b) half-cent units) so the differential gate
+# is summation-order independent -- same discipline as graph_pagerank.
+# ---------------------------------------------------------------------------
+
+_CHEM_BLOCKS = 8
+
+
+@register(
+    "fpl_chem_blocked_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT c_custkey AS id, c_nationkey AS team,
+             ((CAST(round(c_acctbal * 100) AS BIGINT) % 2001) + 2001) % 2001
+               - 1000 AS d,
+             CAST(c_custkey % {_CHEM_BLOCKS} AS BIGINT) AS g
+      FROM customer
+    ),
+    p AS (
+      SELECT a.g AS ga, b.g AS gb,
+             CASE WHEN ((a.team = b.team) =
+                        ((a.d > 0 AND b.d > 0) OR (a.d < 0 AND b.d < 0)))
+                  THEN abs(a.d + b.d) ELSE -abs(a.d + b.d) END AS m
+      FROM e a JOIN e b ON a.id < b.id
+    )
+    SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(m) AS BIGINT) AS signed_mag_units
+    FROM p GROUP BY ga, gb ORDER BY ga, gb
+    """,
+)
+def fpl_chem_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    ent = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("team"),
+        (F.pmod(fixed_units(F.col("c_acctbal")), F.lit(2001)) - 1000).alias("d"),
+        F.pmod(F.col("c_custkey"), F.lit(_CHEM_BLOCKS)).cast("long").alias("g"),
+    )
+    blocks = F.array(*[F.lit(i).cast("long") for i in range(_CHEM_BLOCKS)])
+    # a-side replicated across target blocks for b; b-side vice versa:
+    # pair (a,b) meets exactly once, at key (g_a, g_b)
+    a = ent.select(
+        F.col("id").alias("a_id"),
+        F.col("team").alias("a_team"),
+        F.col("d").alias("a_d"),
+        F.col("g").alias("ga"),
+        F.explode(blocks).alias("gb"),
+    )
+    b = ent.select(
+        F.col("id").alias("b_id"),
+        F.col("team").alias("b_team"),
+        F.col("d").alias("b_d"),
+        F.explode(blocks).alias("ga"),
+        F.col("g").alias("gb"),
+    )
+    mag = F.abs(F.col("a_d") + F.col("b_d"))
+    same_sign = ((F.col("a_d") > 0) & (F.col("b_d") > 0)) | (
+        (F.col("a_d") < 0) & (F.col("b_d") < 0)
+    )
+    same_team = F.col("a_team") == F.col("b_team")
+    return (
+        a.join(b.hint("shuffle_hash"), ["ga", "gb"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "ga",
+            "gb",
+            F.when(same_team == same_sign, mag).otherwise(-mag).alias("m"),
+        )
+        .groupBy("ga", "gb")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("m").alias("signed_mag_units"),
+        )
+        .orderBy("ga", "gb")
+    )

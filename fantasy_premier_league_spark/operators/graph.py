@@ -16,15 +16,17 @@ Spark" pattern done scale-correctly:
 - lineage is truncated with localCheckpoint every few rounds so the
   plan does not grow linearly with iterations (the 100 TB driver-stall
   failure mode of naive iterative DataFrame code);
-- ranks are FLOORED to 1e-12 grid after every iteration on both
-  engines, so cross-engine double drift (summation order inside a
-  partition vs DuckDB's single-threaded sum) cannot compound across
-  iterations -- the same fixed-grid discipline as operators/ml.py's
-  deterministic k-means.
+- the ENTIRE recurrence runs in scaled 64-bit INTEGERS (rank = units
+  on a 1e-12 grid; per-edge contribution = units div outdeg; damping
+  17/20 applied as integer multiply-then-divide), so the differential
+  gate is summation-order independent BY CONSTRUCTION: integer sums
+  commute exactly, unlike doubles, and no partition-order or
+  single-thread-vs-parallel difference between Spark and DuckDB can
+  flip a value. Units stay < ~2e13, far inside BIGINT.
 
 The oracle unrolls the identical recurrence as chained CTEs (DuckDB has
-recursive CTEs, but unrolling keeps the iteration count and the
-flooring textually explicit and engine-portable).
+recursive CTEs, but unrolling keeps the iteration count and the integer
+grid textually explicit and engine-portable).
 """
 
 from __future__ import annotations
@@ -32,17 +34,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fantasy_premier_league_spark.functions import rounded
 from fantasy_premier_league_spark.plans.registry import register
 from fantasy_premier_league_spark.sources.testdata import load_table
 
-_D = 0.85  # damping
 _ITERS = 3
-_GRID = 1e12  # per-iteration floor grid
+_GRID = 10**12  # rank units per 1.0 of probability mass
+# damping d = 0.85 = _D_NUM / _D_DEN, applied as integer mul-then-div
+_D_NUM = 17
+_D_DEN = 20
 
 
 def _oracle() -> str:
-    edges = """
+    edges = f"""
     edges AS (
       SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
@@ -53,7 +56,7 @@ def _oracle() -> str:
     nodes AS (SELECT DISTINCT src AS v FROM edges),
     n AS (SELECT count(*) AS n FROM nodes),
     deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-    r0 AS (SELECT v, 1.0 / (SELECT n FROM n) AS r FROM nodes)
+    r0 AS (SELECT v, {_GRID} // (SELECT n FROM n) AS u FROM nodes)
     """
     steps = []
     for i in range(1, _ITERS + 1):
@@ -61,9 +64,9 @@ def _oracle() -> str:
             f"""
     r{i} AS (
       SELECT nodes.v,
-             floor(((1.0 - {_D}) / (SELECT n FROM n)
-                    + {_D} * coalesce(sum(r{i - 1}.r / deg.outdeg), 0.0))
-                   * {_GRID:.0f}) / {_GRID:.0f} AS r
+             CAST((({_D_DEN - _D_NUM} * {_GRID} // {_D_DEN}) // (SELECT n FROM n))
+                  + ({_D_NUM} * coalesce(sum(r{i - 1}.u // deg.outdeg), 0))
+                    // {_D_DEN} AS BIGINT) AS u
       FROM nodes
       LEFT JOIN edges ON edges.dst = nodes.v
       LEFT JOIN deg ON deg.src = edges.src
@@ -77,8 +80,8 @@ def _oracle() -> str:
         + ","
         + ",".join(steps)
         + f"""
-    SELECT v AS node, round(r * 1000000, 6) AS rank_ppm
-    FROM r{_ITERS} ORDER BY rank_ppm DESC, node LIMIT 50
+    SELECT v AS node, CAST(u AS BIGINT) AS rank_units
+    FROM r{_ITERS} ORDER BY rank_units DESC, node LIMIT 50
     """
     )
 
@@ -113,39 +116,38 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = contrib_base.select(F.col("src").alias("v")).distinct()
     n = nodes.count()  # one scalar to the driver; everything else stays distributed
 
+    base_units = ((_D_DEN - _D_NUM) * _GRID // _D_DEN) // n  # (1-d)/n on the grid
+
     # The rank vector is |nodes| rows -- tiny next to the edge list --
     # so each iteration BROADCASTS it into the edge scan and the only
     # shuffle is the map-side-combined groupBy(dst). At a scale where
     # the node set itself outgrows broadcast, drop the hint and the
     # pre-partitioned contrib_base turns this into a co-located join.
-    ranks = nodes.select("v", (F.lit(1.0) / n).alias("r"))
+    ranks = nodes.select("v", F.lit(_GRID // n).cast("long").alias("u"))
     for i in range(_ITERS):
         contribs = (
             contrib_base.join(F.broadcast(ranks), contrib_base.src == ranks.v)
-            .select(F.col("dst"), (F.col("r") / F.col("outdeg")).alias("w"))
+            # integer floor-division per edge: exact, order-independent
+            .select(F.col("dst"), F.expr("u div outdeg").alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("mass"))
         )
-        ranks = nodes.join(
-            F.broadcast(contribs), nodes.v == contribs.dst, "left_outer"
-        ).select(
-            "v",
-            (
-                F.floor(
-                    (
-                        F.lit((1.0 - _D) / n)
-                        + _D * F.coalesce(F.col("mass"), F.lit(0.0))
-                    )
-                    * _GRID
-                )
-                / _GRID
-            ).alias("r"),
+        ranks = (
+            nodes.join(F.broadcast(contribs), nodes.v == contribs.dst, "left_outer")
+            .select("v", F.coalesce(F.col("mass"), F.lit(0)).alias("mass"))
+            .select(
+                "v",
+                (
+                    F.lit(base_units)
+                    + F.expr(f"({_D_NUM} * mass) div {_D_DEN}")
+                ).cast("long").alias("u"),
+            )
         )
         if (i + 1) % 2 == 0 and i + 1 < _ITERS:
             ranks = ranks.localCheckpoint()  # truncate lineage growth
 
     return (
-        ranks.select(F.col("v").alias("node"), rounded(F.col("r") * 1e6, 6).alias("rank_ppm"))
-        .orderBy(F.col("rank_ppm").desc(), "node")
+        ranks.select(F.col("v").alias("node"), F.col("u").alias("rank_units"))
+        .orderBy(F.col("rank_units").desc(), "node")
         .limit(50)
     )

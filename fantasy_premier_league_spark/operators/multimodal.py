@@ -247,25 +247,44 @@ def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 @register(
     "mm_audio_energy",
+    # Oracle iterates UTF-8 BYTES (hex(encode(text)), two hex chars per
+    # byte) with int8 wraparound for codes > 127, exactly matching the
+    # Spark side's np.frombuffer(payload, dtype=int8) -- so a testdata
+    # regeneration that introduces non-ASCII text cannot silently skew
+    # the gate. Empty documents are emitted as all-zero rows on BOTH
+    # sides (Spark's numpy path yields (0,0,0,0); the oracle LEFT JOINs
+    # them back in with coalesce).
     oracle=f"""
-    WITH s AS (
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    s AS (
       SELECT doc_id, pos,
-             ascii(substring(text, pos, 1)) AS code
-      FROM (SELECT doc_id, text,
-                   unnest(range(1, length(text) + 1)) AS pos
-            FROM documents)
+             CASE WHEN code > 127 THEN code - 256 ELSE code END AS sample
+      FROM (
+        SELECT doc_id, pos,
+               ('0x' || substr(hx, 2 * pos - 1, 2))::BIGINT AS code
+        FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS pos FROM b)
+      )
     ),
     w AS (
       SELECT doc_id, (pos - 1) // {_WIN_SAMPLES} AS win,
-             sum(code * code) AS energy, count(*) AS n
+             sum(sample * sample) AS energy, count(*) AS n
       FROM s GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT doc_id, sum(n) AS n_samples, count(*) AS n_windows,
+             sum(energy) AS total_energy, max(energy) AS max_win_energy
+      FROM w GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(n) AS BIGINT) AS n_samples,
-           CAST(count(*) AS BIGINT) AS n_windows,
-           CAST(sum(energy) AS BIGINT) AS total_energy,
-           CAST(max(energy) AS BIGINT) AS max_win_energy
-    FROM w GROUP BY doc_id ORDER BY doc_id
+    SELECT b.doc_id,
+           CAST(coalesce(agg.n_samples, 0) AS BIGINT) AS n_samples,
+           CAST(coalesce(agg.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(agg.total_energy, 0) AS BIGINT) AS total_energy,
+           CAST(coalesce(agg.max_win_energy, 0) AS BIGINT) AS max_win_energy
+    FROM b LEFT JOIN agg USING (doc_id) ORDER BY b.doc_id
     """,
 )
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:

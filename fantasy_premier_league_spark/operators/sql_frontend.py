@@ -109,8 +109,8 @@ _RUNNING_SQL = """
     )
     SELECT day, n_orders,
            round(CAST(sum(units) OVER (ORDER BY day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / 1e2) / 100 AS running_revenue
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+                 / 100 AS running_revenue
     FROM daily ORDER BY day LIMIT 100
 """
 

@@ -439,7 +439,29 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token array, then transform() -- no self-join, no Python. The
     # size guard matters: Spark's sequence(0, -1) DESCENDS instead of
     # returning empty.
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # (hash, pos) pack shares one 64-bit key: pos gets the low 20 bits,
+    # so a document with >= 2^20 tokens would silently overflow pos into
+    # the hash bits -- identically on both engines, invisible to the
+    # differential gate. Fail LOUDLY instead: raise_error on oversized
+    # docs (none exist in any testdata SF; a 100 TB deployment shards
+    # giant docs upstream or widens _POS_BITS).
+    toks = docs.select(
+        "doc_id",
+        F.when(
+            F.size(F.split("text", " ")) < F.lit(_POS_BITS),
+            F.split("text", " "),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("text_winnowing: document exceeds 2^20 tokens, "
+                          "position bits would overflow: doc_id="),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        )
+        .alias("t"),
+    )
     shingled = toks.select(
         "doc_id",
         F.posexplode(

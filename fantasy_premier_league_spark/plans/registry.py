@@ -29,69 +29,96 @@ ORACLES: dict[str, str] = {}
 # (CORRECTNESS_r01/r02 are exactly the head of the registry in insertion
 # order). With >50 registered, rotate: queries listed here are emitted
 # first so the least-recently-driver-verified ones get checked each
-# round; everything else follows in module-import order. Round 5 head =
-# (a) the 3 streaming queries that FAILED the r04 gate (the testdata
-# regeneration flipped events.ts from nanos-long to micros-NTZ and the
-# stream schema mis-declared it -- fixed this round) plus the 3 batch
-# queries whose unix_micros exprs were rewritten NTZ-safe, (b) the 6
-# queries never yet sampled by any driver round (includes the two the
-# r04 ADVICE named, q11_important_parts and sql_frontend_topday),
-# (c) least-recently-verified fill (last green r01/r02).
-SAMPLE_PRIORITY: list[str] = [
-    # --- failed r04 / implementation changed this round ---
-    "t4_windowed_stream_agg",
-    "t6_stream_dedup",
-    "t7_stream_stream_join",
-    "asof_join_events",
-    "session_windows",
-    "range_join_neighbors",
-    # --- never in any driver sample ---
-    "q11_important_parts",
-    "q20_excess_suppliers",
-    "docs_clean_pipeline",
-    "t9_session_window_stream",
-    "sketch_quantile_hist",
-    "sql_frontend_topday",
-    # --- new this round ---
-    "stats_zscore_outliers",
-    "sample_stratified",
-    "text_winnowing",
-    "graph_pagerank",
-    "sketch_cms_heavy_hitters",
-    "bloom_semi_join",
-    "dedup_winnowing_pairs",
-    "docs_pack_sequences",
-    "dedup_exact_keep_best",
-    "emb_norm_stats",
-    "t10_stream_hll",
-    "text_subword_stats",
-    "j8_full_outer_reconcile",
-    "w4_ntile_deciles",
-    "events_funnel",
-    "retention_cohorts",
+# round; everything else follows in module-import order.
+#
+# The rotation rule (enforced by tests/test_sample_rotation.py against
+# the CORRECTNESS_r*.json artifacts):
+#   1. any query whose implementation changed since its last driver row
+#      (CHANGED_THIS_ROUND, hand-maintained per round) goes first;
+#   2. any NEW query (no driver row yet) goes in the head;
+#   3. any query whose last green driver row is more than two rounds
+#      old goes in the head;
+#   4. remaining slots fill with the least-recently-verified tail.
+
+# Queries whose implementing code changed this round AFTER their last
+# driver check -- update this list whenever a registered query's
+# implementation or oracle changes. Round 6: the two r5 perf-rewrites
+# that missed the r5 sample (VERDICT #1), plus the five ADVICE-fix
+# rewrites (byte-based audio oracle, running-total units, integer-grid
+# pagerank, winnowing overflow guard -> also its pairs consumer).
+CHANGED_THIS_ROUND: list[str] = [
+    "dedup_cluster_components",
+    "q2_min_cost_supplier",
+    "dedup_simhash_pairs",
     "mm_audio_energy",
-    "ann_lsh_recall",
-    "stats_key_skew",
-    "dedup_minhash_accuracy",
-    "sql_frontend_repeat_buyers",
     "sql_frontend_running_total",
-    # --- least-recently driver-verified (last green r01/r02) ---
-    "j3_agg_dim_join",
-    "rollup_revenue",
-    "salted_skew_join",
-    "w2_moving_average",
-    "q17_small_quantity_revenue",
-    "cube_revenue",
-    "distinct_count_agg",
-    "stats_percentiles",
-    "pivot_status_revenue",
-    "setops_customer_status",
-    "fpl_a1_metric_vector",
-    "fpl_a2_match_counters",
-    "fpl_a3_final_metrics",
-    "fpl_spans_roster",
-    "fpl_j5_roster_enrich",
-    "fpl_a5_rating",
+    "graph_pagerank",
+    "text_winnowing",
+    "dedup_winnowing_pairs",
+]
+
+# Queries first registered this round (no driver row exists yet).
+NEW_THIS_ROUND: list[str] = [
+    "aqe_skew_join",
+    "t11_socket_roundtrip",
+    "fpl_chem_blocked_pairs",
+]
+
+SAMPLE_PRIORITY: list[str] = [
+    # --- implementation changed since last driver check (rule 1) ---
+    "dedup_cluster_components",
+    "q2_min_cost_supplier",
+    "mm_audio_energy",
+    "sql_frontend_running_total",
+    "graph_pagerank",
+    "text_winnowing",
+    "dedup_winnowing_pairs",
+    # --- new this round, never driver-sampled (rule 2) ---
+    "aqe_skew_join",
+    "t11_socket_roundtrip",
+    "fpl_chem_blocked_pairs",
+    # --- last driver row is r2: four rounds stale (rule 3) ---
+    "dedup_simhash_pairs",  # also r5-modified
+    "fpl_a7_final_rating",
+    "fpl_a4_profile",
+    "fpl_a6_chemistry",
+    "fpl_req2_player_profile",
+    "fpl_req3_match_details",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "a1_metric_vector",
+    "a2_keyed_counters",
+    "a3_final_metrics",
+    "a4_profile",
+    "a6_chemistry_pairs",
+    "ml_kmeans_profiles",
+    "ml_quadratic_fit",
+    "mm_binary_metadata",
+    "mm_decode_stats",
+    "mm_frame_sample",
+    "a5_rating_recurrence",
+    "a2a3_pricing_summary",
+    "f3_point_lookup",
+    "f4_predicate_search",
+    "f5_key_filter",
+    "j1_broadcast_dim_join",
+    "j2_stream_static_join",
+    "j4_pair_generation",
+    # --- fill: least-recently-verified r4 tail (rule 4) ---
+    "fpl_req1_win_prediction",
+    "fpl_t5_stateful_stream",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_candidates",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "dedup_embedding_cosine",
+    "ann_ivf_topk",
+    "sketch_hll_distinct",
+    "text_token_stats",
+    "text_quality_filter",
+    "text_lang_id",
+    "text_fingerprint",
 ]
 
 

@@ -408,3 +408,121 @@ def stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T11: live-socket roundtrip under the driver-visible surface. S1 (the
+# reference's actual transport: line-delimited JSON over TCP,
+# master.py:330) was the one §2.1 source with only local-pytest
+# evidence; this registers it as a gate query: an in-process TCP server
+# streams every fixture line, the REAL socket source (streaming/
+# pipeline.py socket_source) parses it, and the drained per-event-code
+# counters are gated against the batch oracle over the same fixture
+# files. The socket source is receiver-based (no availableNow barrier),
+# so the drain polls the complete-mode sink until the counters match
+# the known fixture total -- and RAISES on timeout rather than shipping
+# a partial count to the gate.
+# ---------------------------------------------------------------------------
+
+
+def _register_socket_roundtrip() -> None:
+    from fantasy_premier_league_spark.operators import pipeline as P
+
+    oracle = f"""
+    SELECT eventId AS event_code,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(playerId) AS BIGINT) AS n_with_player
+    FROM {P._RAW_SQL}
+    WHERE eventId IS NOT NULL
+    GROUP BY eventId ORDER BY event_code
+    """
+
+    @register("t11_socket_roundtrip", oracle=oracle)
+    def t11_socket_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import glob
+        import json
+        import socket as socketlib
+        import threading
+        import time
+
+        from fantasy_premier_league_spark.sources import fpl_fixtures
+        from fantasy_premier_league_spark.streaming.pipeline import socket_source
+
+        stream_dir = os.path.join(fpl_fixtures.ensure_fixtures(), "stream")
+        lines: list[str] = []
+        expected = 0
+        for path in sorted(glob.glob(os.path.join(stream_dir, "*.jsonl"))):
+            with open(path) as fh:
+                for ln in fh.read().splitlines():
+                    lines.append(ln)
+                    if json.loads(ln).get("eventId") is not None:
+                        expected += 1
+
+        server = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+        server.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+        server.bind(("127.0.0.1", 0))
+        port = server.getsockname()[1]
+        server.listen(1)
+        done = threading.Event()
+
+        def serve() -> None:
+            try:
+                conn, _ = server.accept()
+                with conn:
+                    conn.sendall(("\n".join(lines) + "\n").encode())
+                    done.wait(timeout=120)  # keep open while batches drain
+            except OSError:
+                pass
+            finally:
+                server.close()
+
+        thread = threading.Thread(target=serve, daemon=True)
+        thread.start()
+
+        parsed = socket_source(spark, "127.0.0.1", port)
+        agg = (
+            parsed.filter(F.col("eventId").isNotNull())
+            .groupBy(F.col("eventId").alias("event_code"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.count("playerId").alias("n_with_player"),
+            )
+        )
+        name = "t11_" + uuid.uuid4().hex[:8]
+        checkpoint = os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+        with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+        try:
+            deadline = time.time() + 90
+            while True:
+                got = (
+                    spark.table(name).agg(F.sum("n_events")).collect()[0][0] or 0
+                )
+                if got == expected:
+                    break
+                if time.time() > deadline:
+                    raise RuntimeError(
+                        f"socket roundtrip drained {got}/{expected} events "
+                        f"before timeout -- partial counts must not reach "
+                        f"the gate"
+                    )
+                time.sleep(0.5)
+            # snapshot BEFORE stopping: memory-sink rows survive stop,
+            # but materializing here makes the race impossible
+            result = spark.createDataFrame(
+                spark.table(name).collect(), schema=spark.table(name).schema
+            )
+        finally:
+            done.set()
+            query.stop()
+            shutil.rmtree(checkpoint, ignore_errors=True)
+        return result.orderBy("event_code")
+
+
+_register_socket_roundtrip()

@@ -19,7 +19,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_exits_zero_and_prints_one_json_line():
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    # one repeat keeps the contract test inside its timeout; the
+    # driver's real runs use the default 3-repeat median
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_REPEATS="1",
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -41,3 +47,11 @@ def test_bench_exits_zero_and_prints_one_json_line():
     # testdata nothing should be failing at all
     assert "errors" not in payload, f"bench recorded per-query errors: {payload.get('errors')}"
     assert len(payload["queries"]) >= 24
+    # healthy run => the comparable subtotal is present (it is nulled
+    # whenever any of the first 24 errors, so a partial run can never
+    # masquerade as a speedup)
+    assert payload["baseline_comparable_24_total"] is not None
+    assert payload["repeats"] == 1
+    assert set(payload["spread"]) == set(payload["queries"])
+    for s in payload["spread"].values():
+        assert s["min"] <= s["med"] <= s["max"]
