@@ -105,10 +105,19 @@ def main() -> None:
     # in-session (plans warm after the first) and "queries" reports the
     # per-query MEDIAN; min/median/max spread ships alongside.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # Opt-in subset (comma-separated names) for the sf1 scaling study:
+    # only the named heavies run, and the comparable-24 subtotal is
+    # nulled below because the baseline prefix did not all run.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    selected = (
+        [n for n in HEADLINE if n in {s.strip() for s in only.split(",")}]
+        if only
+        else HEADLINE
+    )
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in selected:
         fn = queries[name]
         samples: list[float] = []
         for _ in range(repeats):
@@ -130,11 +139,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # A partial run must not be readable as a speedup: the comparable
-    # subtotal is only meaningful when every baseline query ran.
+    # subtotal is only meaningful when every baseline query actually
+    # ran and succeeded (a filtered or errored prefix nulls it).
     comparable = (
-        None
-        if any(n in errors for n in HEADLINE[:24])
-        else round(sum(timings[n] for n in HEADLINE[:24]), 3)
+        round(sum(timings[n] for n in HEADLINE[:24]), 3)
+        if all(n in timings for n in HEADLINE[:24])
+        else None
     )
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     payload = {

@@ -506,3 +506,115 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-state compaction: the Delta/Hudi MERGE pattern expressed
+# as ONE hash aggregate. The events table is read as a changelog keyed
+# by user_id, ordered by (ts, event_id); the current snapshot is the
+# per-key latest change, with 'error' as the tombstone type (a key
+# whose LAST change is a tombstone is absent from the snapshot).
+#
+# Scale: the naive form is a row_number window, which shuffles the
+# ENTIRE 100 TB changelog and then sorts every key's full history.
+# This form is groupBy(key).max(struct): the map-side partial
+# aggregate compacts each scan partition to one row per key before
+# anything moves, so the shuffle carries |keys| x |partitions| rows
+# instead of the whole changelog. The struct buffer does force
+# SortAggregate (HashAggregate needs primitive buffers), but those
+# sorts are LOCAL to each scan partition (parallel, bounded by split
+# size) and to the compacted post-shuffle rows -- the full changelog
+# never moves or sorts as one unit. Struct max orders by
+# (ts, event_id) exactly because those lead the struct and are unique
+# per row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event, event_type AS last_type,
+           value AS last_value, epoch_us(ts) AS last_ts_us
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                epoch_us(F.col("ts")).alias("ts_us"),
+                F.col("event_id").alias("last_event"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            )
+        ).alias("s")
+    )
+    return (
+        latest.filter(F.col("s.last_type") != "error")
+        .select(
+            "user_id",
+            F.col("s.last_event").alias("last_event"),
+            F.col("s.last_type").alias("last_type"),
+            F.col("s.last_value").alias("last_value"),
+            F.col("s.ts_us").alias("last_ts_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5: time-RANGE window frame -- "sum of this user's activity in the
+# trailing hour", a frame defined by event-TIME distance, not row
+# count (w2's ROWS frame is its row-count sibling). Both engines order
+# by integer epoch microseconds so the frame boundary arithmetic is
+# exact and identical; the summed value is fixed-point cents so
+# in-frame accumulation order cannot drift the hash.
+#
+# Scale: one shuffle on user_id + per-user sort; frame evaluation is a
+# sliding two-pointer over each user's run, O(rows), state bounded by
+# one hour of any single user's events. Skew ceiling is the hottest
+# user's row count, same bound as every per-user window in the repo.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "w5_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 / 100.0, 2) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us(F.col("ts")))
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        F.count("*").over(w).alias("n_events_1h"),
+        rounded(F.sum(fixed_units(F.col("value"))).over(w) / 100.0, 2).alias(
+            "value_1h"
+        ),
+    ).orderBy("user_id", "ts_us", "event_id")

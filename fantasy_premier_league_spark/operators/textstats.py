@@ -705,3 +705,47 @@ def text_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix sampling: draw a corpus mixture with PER-SOURCE rates
+# (the "20% web, 40% code, ..." knob of a pretraining data recipe) by
+# hash-thresholding each document against its source's rate. Like
+# sample_hash_split this is coordination-free and reproducible at
+# 100 TB -- the SAME documents are drawn on any cluster, any run, and
+# the draw composes with incremental ingestion; unlike a per-source
+# random sample there is no per-source global count/shuffle at all:
+# the mixture is a single scan-side filter, and the source's rate is a
+# pure function of its name (here: 10/20/30/40% by source index mod
+# 4), so adding a new source requires no re-plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_source_mix",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS pct,
+             10 * (1 + CAST(substr(source, 4) AS INT) % 4) AS rate
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM rated
+    WHERE pct < rate ORDER BY doc_id
+    """,
+)
+def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    rate = 10 * (1 + F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4)))
+    return (
+        docs.filter(pct < rate).select("doc_id", "source", "lang").orderBy("doc_id")
+    )

@@ -62,6 +62,10 @@ NEW_THIS_ROUND: list[str] = [
     "aqe_skew_join",
     "t11_socket_roundtrip",
     "fpl_chem_blocked_pairs",
+    "t12_stream_outer_join",
+    "cdc_latest_state",
+    "w5_range_frame",
+    "docs_source_mix",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -77,6 +81,10 @@ SAMPLE_PRIORITY: list[str] = [
     "aqe_skew_join",
     "t11_socket_roundtrip",
     "fpl_chem_blocked_pairs",
+    "t12_stream_outer_join",
+    "cdc_latest_state",
+    "w5_range_frame",
+    "docs_source_mix",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "dedup_simhash_pairs",  # also r5-modified
     "fpl_a7_final_rating",

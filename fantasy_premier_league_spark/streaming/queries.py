@@ -526,3 +526,88 @@ def _register_socket_roundtrip() -> None:
 
 
 _register_socket_roundtrip()
+
+
+# ---------------------------------------------------------------------------
+# T12: stream-stream LEFT OUTER interval join -- the watermark-driven
+# null-emission path t7's inner join never exercises. An unmatched left
+# row sits in the state store until the global watermark passes the end
+# of its join window (s_ts + 1 day); only then can the engine PROVE no
+# future purchase matches and emit the null-padded row. The drain's
+# trailing no-data micro-batch (watermark = max_ts - delay) performs
+# that final eviction, so rows whose window is still inside the
+# watermark horizon at end-of-stream are correctly withheld -- the
+# batch oracle reproduces exactly that horizon arithmetic. The global
+# watermark is the MIN across the two withWatermark operators -- each
+# arm tracks its own max event time over its post-filter rows -- so the
+# horizon is least(max signup ts, max purchase ts) - 30 min, and an
+# unmatched signup appears iff s_ts + 1 day < that horizon (found
+# empirically: using the overall max ts admits one extra row whose
+# window ends inside the purchase arm's watermark lag).
+#
+# Scale: identical state-bound story to t7 (each side holds one
+# watermark-delay of rows); outer emission adds no state, it changes
+# only the eviction path from discard to emit-null.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t12_stream_outer_join",
+    oracle="""
+    WITH s AS (SELECT * FROM events WHERE event_type = 'signup'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         horizon AS (
+           SELECT least(
+                    max(CASE WHEN event_type = 'signup' THEN ts END),
+                    max(CASE WHEN event_type = 'purchase' THEN ts END)
+                  ) - INTERVAL 30 MINUTE AS wm
+           FROM events
+         )
+    SELECT s.user_id, s.event_id AS signup_event,
+           p.event_id AS purchase_event,
+           CAST(date_diff('second', s.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM s LEFT JOIN p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 DAY
+    WHERE p.event_id IS NOT NULL
+       OR s.ts + INTERVAL 1 DAY < (SELECT wm FROM horizon)
+    ORDER BY s.user_id, signup_event, purchase_event
+    """,
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "30 minutes")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
+        "left_outer",
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        result = run_stream_to_memory(joined, output_mode="append")
+    return result.select(
+        F.col("s_user").alias("user_id"),
+        "signup_event",
+        "purchase_event",
+        (F.col("p_ts").cast("long") - F.col("s_ts").cast("long")).alias(
+            "secs_to_purchase"
+        ),
+    ).orderBy("user_id", "signup_event", "purchase_event")

@@ -169,6 +169,8 @@ SLOW_TO_BUILD = {
     "t6_stream_dedup",
     "t7_stream_stream_join",
     "t9_session_window_stream",
+    "t11_socket_roundtrip",
+    "t12_stream_outer_join",
     "dedup_cluster_components",
 }
 
