@@ -330,21 +330,33 @@ def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 16-bit locality-sensitive fingerprint. Each shingle hash
+# SimHash: 32-bit locality-sensitive fingerprint. Each shingle hash
 # votes +1/-1 on every bit position; bit b of the fingerprint is the
 # sign of the vote sum. Near-duplicate documents differ in only a few
-# bits, so candidate pairs meet on an equality join over 4-bit bands
+# bits, so candidate pairs meet on an equality join over 8-bit bands
 # (pigeonhole: hamming <= 3 guarantees at least one of 4 bands equal)
 # and the exact hamming distance re-check is bit_count(xor) -- no n^2
 # pair space is ever materialized, which is what makes this the
 # preferred text-dedup path at 100 TB (one shuffle on band keys).
+#
+# Width IS the scale knob (round-6 sf1 study, BASELINE.md): at 16 bits
+# the 4-bit bands had 16 buckets each, so band-bucket occupancy -- and
+# with it the candidate set -- grew linearly with the corpus, and a
+# random pair met hamming<=3 with p~1%, meaning most emitted "pairs"
+# were collision noise. At 32 bits the 8-bit bands give 256 buckets per
+# band (occupancy /16) and random pairs pass the hamming filter with
+# p~1.3e-6, so emitted pairs are signal. Production sizing: grow
+# signature/band width with log(corpus) to hold occupancy constant
+# (64-bit simhash, 8-bit bands); the join shape is already the
+# scale-correct form at any width.
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 32
+_BAND_BITS = _SIMHASH_BITS // 4
 
 
 def simhash_col(xs: Column) -> Column:
-    """16-bit simhash of an array<long> of feature hashes.
+    """32-bit simhash of an array<long> of feature hashes.
 
     Empty feature arrays fold to vote-sum 0 on every bit, i.e. the
     all-ones fingerprint -- deterministic on both engines.
@@ -403,21 +415,22 @@ def _simhash_df(spark: SparkSession, sf_dir: str, nonempty: bool = False) -> Dat
     "dedup_simhash",
     oracle=_simhash_sql()
     + """
-    SELECT doc_id, CAST(simhash AS INT) AS simhash FROM sig ORDER BY doc_id
+    SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM sig ORDER BY doc_id
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_df(spark, sf_dir).select(
-        "doc_id", F.col("simhash").cast("int").alias("simhash")
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
     ).orderBy("doc_id")
 
 
 @register(
     "dedup_simhash_pairs",
     oracle=_simhash_sql(nonempty=True)
-    + """
+    + f"""
     , bands AS (
-      SELECT doc_id, simhash, band, (simhash >> (4 * band)) & 15 AS band_val
+      SELECT doc_id, simhash, band,
+             (simhash >> ({_BAND_BITS} * band)) & {(1 << _BAND_BITS) - 1} AS band_val
       FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)
     )
     SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -431,7 +444,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nonempty: content-less fingerprints (docs with <3 tokens) carry no
     # similarity signal and would all collide pairwise -- see _simhash_sql
-    # The 16-bit voting aggregate over the shingle hashes is the CPU-hot
+    # The 32-bit voting aggregate over the shingle hashes is the CPU-hot
     # stage and feeds BOTH sides of the self-join; materialize the tiny
     # (doc_id, simhash) table once instead of recomputing it per side.
     sig = _simhash_df(spark, sf_dir, nonempty=True).localCheckpoint()
@@ -441,7 +454,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
     ).withColumn(
         # expr: F.shiftright only takes a literal shift amount
-        "band_val", F.expr("shiftright(simhash, band * 4) & 15")
+        "band_val",
+        F.expr(f"shiftright(simhash, band * {_BAND_BITS}) & {(1 << _BAND_BITS) - 1}"),
     )
     # same shuffle_hash rationale as the LSH candidate join above
     a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b").hint("shuffle_hash")

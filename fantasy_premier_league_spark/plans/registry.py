@@ -50,6 +50,7 @@ CHANGED_THIS_ROUND: list[str] = [
     "dedup_cluster_components",
     "q2_min_cost_supplier",
     "dedup_simhash_pairs",
+    "dedup_simhash",
     "mm_audio_energy",
     "sql_frontend_running_total",
     "graph_pagerank",
@@ -77,6 +78,7 @@ SAMPLE_PRIORITY: list[str] = [
     "graph_pagerank",
     "text_winnowing",
     "dedup_winnowing_pairs",
+    "dedup_simhash",  # 32-bit widening (also r2-stale)
     # --- new this round, never driver-sampled (rule 2) ---
     "aqe_skew_join",
     "t11_socket_roundtrip",
@@ -94,7 +96,6 @@ SAMPLE_PRIORITY: list[str] = [
     "fpl_req3_match_details",
     "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_simhash",
     "a1_metric_vector",
     "a2_keyed_counters",
     "a3_final_metrics",
