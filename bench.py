@@ -70,9 +70,12 @@ HEADLINE = [
     "bloom_semi_join",
     "dedup_winnowing_pairs",
     "docs_pack_sequences",
-    # round 6 additions: AQE skew twin + blocked pair space
+    # round 6 additions: AQE skew twin + blocked pair space + CDC/window/mix
     "aqe_skew_join",
     "fpl_chem_blocked_pairs",
+    "cdc_latest_state",
+    "w5_range_frame",
+    "docs_source_mix",
 ]
 
 
