@@ -67,6 +67,7 @@ NEW_THIS_ROUND: list[str] = [
     "cdc_latest_state",
     "w5_range_frame",
     "docs_source_mix",
+    "graph_triangle_counts",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -87,6 +88,7 @@ SAMPLE_PRIORITY: list[str] = [
     "cdc_latest_state",
     "w5_range_frame",
     "docs_source_mix",
+    "graph_triangle_counts",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "dedup_simhash_pairs",  # also r5-modified
     "fpl_a7_final_rating",
