@@ -202,6 +202,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triangles = _oriented_triangles(_copurchase_edges(spark, sf_dir))
+    nodes = (
+        triangles.select(F.col("a").alias("node"))
+        .unionByName(triangles.select(F.col("v").alias("node")))
+        .unionByName(triangles.select(F.col("w").alias("node")))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(20)
+    )
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (u < v) part co-purchase edges, one per distinct pair."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -209,12 +225,17 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
-    edges = (
+    return (
         a.join(b.hint("shuffle_hash"), "o")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
     )
+
+
+def _oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Triangles (a, v, w) of a canonical edge list via degree-ordered
+    orientation: each counted once at its lowest-(degree, id) vertex."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -252,17 +273,74 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    triangles = wedges.join(closing.hint("shuffle_hash"), ["v", "w"]).select(
+    return wedges.join(closing.hint("shuffle_hash"), ["v", "w"]).select(
         F.col("src").alias("a"), "v", "w"
     )
-    nodes = (
-        triangles.select(F.col("a").alias("node"))
-        .unionByName(triangles.select(F.col("v").alias("node")))
-        .unionByName(triangles.select(F.col("w").alias("node")))
+
+
+# ---------------------------------------------------------------------------
+# DOULION (Tsourakakis et al., KDD'09): the APPROXIMATE tier of triangle
+# counting for when even orientation-bounded exact enumeration is too
+# expensive -- sparsify the graph by keeping each edge independently
+# with probability p, count exactly on the sample, scale by 1/p^3
+# (each triangle survives with p^3). Wedge work drops by ~1/p^2 ~16x at
+# p=1/4. The coin flip is a PORTABLE HASH of the edge key, not random():
+# the same edges are kept on any cluster and in the DuckDB twin, so the
+# estimator itself -- sample size, sampled count, and scaled estimate --
+# is exactly differential-gated, the same measure-the-approximation
+# pattern as ann_lsh_recall and dedup_minhash_accuracy.
+# ---------------------------------------------------------------------------
+
+_DOULION_MOD = 4  # keep-probability p = 1/4
+
+
+@register(
+    "graph_triangle_doulion",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    alle AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+      SELECT u, v FROM alle
+      WHERE ('0x' || substr(md5(u || ':' || v), 1, 8))::BIGINT
+            % {_DOULION_MOD} = 0
+    ),
+    t AS (
+      SELECT count(*) AS n
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     )
-    return (
-        nodes.groupBy("node")
-        .agg(F.count("*").alias("n_triangles"))
-        .orderBy(F.desc("n_triangles"), "node")
-        .limit(20)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS sampled_edges,
+           CAST(n AS BIGINT) AS sampled_triangles,
+           CAST(n * {_DOULION_MOD ** 3} AS BIGINT) AS est_triangles
+    FROM t
+    """,
+)
+def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    keep = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("u"), F.col("v")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_DOULION_MOD),
+        )
+        == 0
+    )
+    sampled = edges.filter(keep)
+    triangles = _oriented_triangles(sampled)
+    return sampled.agg(F.count("*").alias("sampled_edges")).crossJoin(
+        triangles.agg(
+            F.count("*").alias("sampled_triangles"),
+            (F.count("*") * _DOULION_MOD**3).alias("est_triangles"),
+        )
     )

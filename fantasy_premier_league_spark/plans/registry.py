@@ -68,6 +68,7 @@ NEW_THIS_ROUND: list[str] = [
     "w5_range_frame",
     "docs_source_mix",
     "graph_triangle_counts",
+    "graph_triangle_doulion",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -80,6 +81,7 @@ SAMPLE_PRIORITY: list[str] = [
     "text_winnowing",
     "dedup_winnowing_pairs",
     "dedup_simhash",  # 32-bit widening (also r2-stale)
+    "dedup_simhash_pairs",  # r5 materialization + r6 32-bit widening
     # --- new this round, never driver-sampled (rule 2) ---
     "aqe_skew_join",
     "t11_socket_roundtrip",
@@ -89,8 +91,8 @@ SAMPLE_PRIORITY: list[str] = [
     "w5_range_frame",
     "docs_source_mix",
     "graph_triangle_counts",
+    "graph_triangle_doulion",
     # --- last driver row is r2: four rounds stale (rule 3) ---
-    "dedup_simhash_pairs",  # also r5-modified
     "fpl_a7_final_rating",
     "fpl_a4_profile",
     "fpl_a6_chemistry",

@@ -190,6 +190,7 @@ CARTESIAN_OK = {
     "q11_important_parts",    # scalar fan-in of the 1-row national-total aggregate
     "ann_lsh_recall",         # query-vector fan-out (N_QUERIES rows broadcast)
     "stats_key_skew",         # scalar fan-in of the 1-row heaviest-key row
+    "graph_triangle_doulion",  # scalar fan-in: two 1-row aggregates crossed
 }
 
 
