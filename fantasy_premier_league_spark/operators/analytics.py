@@ -610,3 +610,73 @@ def stats_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("key").alias("heaviest_key"))
     )
     return stats.crossJoin(F.broadcast(heavy))
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill / resample: densify each user's daily activity over their
+# OBSERVED span, emitting explicit zero rows for silent days -- the
+# time-series "resample to regular grid" primitive (feature windows,
+# retention curves, and burn-rate models all assume a dense calendar).
+#
+# Scale: the grid is generated per key with sequence+explode, so its
+# size is bounded by each key's own observed span (days), never by the
+# corpus; the fill join is a left join co-partitioned on (user_id, day)
+# against the already-aggregated daily table -- two shuffles total
+# (daily rollup, fill join), no global calendar cross join, which is
+# the anti-pattern this operator exists to avoid (|users| x |all days|
+# explodes at 100 TB when most users are short-lived).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gapfill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(day) AS a, max(day) AS b FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(a, b, INTERVAL 1 DAY)) AS day
+      FROM spans
+    )
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(coalesce(d.n, 0) AS BIGINT) AS n_events,
+           round(CAST(coalesce(d.cents, 0) AS BIGINT) / 100.0, 2) AS total_value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ORDER BY g.user_id, day
+    """,
+)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(fixed_units(F.col("value"))).alias("cents"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("a"), F.max("day").alias("b")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("a"), F.col("b"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            rounded(F.coalesce(F.col("cents"), F.lit(0)) / 100.0, 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id", "day")
+    )

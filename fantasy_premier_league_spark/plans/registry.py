@@ -69,6 +69,7 @@ NEW_THIS_ROUND: list[str] = [
     "docs_source_mix",
     "graph_triangle_counts",
     "graph_triangle_doulion",
+    "events_gapfill_daily",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -92,6 +93,7 @@ SAMPLE_PRIORITY: list[str] = [
     "docs_source_mix",
     "graph_triangle_counts",
     "graph_triangle_doulion",
+    "events_gapfill_daily",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
