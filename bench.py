@@ -76,6 +76,12 @@ HEADLINE = [
     "cdc_latest_state",
     "w5_range_frame",
     "docs_source_mix",
+    "text_bm25_rank",
+    "docs_decontaminate",
+    "knn_classify_vote",
+    "bucketed_colocated_join",
+    "grouping_sets_revenue",
+    "stats_corr_matrix",
 ]
 
 

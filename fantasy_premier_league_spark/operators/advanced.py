@@ -618,3 +618,96 @@ def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_1h"
         ),
     ).orderBy("user_id", "ts_us", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: both fact tables written ONCE bucketed (and
+# sorted) on the join key, after which every key-equal join between
+# them is exchange-free — each bucket pair joins in place. This is THE
+# 100 TB recipe for a join repeated across many jobs (fact-to-fact on
+# orderkey): pay the shuffle once at layout time, never at query time.
+# The plan contains a SortMergeJoin with NO Exchange on either side
+# (asserted in tests/test_plan_quality.py); the oracle is the plain
+# unbucketed join, proving layout changes nothing about the answer.
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+_BUCKETED: set[str] = set()
+
+
+def _bucket_tag(sf_dir: str) -> str:
+    return "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """lineitem + orders as bucketed catalog tables (written on first
+    use per sf_dir; reused — catalog metadata is what makes the
+    bucketed scan exchange-free)."""
+    tag = _bucket_tag(sf_dir)
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    if tag not in _BUCKETED or not spark.catalog.tableExists(lt):
+        # a previous session's managed-table directory may survive in
+        # the scratch warehouse while the (in-memory) catalog entry did
+        # not — clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+        for tbl in (lt, ot):
+            if not spark.catalog.tableExists(tbl) and warehouse:
+                shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice", "l_discount")
+            .write.bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(lt)
+        )
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderpriority")
+            .write.bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(ot)
+        )
+        _BUCKETED.add(tag)
+    return spark.table(lt), spark.table(ot)
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw co-located join (pre-aggregation) — exposed so the plan
+    test can assert Exchange-freedom on exactly this node."""
+    li, od = bucketed_tables(spark, sf_dir)
+    # hint both sides to merge-join: a broadcast would also avoid the
+    # exchange but would not demonstrate (or test) bucket co-location,
+    # and at 100 TB neither fact side is broadcastable anyway.
+    return li.hint("merge").join(
+        od.hint("merge"), li.l_orderkey == od.o_orderkey
+    )
+
+
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS BIGINT) / 10000.0, 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev_u = fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+    return (
+        bucketed_join(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            rounded(F.sum(rev_u) / 10_000.0, 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -680,3 +680,84 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with an asymmetric set list — the level combination
+# ((flag, status), (status), ()) that neither CUBE nor ROLLUP can
+# express (it skips the (flag) level). Same one-pass expand-then-
+# aggregate physical shape as cube_revenue: the scan runs once and the
+# shuffle carries |sets| x |keys| rows, not |sets| scans.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS BIGINT) / 10000.0, 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_u = fixed_units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000)
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count("*").alias("n_items"),
+            rounded(F.sum(rev_u) / 10_000.0, 2).alias("revenue"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_items", "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second-moment statistics per group: Pearson correlation, sample
+# covariance, and sample stddevs of (quantity, price) per return flag.
+# All four are single-pass mergeable co-moment aggregates (Welford /
+# Chan et al. pairwise merge) — one shuffle on the 3-value group key,
+# partials combine map-side, no second scan. Cross-engine float drift
+# is ~1e-13 relative (co-moment merge order), far inside the rounding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_corr_matrix",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            rounded(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            rounded(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            rounded(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            rounded(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -70,6 +70,12 @@ NEW_THIS_ROUND: list[str] = [
     "graph_triangle_counts",
     "graph_triangle_doulion",
     "events_gapfill_daily",
+    "text_bm25_rank",
+    "docs_decontaminate",
+    "knn_classify_vote",
+    "grouping_sets_revenue",
+    "stats_corr_matrix",
+    "bucketed_colocated_join",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -94,6 +100,12 @@ SAMPLE_PRIORITY: list[str] = [
     "graph_triangle_counts",
     "graph_triangle_doulion",
     "events_gapfill_daily",
+    "text_bm25_rank",
+    "docs_decontaminate",
+    "knn_classify_vote",
+    "grouping_sets_revenue",
+    "stats_corr_matrix",
+    "bucketed_colocated_join",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -172,6 +184,7 @@ def _load_all() -> None:
         ml,
         multimodal,
         pipeline,
+        ranking,
         rating,
         relational,
         similarity,

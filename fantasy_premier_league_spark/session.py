@@ -52,6 +52,9 @@ def get_spark(app_name: str = "fpl-spark-engine", master: str | None = None) -> 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # bucketed-table writes (bucketed_colocated_join) land in a
+        # scratch warehouse, never the repo working tree
+        .config("spark.sql.warehouse.dir", "/tmp/fpl_spark_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

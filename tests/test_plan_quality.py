@@ -191,6 +191,8 @@ CARTESIAN_OK = {
     "ann_lsh_recall",         # query-vector fan-out (N_QUERIES rows broadcast)
     "stats_key_skew",         # scalar fan-in of the 1-row heaviest-key row
     "graph_triangle_doulion",  # scalar fan-in: two 1-row aggregates crossed
+    "text_bm25_rank",         # scalar fan-in of the 1-row corpus-stats aggregate
+    "knn_classify_vote",      # query-vector fan-out (|queries| rows broadcast)
 }
 
 
@@ -333,4 +335,58 @@ def test_aqe_skew_join_actually_splits(spark):
     assert "skew=true" in plan, (
         f"aqe_skew_join: AQE did not split the skewed partition "
         f"(single-mapper input? thresholds off?):\n{plan}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout (round 6): the co-located fact-to-fact join must be
+# exchange-free — both scans read the bucketed catalog tables and the
+# SortMergeJoin consumes bucket-local partitions directly. A refactor
+# that drops bucketBy, mismatches bucket counts, or lets a broadcast
+# hint mask the layout would reintroduce the per-query shuffle this
+# operator exists to eliminate.
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    from fantasy_premier_league_spark.operators.advanced import bucketed_join
+
+    plan = plan_of(bucketed_join(spark, SF))
+    assert "SortMergeJoin" in plan, f"bucketed join must merge-join:\n{plan}"
+    assert "Exchange" not in plan, (
+        f"bucketed co-located join reintroduced a shuffle:\n{plan}"
+    )
+    assert plan.count("Bucketed: true") == 2, (
+        f"both sides must scan bucketed tables:\n{plan}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval tier (round 6): BM25's corpus-side plan must stay one pass —
+# document frequencies and corpus stats come back as broadcasts, never
+# by re-shuffling the token table; k-NN voting broadcasts the query
+# vectors so the corpus side never exchanges before scoring.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_broadcasts_stats_not_corpus(spark):
+    plan = plan_of(build(spark, "text_bm25_rank"))
+    assert plan.count("BroadcastExchange") >= 2, (
+        f"BM25: df/corpus-stats joins must broadcast:\n{plan}"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = plan_of(build(spark, "knn_classify_vote"))
+    assert "BroadcastExchange" in plan, (
+        f"kNN: query set must broadcast against the corpus:\n{plan}"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    plan = plan_of(build(spark, "docs_decontaminate"))
+    assert "BroadcastExchange" in plan, (
+        f"decontamination: eval n-gram inventory must broadcast:\n{plan}"
     )
