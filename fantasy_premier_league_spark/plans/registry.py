@@ -76,6 +76,7 @@ NEW_THIS_ROUND: list[str] = [
     "grouping_sets_revenue",
     "stats_corr_matrix",
     "bucketed_colocated_join",
+    "t13_stream_cdc_upsert",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -106,6 +107,7 @@ SAMPLE_PRIORITY: list[str] = [
     "grouping_sets_revenue",
     "stats_corr_matrix",
     "bucketed_colocated_join",
+    "t13_stream_cdc_upsert",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",

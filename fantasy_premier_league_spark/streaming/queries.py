@@ -611,3 +611,111 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_to_purchase"
         ),
     ).orderBy("user_id", "signup_event", "purchase_event")
+
+
+# ---------------------------------------------------------------------------
+# T13: incremental CDC upsert — the streaming twin of cdc_latest_state.
+# The events changelog is replayed as a 4-file stream (maxFilesPerTrigger
+# = 1 forces four genuine micro-batches), and every batch MERGEs into a
+# keyed snapshot: batch-local argmax per user, union with the previous
+# snapshot, argmax again. State lands in a parquet dir VERSIONED BY
+# batch_id (overwrite-by-version = idempotent replay, the T8
+# exactly-once recipe; on a lakehouse this foreachBatch body is
+# literally `MERGE INTO` on Delta/Iceberg). The final snapshot must
+# equal the batch engine's one-pass compaction — incremental-view
+# maintenance correctness, differential-gated.
+#
+# Scale: per-batch work is one shuffle on user_id over (batch + |users|)
+# rows; the snapshot never exceeds |users| rows regardless of changelog
+# length, and no driver collection happens anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t13_stream_cdc_upsert",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event, event_type AS last_type,
+           value AS last_value, epoch_us(ts) AS last_ts_us
+    FROM latest WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        epoch_us(F.col("ts")).alias("ts_us"),
+    )
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"cdc_upsert_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    state_root = os.path.join(root, "state")
+    ev.repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    latest_path: dict[str, str | None] = {"v": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # struct-max argmax: field order (ts_us, event_id) == the
+        # changelog's "latest wins, ties to higher event_id" rule
+        batch_latest = batch_df.groupBy("user_id").agg(
+            F.max(
+                F.struct(
+                    F.col("ts_us"),
+                    F.col("event_id"),
+                    F.col("event_type"),
+                    F.col("value"),
+                )
+            ).alias("s")
+        )
+        if latest_path["v"] is not None:
+            prev = batch_df.sparkSession.read.parquet(latest_path["v"])
+            merged = (
+                prev.unionByName(batch_latest)
+                .groupBy("user_id")
+                .agg(F.max("s").alias("s"))
+            )
+        else:
+            merged = batch_latest
+        out = os.path.join(state_root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        latest_path["v"] = out
+
+    checkpoint = os.path.join(root, "ckpt")
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        query = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+
+    snap = spark.read.parquet(latest_path["v"])
+    return (
+        snap.filter(F.col("s.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("last_event"),
+            F.col("s.event_type").alias("last_type"),
+            F.col("s.value").alias("last_value"),
+            F.col("s.ts_us").alias("last_ts_us"),
+        )
+        .orderBy("user_id")
+    )
