@@ -82,6 +82,8 @@ HEADLINE = [
     "bucketed_colocated_join",
     "grouping_sets_revenue",
     "stats_corr_matrix",
+    "t13_stream_cdc_upsert",
+    "s8_python_datasource_feed",
 ]
 
 

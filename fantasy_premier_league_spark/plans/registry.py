@@ -77,6 +77,7 @@ NEW_THIS_ROUND: list[str] = [
     "stats_corr_matrix",
     "bucketed_colocated_join",
     "t13_stream_cdc_upsert",
+    "s8_python_datasource_feed",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -108,6 +109,7 @@ SAMPLE_PRIORITY: list[str] = [
     "stats_corr_matrix",
     "bucketed_colocated_join",
     "t13_stream_cdc_upsert",
+    "s8_python_datasource_feed",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -195,6 +197,7 @@ def _load_all() -> None:
         textstats,
         tpch,
     )
+    from fantasy_premier_league_spark.sources import py_datasource  # noqa: F401
     from fantasy_premier_league_spark.streaming import queries as streaming_queries  # noqa: F401
 
 
