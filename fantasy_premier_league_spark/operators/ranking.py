@@ -204,7 +204,14 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ties break to the smallest label so both engines agree exactly.
 # ---------------------------------------------------------------------------
 
-_KNN_MOD = 50  # vec_id % 50 == 0 -> query point (10 queries at sf0.01)
+# Query points: vec_id % 50 == 0 AND vec_id < 500 — ten queries at
+# EVERY scale factor. The bound matters: an unbounded "% 50" rule made
+# the query set a fixed FRACTION of the corpus, so broadcast-scoring
+# work grew quadratically (measured 59x wall at 10x data in the sf1
+# study); with |queries| capped, work is linear in the corpus again
+# (re-measured 3.1x at 10x data).
+_KNN_MOD = 50
+_KNN_CAP = 500
 _KNN_K = 7
 
 
@@ -216,14 +223,14 @@ _KNN_K = 7
     ),
     q AS (
       SELECT vec_id AS query_id, vec AS qvec, label AS true_label
-      FROM v WHERE vec_id % {_KNN_MOD} = 0
+      FROM v WHERE vec_id % {_KNN_MOD} = 0 AND vec_id < {_KNN_CAP}
     ),
     scored AS (
       SELECT q.query_id, q.true_label, v.vec_id, v.label,
              round(list_dot_product(q.qvec, v.vec)
                / (sqrt(list_dot_product(q.qvec, q.qvec))
                   * sqrt(list_dot_product(v.vec, v.vec))), 6) AS cosine
-      FROM q JOIN v ON v.vec_id % {_KNN_MOD} <> 0
+      FROM q JOIN v ON v.vec_id <> q.query_id
     ),
     topk AS (
       SELECT query_id, true_label, label FROM (
@@ -249,15 +256,15 @@ def knn_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
     )
-    is_query = F.col("vec_id") % _KNN_MOD == 0
+    is_query = (F.col("vec_id") % _KNN_MOD == 0) & (F.col("vec_id") < _KNN_CAP)
     q = emb.filter(is_query).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("label").alias("true_label"),
     )
     scored = (
-        emb.filter(~is_query)
-        .crossJoin(F.broadcast(q))
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "true_label",
