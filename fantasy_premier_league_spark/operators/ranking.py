@@ -81,6 +81,12 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |terms|-row aggregates: both broadcast, so the corpus-side plan
     # stays one pass (tokenize -> in-array filter -> explode -> agg).
     stats = d.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # materialize tf ONCE: it feeds both the df aggregate and the score
+    # join, and its grouping keys differ between the two consumers, so
+    # without the checkpoint Catalyst re-runs the tokenize+explode
+    # corpus scan per consumer (3 scans observed; 2 after — the
+    # remaining stats scan is a separate column-pruned aggregate).
+    # tf is tiny: <= |terms| rows per matching document.
     tf = (
         d.select(
             "doc_id",
@@ -89,6 +95,7 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))

@@ -171,6 +171,7 @@ SLOW_TO_BUILD = {
     "t9_session_window_stream",
     "t11_socket_roundtrip",
     "t12_stream_outer_join",
+    "t13_stream_cdc_upsert",
     "dedup_cluster_components",
 }
 
@@ -389,4 +390,69 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     plan = plan_of(build(spark, "docs_decontaminate"))
     assert "BroadcastExchange" in plan, (
         f"decontamination: eval n-gram inventory must broadcast:\n{plan}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global window-partitioning fence (round 6): an ORDERED window with no
+# PARTITION BY moves the entire input to one task — the classic silent
+# scale-killer (every prior round's verdict hand-audited these). The
+# only admissible unpartitioned+ordered windows run over inputs bounded
+# by something other than data volume; each is named here with its
+# bound. Everything else must partition.
+# ---------------------------------------------------------------------------
+
+GLOBAL_WINDOW_OK = {
+    "docs_pack_sequences",       # |blocks|-row broadcast offset table
+    "ml_kmeans_profiles",        # k centroid rows
+    "sql_frontend_running_total",  # |days| pre-aggregate (shared SQL dialect)
+    "text_bm25_rank",            # rank over the top-20 AFTER TakeOrdered
+    "w3_cumulative_users",       # |days| pre-aggregate
+}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    groups, depth, start = [], 0, None
+    for i, c in enumerate(s):
+        if c == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start + 1 : i])
+    return groups
+
+
+def _unpartitioned_ordered_windows(plan: str) -> int:
+    """Count Window operators whose Arguments carry an ordering spec but
+    no partition spec (formatted explain prints [funcs], [partition],
+    [order]; a missing partition leaves 2 groups with ASC/DESC in the
+    second)."""
+    n = 0
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.fullmatch(r"\(\d+\) Window(Exec)?", ln.strip()):
+            for j in range(i + 1, min(i + 4, len(lines))):
+                arg = lines[j].strip()
+                if arg.startswith("Arguments:"):
+                    g = _top_level_groups(arg)
+                    if len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1]):
+                        n += 1
+                    break
+    return n
+
+
+@pytest.mark.parametrize("name", _buildable_names())
+def test_no_unpartitioned_ordered_window(spark, name):
+    plan = plan_of(all_queries()[name](spark, SF))
+    n = _unpartitioned_ordered_windows(plan)
+    if name in GLOBAL_WINDOW_OK:
+        return  # bounded by design, documented above
+    assert n == 0, (
+        f"{name}: {n} ordered window(s) with no PARTITION BY — the whole "
+        f"input funnels through one task at scale. Partition the window, "
+        f"or add to GLOBAL_WINDOW_OK with the row-count bound that makes "
+        f"it safe.\n{plan}"
     )
