@@ -84,6 +84,7 @@ HEADLINE = [
     "stats_corr_matrix",
     "t13_stream_cdc_upsert",
     "s8_python_datasource_feed",
+    "text_repetition_stats",
 ]
 
 

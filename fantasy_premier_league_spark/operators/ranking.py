@@ -299,3 +299,114 @@ def knn_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "true_label", "predicted_label", "n_votes")
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition + entropy quality signals (the Gopher/MassiveText filter
+# family, Rae et al. 2021 appendix A1.1): top-token fraction, duplicate
+# bigram fraction, and token-distribution entropy per document. These
+# are the standard "degenerate text" detectors a corpus pipeline runs
+# after the cheap length/stopword filters (text_quality_filter).
+#
+# Scale shape: bigram stats are pure per-row array expressions (no
+# shuffle at all); term counts go through one explode + two aggregates
+# co-partitioned on doc_id. The repetitive flag compares exact integer
+# ratios, so it cannot flip across engines; only the entropy (a
+# per-doc float sum) needs rounding.
+# ---------------------------------------------------------------------------
+
+_TOP_TOKEN_MAX = 0.2  # > 20% of tokens the same word -> repetitive
+_DUP_BIGRAM_MAX = 0.5  # > 50% repeated bigrams -> repetitive
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(toks) AS term FROM d
+      ) GROUP BY doc_id, term
+    ),
+    per_doc AS (
+      SELECT doc_id, max(cnt) AS max_tf,
+             sum(cnt * ln(cnt)) AS sum_clnc
+      FROM tf GROUP BY doc_id
+    ),
+    big AS (
+      SELECT doc_id, n,
+             n - 1 AS n_bigrams,
+             len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                for i in range(1, greatest(len(toks), 1))]))
+               AS n_distinct_bigrams
+      FROM d
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           round(CAST(p.max_tf AS DOUBLE) / b.n, 6) AS top_token_frac,
+           round(1 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6)
+             AS dup_bigram_frac,
+           round(ln(b.n) - p.sum_clnc / b.n, 6) AS token_entropy,
+           (p.max_tf * 5 > b.n)
+             OR ((b.n_bigrams - b.n_distinct_bigrams) * 2 > b.n_bigrams)
+             AS repetitive
+    FROM big b JOIN per_doc p USING (doc_id)
+    WHERE b.n >= 2
+    ORDER BY b.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.max("cnt").alias("max_tf"),
+        F.sum(F.col("cnt") * F.log("cnt")).alias("sum_clnc"),
+    )
+    shifted = F.slice(F.col("toks"), 2, F.greatest(F.col("n") - 1, F.lit(0)))
+    bigrams = F.slice(
+        F.zip_with(F.col("toks"), shifted, lambda a, b: F.concat_ws(" ", a, b)),
+        1,
+        F.col("n") - 1,
+    )
+    big = d.select(
+        "doc_id",
+        "n",
+        (F.col("n") - 1).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    # integer-arithmetic flags (max_tf*5 > n, dup*2 > n_bigrams): the
+    # thresholds {_TOP_TOKEN_MAX}/{_DUP_BIGRAM_MAX} as exact ratios, so
+    # the boolean can never flip on a float rounding boundary.
+    return (
+        big.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            rounded(F.col("max_tf").cast("double") / F.col("n"), 6).alias(
+                "top_token_frac"
+            ),
+            rounded(
+                1 - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams"), 6
+            ).alias("dup_bigram_frac"),
+            rounded(F.log("n") - F.col("sum_clnc") / F.col("n"), 6).alias(
+                "token_entropy"
+            ),
+            (
+                (F.col("max_tf") * 5 > F.col("n"))
+                | ((F.col("n_bigrams") - F.col("n_distinct_bigrams")) * 2 > F.col("n_bigrams"))
+            ).alias("repetitive"),
+        )
+        .orderBy("doc_id")
+    )

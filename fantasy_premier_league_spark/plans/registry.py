@@ -78,6 +78,7 @@ NEW_THIS_ROUND: list[str] = [
     "bucketed_colocated_join",
     "t13_stream_cdc_upsert",
     "s8_python_datasource_feed",
+    "text_repetition_stats",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -110,6 +111,7 @@ SAMPLE_PRIORITY: list[str] = [
     "bucketed_colocated_join",
     "t13_stream_cdc_upsert",
     "s8_python_datasource_feed",
+    "text_repetition_stats",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
