@@ -29,6 +29,8 @@ equi hash joins on playerId, master.py:364-372); they are the
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -642,37 +644,40 @@ def _bucket_tag(sf_dir: str) -> str:
 def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """lineitem + orders as bucketed catalog tables (written on first
     use per sf_dir; reused — catalog metadata is what makes the
-    bucketed scan exchange-free)."""
+    bucketed scan exchange-free).
+
+    The tables are EXTERNAL with an explicit scratch path: this query
+    also runs under harness-owned SparkSessions whose warehouse dir may
+    default to ./spark-warehouse in an arbitrary (possibly read-only)
+    cwd — an explicit tempdir location makes the layout independent of
+    session config."""
+    import shutil
+    import tempfile
+
     tag = _bucket_tag(sf_dir)
     lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    root = os.path.join(tempfile.gettempdir(), "fpl_spark_buckets")
     if tag not in _BUCKETED or not spark.catalog.tableExists(lt):
-        # a previous session's managed-table directory may survive in
-        # the scratch warehouse while the (in-memory) catalog entry did
-        # not — clear it or saveAsTable fails with LOCATION_ALREADY_EXISTS
-        import shutil
-
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
-        for tbl in (lt, ot):
-            if not spark.catalog.tableExists(tbl) and warehouse:
-                shutil.rmtree(f"{warehouse}/{tbl}", ignore_errors=True)
-        (
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_extendedprice", "l_discount")
-            .write.bucketBy(_N_BUCKETS, "l_orderkey")
-            .sortBy("l_orderkey")
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(lt)
-        )
-        (
-            load_table(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_orderpriority")
-            .write.bucketBy(_N_BUCKETS, "o_orderkey")
-            .sortBy("o_orderkey")
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(ot)
-        )
+        specs = [
+            (lt, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey"),
+            (ot, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey"),
+        ]
+        for tbl, src, cols, key in specs:
+            path = os.path.join(root, tbl)
+            # a previous session's files may survive while the
+            # (in-memory) catalog entry did not — clear both or
+            # saveAsTable fails with LOCATION_ALREADY_EXISTS
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(path, ignore_errors=True)
+            (
+                load_table(spark, sf_dir, src)
+                .select(*cols)
+                .write.bucketBy(_N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
         _BUCKETED.add(tag)
     return spark.table(lt), spark.table(ot)
 
