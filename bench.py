@@ -85,6 +85,7 @@ HEADLINE = [
     "t13_stream_cdc_upsert",
     "s8_python_datasource_feed",
     "text_repetition_stats",
+    "dedup_prefix_filter_pairs",
 ]
 
 

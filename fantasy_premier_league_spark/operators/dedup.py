@@ -709,3 +709,90 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc1", "doc2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (AllPairs/PPJoin probe prefix;
+# Bayardo et al. WWW'07, Xiao et al. WWW'08): for Jaccard >= t, two
+# sets must share a token within their first |s| - ceil(t*|s|) + 1
+# tokens under ANY global total order — so the inverted index is built
+# over PREFIXES only. Ordering tokens rarest-first makes those prefixes
+# the rarest tokens, collapsing posting-list sizes; the exact Jaccard
+# then verifies candidates only.
+#
+# Unlike the df-cap (dedup_ngram_jaccard) and LSH (minhash/simhash)
+# tiers, prefix filtering is LOSSLESS — and the oracle is the
+# brute-force all-pairs Jaccard, so losslessness is itself the
+# differential gate: any missed pair hash-mismatches.
+#
+# Scale: one shuffle on shingle (df), one on doc_id (per-doc rank),
+# the candidate join runs on prefix posting lists (O((1-t)|s|) tokens
+# per doc), and verification touches candidates only.
+# ---------------------------------------------------------------------------
+
+_PF_T = 0.5
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL.replace("shingles", "s")}),
+    nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {_PF_T}
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = (
+        doc_shingles(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.size("shingles").alias("sz"))
+        .localCheckpoint(eager=False)  # feeds posting build AND verify
+    )
+    posting = sets.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
+    dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    # global rarest-first total order (df, shingle); per-doc rank under
+    # it selects the probe prefix |s| - ceil(t|s|) + 1
+    ranked = posting.join(dfreq.hint("shuffle_hash"), "shingle").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(_PF_T * F.col("sz")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            prefix.alias("b").hint("shuffle_hash"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    verify = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("s1"), F.col("sz").alias("sz1")).hint("shuffle_hash"),
+            "doc1",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("s2"), F.col("sz").alias("sz2")).hint("shuffle_hash"),
+            "doc2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+    )
+    jac = F.col("inter").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
+    return (
+        verify.filter(jac >= _PF_T)
+        .select("doc1", "doc2", rounded(jac, 6).alias("jaccard"))
+        .orderBy("doc1", "doc2")
+    )

@@ -79,6 +79,7 @@ NEW_THIS_ROUND: list[str] = [
     "t13_stream_cdc_upsert",
     "s8_python_datasource_feed",
     "text_repetition_stats",
+    "dedup_prefix_filter_pairs",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -112,6 +113,7 @@ SAMPLE_PRIORITY: list[str] = [
     "t13_stream_cdc_upsert",
     "s8_python_datasource_feed",
     "text_repetition_stats",
+    "dedup_prefix_filter_pairs",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
