@@ -294,3 +294,71 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(energy_batches, schema=_ENERGY_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize stage (the remaining stage of the brief's decode /
+# feature-extract / resize / frame-sample list): aspect-preserving
+# fit into a 224x224 budget — the canonical vision-model preprocessing
+# step. The pixel transform itself is the STUB part (a real deployment
+# calls Pillow's img.resize at the marked site); the target-geometry
+# arithmetic is exact integer floor math, so the DuckDB oracle verifies
+# the whole Arrow pipeline without a codec. Runs as a second
+# mapInPandas stage OVER the decode stage — the composed
+# Python->Python plan a real preprocessing pipeline has (Spark fuses
+# adjacent mapInPandas stages into one Python worker pass).
+# ---------------------------------------------------------------------------
+
+_RESIZE_TARGET = 224
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, kind string, width bigint, height bigint, "
+    "target_w bigint, target_h bigint, out_bytes bigint"
+)
+
+
+def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: decoded props in, resize geometry out.
+
+    A real implementation resizes pixel buffers here (img.resize
+    ((tw, th))); the stub emits the geometry a resize would produce.
+    """
+    for pdf in batches:
+        longest = pdf[["width", "height"]].max(axis=1)
+        tw = (pdf["width"] * _RESIZE_TARGET // longest).clip(lower=1)
+        th = (pdf["height"] * _RESIZE_TARGET // longest).clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "target_w": tw,
+                "target_h": th,
+                "out_bytes": tw * th * 3,
+            }
+        )
+
+
+@register(
+    "mm_image_resize",
+    oracle=f"""
+    WITH d AS ({_DECODED_SQL}),
+    r AS (
+      SELECT doc_id, kind, width, height,
+             greatest(width * {_RESIZE_TARGET} // greatest(width, height), 1)
+               AS target_w,
+             greatest(height * {_RESIZE_TARGET} // greatest(width, height), 1)
+               AS target_h
+      FROM d
+    )
+    SELECT doc_id, kind, width, height, target_w, target_h,
+           target_w * target_h * 3 AS out_bytes
+    FROM r ORDER BY doc_id
+    """,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = decoded_media(spark, sf_dir).mapInPandas(
+        resize_batches, schema=_RESIZE_SCHEMA
+    )
+    return resized.orderBy("doc_id")

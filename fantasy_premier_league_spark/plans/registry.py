@@ -80,6 +80,7 @@ NEW_THIS_ROUND: list[str] = [
     "s8_python_datasource_feed",
     "text_repetition_stats",
     "dedup_prefix_filter_pairs",
+    "mm_image_resize",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -114,6 +115,7 @@ SAMPLE_PRIORITY: list[str] = [
     "s8_python_datasource_feed",
     "text_repetition_stats",
     "dedup_prefix_filter_pairs",
+    "mm_image_resize",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
