@@ -62,7 +62,9 @@ def canonical_rows(columns: list[str], rows: Iterable[tuple]) -> list[tuple[str,
     return sorted(out)
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> int:
+    """Differential check; returns the (matching) row count so callers
+    can additionally reject vacuous 0=0 passes."""
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
@@ -79,3 +81,4 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
             (a, b) for a, b in zip(s_canon, d_canon) if a != b
         ][:5]
         raise AssertionError(f"values differ; first diffs (spark vs duckdb): {diffs}")
+    return len(s_rows)

@@ -30,7 +30,13 @@ def test_query_matches_oracle(spark, duck, name, fn, oracle):
     if oracle is None:
         assert df.count() >= 0  # rows-only check, like the driver
     else:
-        compare(df, duck, oracle)
+        n = compare(df, duck, oracle)
+        # the driver regenerates testdata between rounds: a drifted
+        # literal predicate (brand, priority, date range) can silently
+        # empty a query and 0=0 still hash-matches. No registered query
+        # legitimately returns an empty result at sf0.01 today, so an
+        # empty match is a data-drift canary, not a pass.
+        assert n > 0, f"{name}: vacuous 0-row parity (testdata drift?)"
 
 
 def test_entry_smoke(spark):
