@@ -142,6 +142,11 @@ SAMPLE_PRIORITY: list[str] = [
     "j1_broadcast_dim_join",
     "j2_stream_static_join",
     "j4_pair_generation",
+    # NOTE round 7: the 22 round-6-new queries filled the head past 50,
+    # pushing the r2-stale tail from f4_predicate_search onward out of
+    # the r6 sample (new-query verification outranks staleness, rule 2
+    # > rule 3). Those five r2-stale rows (f4, f5, j1, j2, j4) MUST
+    # lead the round-7 head, ahead of any round-7 additions.
     # --- fill: least-recently-verified r4 tail (rule 4) ---
     "fpl_req1_win_prediction",
     "fpl_t5_stateful_stream",
