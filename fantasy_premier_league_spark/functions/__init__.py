@@ -5,5 +5,17 @@ from fantasy_premier_league_spark.functions.scalars import (
     rounded,
     safe_div,
 )
+from fantasy_premier_league_spark.functions.tuning import (
+    scoped_conf,
+    sized_loop_partitions,
+)
 
-__all__ = ["epoch_secs", "epoch_us", "fixed_units", "rounded", "safe_div"]
+__all__ = [
+    "epoch_secs",
+    "epoch_us",
+    "fixed_units",
+    "rounded",
+    "safe_div",
+    "scoped_conf",
+    "sized_loop_partitions",
+]

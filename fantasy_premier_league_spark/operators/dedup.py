@@ -572,27 +572,33 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # the loop runs 2 joins + 1 agg PER ROUND over the (usually small)
+    # label table: size the per-round reducers to the edge count, not
+    # the session default (count is free on the checkpointed edges)
+    from fantasy_premier_league_spark.functions import sized_loop_partitions
+
     prev_sum = None
     converged = False
-    for rnd in range(1, _MAX_ROUNDS + 1):
-        jumped = _cc_round(edges, labels)
-        if rnd % _CKPT_EVERY == 0:
-            jumped = jumped.localCheckpoint(eager=False)
-        else:
-            jumped = jumped.cache()
-        # single scalar action per round: materializes `jumped` and
-        # reads the monotone checksum (labels only ever decrease, so an
-        # unchanged sum == no label moved == fixpoint)
-        cur_sum = jumped.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
-        labels = jumped
-        if cur_sum is None:  # empty candidate graph: trivially converged
-            converged = True
-            break
-        if prev_sum is not None and cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+    with sized_loop_partitions(spark, edges.count()):
+        for rnd in range(1, _MAX_ROUNDS + 1):
+            jumped = _cc_round(edges, labels)
+            if rnd % _CKPT_EVERY == 0:
+                jumped = jumped.localCheckpoint(eager=False)
+            else:
+                jumped = jumped.cache()
+            # single scalar action per round: materializes `jumped` and
+            # reads the monotone checksum (labels only ever decrease, so
+            # an unchanged sum == no label moved == fixpoint)
+            cur_sum = jumped.agg(F.sum("lbl")).collect()[0][0]
+            labels.unpersist()
+            labels = jumped
+            if cur_sum is None:  # empty candidate graph: trivially converged
+                converged = True
+                break
+            if prev_sum is not None and cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"connected components did not converge in {_MAX_ROUNDS} rounds"

@@ -86,6 +86,32 @@ def _oracle() -> str:
     )
 
 
+def _pagerank_iteration(
+    contrib_base: DataFrame, nodes: DataFrame, ranks: DataFrame, base_units: int
+) -> DataFrame:
+    """One PageRank iteration. Factored out so the plan test can pin
+    the PER-ITERATION physical shape (rank vector broadcast into the
+    edge scan, zero SortMergeJoin) — the returned query's own plan is
+    just a scan of the final checkpointed vector."""
+    contribs = (
+        contrib_base.join(F.broadcast(ranks), contrib_base.src == ranks.v)
+        # integer floor-division per edge: exact, order-independent
+        .select(F.col("dst"), F.expr("u div outdeg").alias("w"))
+        .groupBy("dst")
+        .agg(F.sum("w").alias("mass"))
+    )
+    return (
+        nodes.join(F.broadcast(contribs), nodes.v == contribs.dst, "left_outer")
+        .select("v", F.coalesce(F.col("mass"), F.lit(0)).alias("mass"))
+        .select(
+            "v",
+            (F.lit(base_units) + F.expr(f"({_D_NUM} * mass) div {_D_DEN}"))
+            .cast("long")
+            .alias("u"),
+        )
+    )
+
+
 @register("graph_pagerank", oracle=_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -124,27 +150,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the node set itself outgrows broadcast, drop the hint and the
     # pre-partitioned contrib_base turns this into a co-located join.
     ranks = nodes.select("v", F.lit(_GRID // n).cast("long").alias("u"))
-    for i in range(_ITERS):
-        contribs = (
-            contrib_base.join(F.broadcast(ranks), contrib_base.src == ranks.v)
-            # integer floor-division per edge: exact, order-independent
-            .select(F.col("dst"), F.expr("u div outdeg").alias("w"))
-            .groupBy("dst")
-            .agg(F.sum("w").alias("mass"))
-        )
-        ranks = (
-            nodes.join(F.broadcast(contribs), nodes.v == contribs.dst, "left_outer")
-            .select("v", F.coalesce(F.col("mass"), F.lit(0)).alias("mass"))
-            .select(
-                "v",
-                (
-                    F.lit(base_units)
-                    + F.expr(f"({_D_NUM} * mass) div {_D_DEN}")
-                ).cast("long").alias("u"),
-            )
-        )
-        if (i + 1) % 2 == 0 and i + 1 < _ITERS:
-            ranks = ranks.localCheckpoint()  # truncate lineage growth
+    # per-iteration reducers sized to the edge count (the groupBy(dst)
+    # is the only shuffle per iteration; session-default reducer counts
+    # pay pure scheduling overhead on small working sets, and a 100 TB
+    # edge list gets the session setting back)
+    from fantasy_premier_league_spark.functions import sized_loop_partitions
+
+    with sized_loop_partitions(spark, contrib_base.count()):
+        for i in range(_ITERS):
+            ranks = _pagerank_iteration(contrib_base, nodes, ranks, base_units)
+            if (i + 1) % 2 == 0 and i + 1 < _ITERS:
+                ranks = ranks.localCheckpoint()  # truncate lineage growth
+        # materialize the last iteration INSIDE the scope: the caller's
+        # action would otherwise run the tail shuffles under the
+        # restored session conf (conf is read at execution, not at
+        # DataFrame construction); the final top-50 is then a
+        # TakeOrdered over the checkpointed vector
+        ranks = ranks.localCheckpoint()
 
     return (
         ranks.select(F.col("v").alias("node"), F.col("u").alias("rank_units"))

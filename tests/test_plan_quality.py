@@ -255,13 +255,23 @@ def test_bloom_probes_broadcast_and_fact_never_shuffles_early(spark):
 
 
 def test_pagerank_iterations_broadcast_rank_vector(spark):
-    plan = plan_of(build(spark, "graph_pagerank"))
+    """Pin the PER-ITERATION plan (the registered query now checkpoints
+    the final vector inside its loop-partition scope, so its own plan
+    is a checkpoint scan + TakeOrdered)."""
+    from fantasy_premier_league_spark.operators.graph import _pagerank_iteration
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, outdeg long"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",)], "v string")
+    ranks = nodes.selectExpr("v", "CAST(1000 AS LONG) AS u")
+    plan = plan_of(_pagerank_iteration(edges, nodes, ranks, 1))
     assert "SortMergeJoin" not in plan, (
-        f"graph_pagerank: an iteration shuffles the edge list instead of "
+        f"pagerank iteration shuffles the edge list instead of "
         f"broadcasting the rank vector:\n{plan}"
     )
-    assert plan.count("BroadcastHashJoin") >= 3, (
-        "graph_pagerank: expected one broadcast join per iteration"
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        f"pagerank iteration: contrib and fan-back joins must broadcast:\n{plan}"
     )
 
 
