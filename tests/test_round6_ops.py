@@ -72,3 +72,18 @@ def test_knn_query_set_is_bounded(spark):
     assert rows, "no query points resolved"
     for r in rows:
         assert r.query_id % _KNN_MOD == 0 and r.query_id < _KNN_CAP
+
+
+def test_sized_loop_partitions_clamps(spark):
+    """The loop-reducer sizing must floor at 4 (toy data), ceiling at
+    the session setting (100 TB working sets keep full parallelism),
+    and always restore the session conf."""
+    from fantasy_premier_league_spark.functions import sized_loop_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    session_parts = int(spark.conf.get(key))
+    with sized_loop_partitions(spark, 10) as p:
+        assert p == 4 and int(spark.conf.get(key)) == 4
+    with sized_loop_partitions(spark, 10**9) as p:
+        assert p == session_parts
+    assert int(spark.conf.get(key)) == session_parts
