@@ -765,3 +765,38 @@ def j8_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("one_sided"),
     ).orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# C13: semi-structured data through the Spark 4 VARIANT type — the
+# modern replacement for string-JSON hot paths (binary-encoded, typed
+# path access, no per-row re-parse). The reference re-parses JSON per
+# record per access (master.py:37,45,71); c1_json_extract shows the
+# from_json/schema route; this shows parse_json -> try_variant_get,
+# which at 100 TB is the column you'd MATERIALIZE once at ingest and
+# then path-query many times without string parsing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c13_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events
+    GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+    ORDER BY event_type, k_bucket
+    """,
+)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+        .orderBy("event_type", "k_bucket")
+    )

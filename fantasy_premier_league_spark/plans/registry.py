@@ -81,6 +81,7 @@ NEW_THIS_ROUND: list[str] = [
     "text_repetition_stats",
     "dedup_prefix_filter_pairs",
     "mm_image_resize",
+    "c13_variant_json",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -116,6 +117,7 @@ SAMPLE_PRIORITY: list[str] = [
     "text_repetition_stats",
     "dedup_prefix_filter_pairs",
     "mm_image_resize",
+    "c13_variant_json",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -142,11 +144,12 @@ SAMPLE_PRIORITY: list[str] = [
     "j1_broadcast_dim_join",
     "j2_stream_static_join",
     "j4_pair_generation",
-    # NOTE round 7: the 22 round-6-new queries filled the head past 50,
-    # pushing the r2-stale tail from f4_predicate_search onward out of
+    # NOTE round 7: the 23 round-6-new queries filled the head past 50,
+    # pushing the r2-stale tail from a2a3_pricing_summary onward out of
     # the r6 sample (new-query verification outranks staleness, rule 2
-    # > rule 3). Those five r2-stale rows (f4, f5, j1, j2, j4) MUST
-    # lead the round-7 head, ahead of any round-7 additions.
+    # > rule 3). Those seven r2-stale rows (a2a3 — also covered every
+    # round by the entry() smoke — f3, f4, f5, j1, j2, j4) MUST lead
+    # the round-7 head, ahead of any round-7 additions.
     # --- fill: least-recently-verified r4 tail (rule 4) ---
     "fpl_req1_win_prediction",
     "fpl_t5_stateful_stream",
