@@ -86,6 +86,8 @@ HEADLINE = [
     "s8_python_datasource_feed",
     "text_repetition_stats",
     "dedup_prefix_filter_pairs",
+    "mm_image_resize",
+    "c13_variant_json",
 ]
 
 
