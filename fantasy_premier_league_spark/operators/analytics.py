@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fantasy_premier_league_spark.functions import fixed_units, rounded
+from fantasy_premier_league_spark.functions import epoch_us, fixed_units, rounded
 from fantasy_premier_league_spark.plans.registry import register
 from fantasy_premier_league_spark.sources.testdata import load_table
 
@@ -761,3 +761,135 @@ def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# W6: lag/lead navigation — per-user event deltas (value change, time
+# gap, next action). The one classic window family w1–w5 didn't cover.
+# Same single-shuffle shape as w2: one partition by user_id, one total
+# order (ts, event_id), all three navigation functions evaluate in one
+# sorted pass (Spark fuses same-spec windows). Value deltas in exact
+# cents (fixed_units) so subtraction is integer; time gaps in exact
+# microseconds (epoch_us) — nothing floating anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w6_lag_lead_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT)
+             AS gap_us,
+           CAST(coalesce(CAST(round(value*100) AS BIGINT)
+                         - lag(CAST(round(value*100) AS BIGINT)) OVER w, 0) AS BIGINT)
+             AS delta_cents,
+           coalesce(lead(event_type) OVER w, 'none') AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+)
+def w6_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = fixed_units(F.col("value"))
+    us = epoch_us("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.coalesce(us - F.lag(us).over(w), F.lit(-1)).cast("long").alias("gap_us"),
+        F.coalesce(cents - F.lag(cents).over(w), F.lit(0)).cast("long").alias("delta_cents"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("none")).alias("next_type"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group mode: the most frequent cent-value per event
+# type, smallest value breaking ties (both engines' built-in mode()
+# picks an ARBITRARY tie survivor, so the tie rule is written out as
+# max-count-then-min-value — the only cross-engine-stable form). Two
+# partial-agg-friendly groupBys and one broadcast join of a |groups|-
+# row table; no windows, no sorts over the fact table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mode_per_key",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, max(n) AS max_n FROM c GROUP BY 1)
+    SELECT c.event_type AS event_type,
+           CAST(min(c.cents) AS BIGINT) AS mode_cents,
+           CAST(min(c.n) AS BIGINT) AS n_occurrences
+    FROM c JOIN m ON c.event_type = m.event_type AND c.n = m.max_n
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+)
+def stats_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", fixed_units(F.col("value")).alias("cents")).agg(
+        F.count("*").alias("n")
+    )
+    maxes = counts.groupBy("event_type").agg(F.max("n").alias("max_n")).select(
+        F.col("event_type").alias("m_event_type"), "max_n"
+    )
+    return (
+        counts.join(
+            F.broadcast(maxes),
+            (F.col("event_type") == F.col("m_event_type")) & (F.col("n") == F.col("max_n")),
+        )
+        .select("event_type", "cents", "n")
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("mode_cents"), F.min("n").alias("n_occurrences"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt: the inverse of pivot_status_revenue. A wide
+# per-priority measure table (sum / count / max, exact cents) melts
+# into (priority, measure, value) long form via Spark's native unpivot
+# — the reshape every metrics store and plotting layer needs. The wide
+# input is |priorities| rows, so the unpivot itself is driver-free
+# constant work; the only real cost is the one aggregation producing
+# it. Oracle: the textbook UNION ALL expansion.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_priority_measures",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority AS priority,
+             CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, measure, value FROM (
+      SELECT priority, 'total_cents' AS measure, total_cents AS value FROM wide
+      UNION ALL
+      SELECT priority, 'n_orders', n_orders FROM wide
+      UNION ALL
+      SELECT priority, 'max_cents', max_cents FROM wide
+    ) ORDER BY priority, measure
+    """,
+)
+def unpivot_priority_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = fixed_units(F.col("o_totalprice"))
+    wide = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum(cents).alias("total_cents"),
+        F.count("*").alias("n_orders"),
+        F.max(cents).alias("max_cents"),
+    )
+    return wide.unpivot(
+        ids=["priority"],
+        values=["total_cents", "n_orders", "max_cents"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("priority", "measure")

@@ -802,3 +802,111 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2", rounded(jac, 6).alias("jaccard"))
         .orderBy("doc1", "doc2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (line-level) exact dedup, CCNet / Lee-et-al style: the
+# corpus-wide pass that removes REPEATED SPANS (boilerplate, headers,
+# duplicated passages) from otherwise-unique documents, not whole-doc
+# copies. Documents here are single-space word streams with no line
+# breaks, so the "line" unit is a fixed window of _CHUNK_TOKENS
+# consecutive tokens -- same shape, same plan.
+#
+# Scale design: one shuffle partitioned by chunk TEXT decides first
+# occurrence (the window over a chunk group is bounded by that chunk's
+# global frequency -- the heavy tail is exactly the boilerplate being
+# removed, and the min() aggregate over it is a partial-agg-friendly
+# reduction, not a sort); one shuffle by doc_id reassembles. The
+# rebuilt text never round-trips through the driver, and the output
+# carries an md5 of the cleaned text rather than the text itself so the
+# result stays O(rows), not O(corpus bytes).
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 8
+_CHUNK_POS = 1 << 20  # doc chunk index packed below doc_id, same guard idea as winnowing
+
+
+@register(
+    "dedup_chunk_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+             array_to_string(t[(u.i*{_CHUNK_TOKENS}+1):(u.i*{_CHUNK_TOKENS}+{_CHUNK_TOKENS})], ' ') AS chunk
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(t)/{_CHUNK_TOKENS}.0) AS BIGINT)-1)) u(i)
+    ),
+    marked AS (
+      SELECT doc_id, idx, chunk,
+             CASE WHEN doc_id*{_CHUNK_POS}+idx =
+                       min(doc_id*{_CHUNK_POS}+idx) OVER (PARTITION BY chunk)
+                  THEN 1 ELSE 0 END AS kept
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN kept=1 THEN chunk END,
+                                   ' ' ORDER BY idx), '')) AS clean_digest,
+           CAST(length(coalesce(string_agg(CASE WHEN kept=1 THEN chunk END,
+                                           ' ' ORDER BY idx), '')) AS BIGINT) AS clean_chars
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove globally-repeated token chunks, keep first occurrence.
+
+    First occurrence is the (doc_id, chunk_idx)-minimal copy, encoded
+    as one packed BIGINT so the per-chunk decision is a single min()
+    (map-side combinable). The packed key needs idx < 2^20 -- enforced
+    with a filter on the token count like text_winnowing's guard, so an
+    oversized document drops out loudly in counts rather than silently
+    corrupting keys.
+
+    Capability extension (north star): the reference app has no corpus
+    operators; SURVEY 2.10 adds the LLM-pipeline tier this belongs to.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) < F.lit(_CHUNK_POS * _CHUNK_TOKENS)
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size("t") / _CHUNK_TOKENS).cast("int") - 1),
+                lambda i: F.array_join(F.slice("t", i * _CHUNK_TOKENS + 1, _CHUNK_TOKENS), " "),
+            )
+        ).alias("idx", "chunk"),
+    ).select("doc_id", F.col("idx").cast("long").alias("idx"), "chunk")
+    key = F.col("doc_id") * _CHUNK_POS + F.col("idx")
+    marked = chunks.withColumn(
+        "kept", (key == F.min(key).over(Window.partitionBy("chunk"))).cast("int")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("kept").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("idx", "kept", "chunk"))),
+                        lambda s: s["kept"] == 1,
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.md5(F.col("clean").cast("binary")).alias("clean_digest"),
+            F.length("clean").cast("long").alias("clean_chars"),
+        )
+        .orderBy("doc_id")
+    )

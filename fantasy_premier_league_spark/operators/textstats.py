@@ -749,3 +749,153 @@ def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(pct < rate).select("doc_id", "source", "lang").orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus unigram language-model scoring: the classic cheap "perplexity
+# proxy" quality signal -- score every document by the mean surprisal
+# of its tokens under the corpus's own unigram distribution (high =
+# rare-token-heavy / junk, low = stopword soup). Two aggregations and
+# one token-keyed join; nothing leaves the JVM.
+#
+# Cross-engine float discipline: ln() is not correctly-rounded and the
+# JVM and DuckDB libms may differ by 1 ulp, so per-token surprisal is
+# snapped to a 1e-9 grid ONCE (vocab-sized, ~thousands of values) and
+# every downstream aggregate is an exact BIGINT sum of grid units --
+# the same scaled-integer recipe as graph_pagerank. The final mean is
+# one correctly-rounded division per doc.
+#
+# Scale: the vocab table is Zipf-skewed but tiny relative to the
+# corpus (token-keyed join after per-doc pre-aggregation, so the fan-in
+# per hot token is |docs containing it|, not |occurrences|). At 100 TB
+# the vocab may exceed broadcast size -- shuffle_hash keeps the join
+# a hash build over the small side without a sort on the corpus side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY doc_id, token
+    ),
+    vocab AS (
+      SELECT token, CAST(sum(cnt) AS BIGINT) AS c FROM doc_tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+    units AS (
+      SELECT token,
+             CAST(round((ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                         - ln(CAST(c AS DOUBLE))) * 1000000000) AS BIGINT) AS u
+      FROM vocab
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+           round(CAST(sum(d.cnt * u.u) AS DOUBLE) / sum(d.cnt) / 1000000000
+                 * 1000000) / 1000000 AS mean_surprisal_nats
+    FROM doc_tok d JOIN units u USING (token)
+    GROUP BY d.doc_id ORDER BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tok = (
+        docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = doc_tok.groupBy("token").agg(F.sum("cnt").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    units = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            (F.log(F.col("total").cast("double")) - F.log(F.col("c").cast("double")))
+            * 1_000_000_000
+        )
+        .cast("long")
+        .alias("u"),
+    )
+    return (
+        doc_tok.join(units.hint("shuffle_hash"), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            rounded(
+                F.sum(F.col("cnt") * F.col("u")).cast("double")
+                / F.sum("cnt")
+                / 1_000_000_000,
+                6,
+            ).alias("mean_surprisal_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing weights: given per-source token
+# shares p_s, the sampling weights w_s = p_s^alpha / sum(p^alpha)
+# (alpha < 1 upsamples small high-quality sources -- the multilingual/
+# domain re-balancing rule from GPT-3/XLM-R-style training recipes).
+# The whole query is two low-cardinality aggregates over a corpus scan;
+# pow() output snaps to the 1e-9 grid (|sources| values) and the
+# normalization is integer-exact, same discipline as above.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7
+
+
+@register(
+    "docs_temperature_mix",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM src),
+    wu AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(pow(CAST(n_tokens AS DOUBLE)
+                            / (SELECT total FROM tot), {_MIX_ALPHA})
+                        * 1000000000) AS BIGINT) AS w_units
+      FROM src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / (SELECT total FROM tot)
+                 * 1000000) / 1000000 AS p_raw,
+           round(CAST(w_units AS DOUBLE) / (SELECT sum(w_units) FROM wu)
+                 * 1000000) / 1000000 AS p_mix
+    FROM wu ORDER BY source
+    """,
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tok(F.col("text")))).alias("n_tokens"),
+    )
+    total = src.agg(F.sum("n_tokens").alias("total"))
+    wu = src.crossJoin(F.broadcast(total)).withColumn(
+        "w_units",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double") / F.col("total"), F.lit(_MIX_ALPHA))
+            * 1_000_000_000
+        ).cast("long"),
+    )
+    wsum = wu.agg(F.sum("w_units").alias("w_total"))
+    return (
+        wu.crossJoin(F.broadcast(wsum))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            rounded(F.col("n_tokens").cast("double") / F.col("total"), 6).alias("p_raw"),
+            rounded(F.col("w_units").cast("double") / F.col("w_total"), 6).alias("p_mix"),
+        )
+        .orderBy("source")
+    )

@@ -82,6 +82,12 @@ NEW_THIS_ROUND: list[str] = [
     "dedup_prefix_filter_pairs",
     "mm_image_resize",
     "c13_variant_json",
+    "dedup_chunk_spans",
+    "docs_unigram_logprob",
+    "docs_temperature_mix",
+    "w6_lag_lead_delta",
+    "stats_mode_per_key",
+    "unpivot_priority_measures",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -118,6 +124,12 @@ SAMPLE_PRIORITY: list[str] = [
     "dedup_prefix_filter_pairs",
     "mm_image_resize",
     "c13_variant_json",
+    "dedup_chunk_spans",
+    "docs_unigram_logprob",
+    "docs_temperature_mix",
+    "w6_lag_lead_delta",
+    "stats_mode_per_key",
+    "unpivot_priority_measures",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
