@@ -88,6 +88,7 @@ NEW_THIS_ROUND: list[str] = [
     "w6_lag_lead_delta",
     "stats_mode_per_key",
     "unpivot_priority_measures",
+    "t14_stream_dedup_within_watermark",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -130,6 +131,7 @@ SAMPLE_PRIORITY: list[str] = [
     "w6_lag_lead_delta",
     "stats_mode_per_key",
     "unpivot_priority_measures",
+    "t14_stream_dedup_within_watermark",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",

@@ -719,3 +719,43 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T14: watermark-bounded KEY dedup -- dropDuplicatesWithinWatermark
+# (Spark 3.5+). Unlike t6, the event-time column is NOT part of the
+# dedup key: the key is (user_id, event_type) alone, and the state
+# store instead remembers each key only until the watermark passes the
+# first-seen event's time plus the delay. That is the API for "drop
+# retransmissions within the dedup horizon" feeds where duplicates
+# cluster in time -- state stays bounded by keys-per-horizon on an
+# unbounded 100 TB stream, while plain dropDuplicates on the same key
+# would pin every key forever. With the delay spanning the whole
+# fixture the result is exactly the global distinct key set, which is
+# what the batch oracle pins (which physical row survives per key is
+# arrival-order-dependent; the key set is not).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t14_stream_dedup_within_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dropDuplicatesWithinWatermark requires TIMESTAMP (not NTZ) event
+    # time; the cast interprets wall-clock in the session's fixed UTC
+    # zone and only feeds state-expiry bookkeeping -- the dedup KEY
+    # carries no time column, so the result set is cast-independent.
+    stream = (
+        _events_stream(spark, sf_dir)
+        .withColumn("wm_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("wm_ts", "3650 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        result = run_stream_to_memory(stream, output_mode="append")
+    return result.select("user_id", "event_type").orderBy("user_id", "event_type")
