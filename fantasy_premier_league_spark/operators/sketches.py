@@ -19,7 +19,7 @@ the estimate is bit-identical regardless of summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fantasy_premier_league_spark.functions import rounded
@@ -261,4 +261,178 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("est_count"))
         .orderBy(F.col("est_count").desc(), "tok")
         .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with SET OPERATIONS -- the
+# mergeable-sketch family member HLL and CMS don't cover: two KMV
+# sketches union by "merge and re-truncate to the k smallest", and the
+# fraction of the merged sketch present in both inputs estimates the
+# Jaccard, hence the intersection (Beyer et al., "On Synopses for
+# Distinct-Value Estimation Under Multiset Operations", SIGMOD'07).
+#
+# Per event type the entity set is "users with a >=90-value event of
+# that type". Build: one distinct-pair aggregation, then the k smallest
+# 60-bit md5 hashes per type via a rank<=k window -- Spark 3.5+ rewrites
+# that filter into WindowGroupLimit, so each map task forwards at most
+# k rows per type into the shuffle: the 100 TB-safe form of per-group
+# top-k (never a full sort of the group). Downstream everything runs on
+# |types|-row sketch tables.
+#
+# Like dedup_minhash_accuracy, the EXACT union/intersection ride along
+# as calibration columns; the estimator itself is gated cross-engine
+# (deterministic: md5 hashes, integer sketch contents, one correctly-
+# rounded division -- (k-1)*2^60 is a 5-bit-mantissa double, exact).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+
+
+@register(
+    "sketch_kmv_setops",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             user_id
+      FROM events WHERE value >= 90
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM act
+    ),
+    sk AS (
+      SELECT event_type,
+             list_sort(list(h)) AS sketch
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS exact_inter
+      FROM act a JOIN act b USING (user_id)
+      WHERE a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM act GROUP BY event_type
+    ),
+    m AS (
+      SELECT e.type_a, e.type_b, e.exact_inter,
+             na.n AS n_a, nb.n AS n_b,
+             list_sort(list_distinct(list_concat(a.sketch, b.sketch)))[1:{_KMV_K}] AS merged,
+             a.sketch AS sa, b.sketch AS sb
+      FROM exact e
+      JOIN sk a ON a.event_type = e.type_a
+      JOIN sk b ON b.event_type = e.type_b
+      JOIN sizes na ON na.event_type = e.type_a
+      JOIN sizes nb ON nb.event_type = e.type_b
+    ),
+    est AS (
+      SELECT type_a, type_b, n_a, n_b, exact_inter,
+             CASE WHEN len(merged) < {_KMV_K} THEN CAST(len(merged) AS DOUBLE)
+                  ELSE round(({_KMV_K} - 1) * pow(2.0, 60)
+                             / CAST(merged[{_KMV_K}] AS DOUBLE))
+             END AS est_union,
+             len(list_filter(merged,
+                 x -> list_contains(sa, x) AND list_contains(sb, x))) AS n_both,
+             len(merged) AS n_merged
+      FROM m
+    )
+    SELECT type_a, type_b, n_a, n_b,
+           CAST(n_a + n_b - exact_inter AS BIGINT) AS exact_union,
+           CAST(exact_inter AS BIGINT) AS exact_inter,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(round(CAST(n_both AS DOUBLE) / n_merged * est_union) AS BIGINT)
+             AS est_inter
+    FROM est ORDER BY type_a, type_b
+    """,
+)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = (
+        ev.filter(F.col("value") >= 90)
+        .select(
+            "event_type",
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    sk = (
+        act.withColumn("rn", rn)
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("h")).alias("sketch"))
+    )
+    sizes = act.groupBy("event_type").agg(F.count("*").alias("n"))
+    pairs = act.select(F.col("event_type").alias("type_a"), "user_id").join(
+        act.select(F.col("event_type").alias("type_b"), "user_id"), "user_id"
+    )
+    exact = (
+        pairs.filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("exact_inter"))
+    )
+    # all post-aggregation tables are |types| rows: broadcast every join
+    m = (
+        exact.join(
+            F.broadcast(sk.select(F.col("event_type").alias("type_a"), F.col("sketch").alias("sa"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sk.select(F.col("event_type").alias("type_b"), F.col("sketch").alias("sb"))),
+            "type_b",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .withColumn(
+            "merged",
+            F.slice(F.array_sort(F.array_distinct(F.concat("sa", "sb"))), 1, _KMV_K),
+        )
+    )
+    n_merged = F.size("merged")
+    est_union = F.when(
+        n_merged < _KMV_K, n_merged.cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1)) * F.pow(F.lit(2.0), F.lit(60.0))
+            / F.element_at("merged", _KMV_K).cast("double")
+        )
+    )
+    n_both = F.size(
+        F.filter(
+            F.col("merged"),
+            lambda x: F.array_contains("sa", x) & F.array_contains("sb", x),
+        )
+    )
+    return (
+        m.withColumn("est_union_d", est_union)
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("exact_inter")).alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.col("est_union_d").cast("long").alias("est_union"),
+            F.round(n_both.cast("double") / n_merged * F.col("est_union_d"))
+            .cast("long")
+            .alias("est_inter"),
+        )
+        .orderBy("type_a", "type_b")
     )

@@ -89,6 +89,7 @@ NEW_THIS_ROUND: list[str] = [
     "stats_mode_per_key",
     "unpivot_priority_measures",
     "t14_stream_dedup_within_watermark",
+    "sketch_kmv_setops",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -132,6 +133,7 @@ SAMPLE_PRIORITY: list[str] = [
     "stats_mode_per_key",
     "unpivot_priority_measures",
     "t14_stream_dedup_within_watermark",
+    "sketch_kmv_setops",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",

@@ -466,3 +466,15 @@ def test_no_unpartitioned_ordered_window(spark, name):
         f"or add to GLOBAL_WINDOW_OK with the row-count bound that makes "
         f"it safe.\n{plan}"
     )
+
+
+def test_kmv_topk_uses_window_group_limit(spark):
+    """sketch_kmv_setops' rank<=k filter must run as WindowGroupLimit
+    with a Partial stage BEFORE the shuffle -- each map task then
+    forwards at most k rows per group, which is what makes per-group
+    top-k survive 100 TB (a full per-group sort would not)."""
+    plan = plan_of(build(spark, "sketch_kmv_setops"), mode="simple")
+    assert "WindowGroupLimit" in plan, f"rank-limit pushdown missing:\n{plan}"
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or plan.count(
+        "WindowGroupLimit"
+    ) >= 2, f"no map-side (Partial) WindowGroupLimit stage:\n{plan}"
