@@ -893,3 +893,69 @@ def unpivot_priority_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).orderBy("priority", "measure")
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection via MAD (median absolute deviation): the
+# modified z-score |x - median| > 3.5 * 1.4826 * MAD, the estimator of
+# choice when the stream itself contains the outliers that would
+# corrupt a mean/stddev rule (stats_zscore_outliers is the classical
+# twin). Two median passes over exact cent integers: medians of
+# integers interpolate to dyadic halves -- exact in doubles on both
+# engines -- and the 1.4826 scaling is one correctly-rounded multiply,
+# so no grid snapping is needed anywhere.
+#
+# Scale note: exact per-group medians sort within |event_type| groups
+# (like stats_percentiles); at 100 TB the same readout comes from the
+# mergeable t-digest/histogram path (sketch_quantile_hist) -- this
+# query pins the exact semantics the sketch is calibrated against.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_mad_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents FROM events
+    ),
+    med AS (SELECT event_type, median(cents) AS med FROM c GROUP BY 1),
+    dev AS (
+      SELECT c.event_type, c.cents, abs(c.cents - m.med) AS adev
+      FROM c JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_type AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(any_value(m.med) / 100 * 1000000) / 1000000 AS median_value,
+           round(any_value(x.mad) / 100 * 1000000) / 1000000 AS mad_value,
+           CAST(count(CASE WHEN d.adev > 3.5 * 1.4826 * x.mad THEN 1 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d
+    JOIN med m ON m.event_type = d.event_type
+    JOIN mad x ON x.event_type = d.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select("event_type", fixed_units(F.col("value")).alias("cents"))
+    med = c.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad")).select(
+        F.col("event_type").alias("x_event_type"), "mad"
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("x_event_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            rounded(F.any_value("med") / 100, 6).alias("median_value"),
+            rounded(F.any_value("mad") / 100, 6).alias("mad_value"),
+            F.count(
+                F.when(F.col("adev") > F.lit(3.5) * F.lit(1.4826) * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -498,3 +498,164 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization + recall: compress each embedding to int8
+# codes with a per-vector max-abs scale (the standard memory-4x
+# vector-store trick), rank neighbors by QUANTIZED cosine, and measure
+# recall@k plus mean absolute cosine error against the exact float
+# ranking -- the compression-accuracy readout a vector store publishes
+# before switching its serving tier to int8.
+#
+# Determinism needs no grid here: the per-vector scale cancels out of
+# the quantized cosine (intdot_ab / sqrt(intdot_aa * intdot_bb)), so
+# both engines compute integer dot products exactly, then one
+# correctly-rounded sqrt and division each -- bit-identical by IEEE,
+# unlike the libm ln()/pow() paths that need scaled-integer snapping.
+#
+# Scale: same shape as ann_cosine_topk -- the bounded query set (not a
+# corpus fraction; see the knn_classify_vote 59x lesson) broadcasts,
+# the corpus never self-joins, and the int8 codes are the artifact
+# you'd persist: 16x less shuffle than raw doubles at serving time.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_sq8_recall",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(vec,
+               x -> round(x / list_max(list_transform(vec, y -> abs(y))) * 127))
+               AS code
+      FROM v
+    ),
+    qn AS (
+      SELECT vec_id, code, list_dot_product(code, code) AS self_dot FROM qz
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES}),
+    qq AS (SELECT vec_id AS query_id, code AS qcode, self_dot AS q_self
+           FROM qn WHERE vec_id < {N_QUERIES}),
+    exact AS (
+      SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT q.query_id, v.vec_id,
+               round(list_dot_product(q.qvec, v.vec)
+                     / (sqrt(list_dot_product(q.qvec, q.qvec))
+                        * sqrt(list_dot_product(v.vec, v.vec))) * 1000000) / 1000000
+                 AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.qvec, v.vec)
+                     / (sqrt(list_dot_product(q.qvec, q.qvec))
+                        * sqrt(list_dot_product(v.vec, v.vec))) * 1000000) / 1000000 DESC,
+                   v.vec_id) AS rank
+        FROM q JOIN v ON v.vec_id <> q.query_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    approx AS (
+      SELECT query_id, vec_id, qcos, rank FROM (
+        SELECT qq.query_id, c.vec_id,
+               round(list_dot_product(qq.qcode, c.code)
+                     / sqrt(qq.q_self * c.self_dot) * 1000000) / 1000000 AS qcos,
+               row_number() OVER (
+                 PARTITION BY qq.query_id
+                 ORDER BY round(list_dot_product(qq.qcode, c.code)
+                     / sqrt(qq.q_self * c.self_dot) * 1000000) / 1000000 DESC,
+                   c.vec_id) AS rank
+        FROM qq JOIN qn c ON c.vec_id <> qq.query_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(count(a.vec_id) AS DOUBLE) / count(*) * 1000000) / 1000000
+             AS recall,
+           round(avg(CASE WHEN a.vec_id IS NOT NULL
+                          THEN abs(e.cosine - a.qcos) END) * 1000000) / 1000000
+             AS mean_abs_cos_err
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    scale = F.array_max(F.transform(F.col("vec"), lambda y: F.abs(y)))
+    qz = v.select(
+        "vec_id",
+        F.transform(F.col("vec"), lambda x: F.round(x / scale * 127)).alias("code"),
+    )
+    qn = qz.withColumn("self_dot", dot(F.col("code"), F.col("code")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    qq = qn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qcode"),
+        F.col("self_dot").alias("q_self"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    exact = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            rounded(
+                dot(F.col("qvec"), F.col("vec"))
+                / (norm(F.col("qvec")) * norm(F.col("vec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("vec_id"))
+    approx = (
+        qn.crossJoin(F.broadcast(qq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            rounded(
+                dot(F.col("qcode"), F.col("code"))
+                / F.sqrt(F.col("q_self") * F.col("self_dot")),
+                6,
+            ).alias("qcos"),
+        )
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "qcos")
+    )
+    a2 = approx.select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("vec_id").alias("a_vec_id"),
+        "qcos",
+    )
+    joined = exact.join(
+        F.broadcast(a2),
+        (F.col("a_query_id") == F.col("query_id")) & (F.col("a_vec_id") == F.col("vec_id")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.count("a_vec_id").alias("n_hits"),
+            rounded(F.count("a_vec_id").cast("double") / F.count("*"), 6).alias("recall"),
+            rounded(
+                F.avg(
+                    F.when(
+                        F.col("a_vec_id").isNotNull(),
+                        F.abs(F.col("cosine") - F.col("qcos")),
+                    )
+                ),
+                6,
+            ).alias("mean_abs_cos_err"),
+        )
+        .orderBy("query_id")
+    )

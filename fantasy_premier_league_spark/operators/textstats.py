@@ -899,3 +899,131 @@ def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine trained language classifier + confusion matrix: add-1
+# smoothed multinomial Naive Bayes over unigrams, trained on the corpus
+# itself (per-lang token log-likelihoods + log priors), every document
+# scored against all |langs| candidates and argmaxed, then evaluated as
+# the (true_lang, pred_lang) confusion matrix -- the train/predict/
+# evaluate loop of a data-quality pipeline, executed entirely as
+# DataFrame algebra with no driver round-trip.
+#
+# Determinism: identical to docs_unigram_logprob -- every ln() output
+# snaps to a 1e-9 integer grid at vocab granularity, doc scores are
+# exact BIGINT sums of grid units, argmax ties break on lang order.
+#
+# Scale: the model (lang x token log-prob table) is |langs| * |vocab|
+# rows -- the candidate join keys on token, hot tokens fan to
+# |docs containing t| * |langs|, never |occurrences|; the corpus-side
+# shuffle is the same one doc_tok aggregation every text query shares.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_nb_lang_confusion",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, lang, t AS token, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) AS t FROM documents)
+      GROUP BY 1,2,3
+    ),
+    lf AS (SELECT lang, token, CAST(sum(cnt) AS BIGINT) AS c FROM dt GROUP BY 1,2),
+    sl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS s FROM lf GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS vocab FROM lf),
+    pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    u AS (
+      SELECT lf.lang AS u_lang, lf.token AS u_token,
+             CAST(round(ln((CAST(lf.c AS DOUBLE)+1) / (sl.s + (SELECT vocab FROM v)))
+                        * 1000000000) AS BIGINT) AS u
+      FROM lf JOIN sl ON lf.lang = sl.lang
+    ),
+    cand AS (
+      SELECT sl.lang AS cand_lang,
+             CAST(round(ln(1.0 / (sl.s + (SELECT vocab FROM v))) * 1000000000) AS BIGINT) AS fb,
+             CAST(round(ln(CAST(pri.nd AS DOUBLE) / (SELECT n FROM tot)) * 1000000000) AS BIGINT) AS prior_u
+      FROM sl JOIN pri ON sl.lang = pri.lang
+    ),
+    scored AS (
+      SELECT dt.doc_id, dt.lang AS true_lang, c.cand_lang,
+             sum(dt.cnt * coalesce(u.u, c.fb)) + any_value(c.prior_u) AS score
+      FROM dt CROSS JOIN cand c
+      LEFT JOIN u ON u.u_lang = c.cand_lang AND u.u_token = dt.token
+      GROUP BY 1,2,3
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand_lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+      FROM scored
+    )
+    SELECT true_lang, cand_lang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1,2 ORDER BY 1,2
+    """,
+)
+def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", "lang", F.explode(_tok(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lf = dt.groupBy("lang", "token").agg(F.sum("cnt").alias("c"))
+    sl = lf.groupBy("lang").agg(F.sum("c").alias("s"))
+    vocab = lf.agg(F.countDistinct("token").alias("vocab"))
+    pri = docs.groupBy("lang").agg(F.count("*").alias("nd"))
+    tot = docs.agg(F.count("*").alias("n"))
+    grid = 1_000_000_000
+    u = (
+        lf.join(sl, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("u_lang"),
+            F.col("token").alias("u_token"),
+            F.round(
+                F.log((F.col("c").cast("double") + 1) / (F.col("s") + F.col("vocab"))) * grid
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    cand = (
+        sl.join(pri, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            F.round(F.log(F.lit(1.0) / (F.col("s") + F.col("vocab"))) * grid)
+            .cast("long")
+            .alias("fb"),
+            F.round(F.log(F.col("nd").cast("double") / F.col("n")) * grid)
+            .cast("long")
+            .alias("prior_u"),
+        )
+    )
+    scored = (
+        dt.crossJoin(F.broadcast(cand))
+        .join(
+            u.hint("shuffle_hash"),
+            (F.col("u_lang") == F.col("cand_lang")) & (F.col("u_token") == F.col("token")),
+            "left",
+        )
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "cand_lang")
+        .agg(
+            (
+                F.sum(F.col("cnt") * F.coalesce(F.col("u"), F.col("fb")))
+                + F.any_value("prior_u")
+            ).alias("score")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("true_lang", F.col("cand_lang").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )

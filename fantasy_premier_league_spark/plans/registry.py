@@ -90,6 +90,9 @@ NEW_THIS_ROUND: list[str] = [
     "unpivot_priority_measures",
     "t14_stream_dedup_within_watermark",
     "sketch_kmv_setops",
+    "text_nb_lang_confusion",
+    "ann_sq8_recall",
+    "stats_mad_outliers",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -134,6 +137,9 @@ SAMPLE_PRIORITY: list[str] = [
     "unpivot_priority_measures",
     "t14_stream_dedup_within_watermark",
     "sketch_kmv_setops",
+    "text_nb_lang_confusion",
+    "ann_sq8_recall",
+    "stats_mad_outliers",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
