@@ -88,6 +88,13 @@ HEADLINE = [
     "dedup_prefix_filter_pairs",
     "mm_image_resize",
     "c13_variant_json",
+    # round 6 late additions: corpus-pipeline + sketch + quantized-ANN
+    "dedup_chunk_spans",
+    "docs_unigram_logprob",
+    "text_nb_lang_confusion",
+    "sketch_kmv_setops",
+    "ann_sq8_recall",
+    "t14_stream_dedup_within_watermark",
 ]
 
 

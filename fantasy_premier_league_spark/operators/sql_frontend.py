@@ -121,3 +121,57 @@ def sql_frontend_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the |days| pre-aggregate, never the order rows."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RUNNING_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE, SPARK-24497): a month spine
+# generated by the recursion itself, left-joined to the 1995 order
+# aggregate so empty months surface as explicit zero rows in the
+# running total -- the date-spine idiom that needs recursion (or a
+# generator function) because no base table contains the missing rows.
+#
+# Dialect notes: both engines accept `day + INTERVAL 1 MONTH` and
+# terminate UNION ALL recursion on the WHERE guard; Spark executes it
+# as UnionLoopExec with one tiny job per level, so the spine is kept
+# at MONTH granularity (12 levels -- well under Spark's default
+# spark.sql.cteRecursionLevelLimit of 100, and each level is
+# driver-cheap; a day-granularity spine would mean 365 sequential
+# micro-jobs, the same per-iteration fixed cost lesson as the CC loop).
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SPINE_SQL = """
+    WITH RECURSIVE bounds AS (
+      SELECT CAST(min(date_trunc('MONTH', o_orderdate)) AS DATE) AS m0,
+             CAST(max(date_trunc('MONTH', o_orderdate)) AS DATE) AS m1
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    ),
+    spine(month) AS (
+      SELECT m0 FROM bounds
+      UNION ALL
+      SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE month < (SELECT m1 FROM bounds)
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS units
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+      GROUP BY CAST(date_trunc('MONTH', o_orderdate) AS DATE)
+    )
+    SELECT s.month, coalesce(m.n_orders, 0) AS n_orders,
+           round(CAST(sum(coalesce(m.units, 0)) OVER (ORDER BY s.month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+                 / 100 AS running_revenue
+    FROM spine s LEFT JOIN monthly m ON m.month = s.month
+    ORDER BY s.month
+"""
+
+
+@register("sql_frontend_recursive_spine", oracle=_RECURSIVE_SPINE_SQL)
+def sql_frontend_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine through spark.sql; the |months|-row
+    window runs over the recursion output, never the order rows."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_SPINE_SQL)

@@ -93,6 +93,7 @@ NEW_THIS_ROUND: list[str] = [
     "text_nb_lang_confusion",
     "ann_sq8_recall",
     "stats_mad_outliers",
+    "sql_frontend_recursive_spine",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -140,6 +141,7 @@ SAMPLE_PRIORITY: list[str] = [
     "text_nb_lang_confusion",
     "ann_sq8_recall",
     "stats_mad_outliers",
+    "sql_frontend_recursive_spine",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",

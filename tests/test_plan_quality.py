@@ -416,6 +416,7 @@ GLOBAL_WINDOW_OK = {
     "docs_pack_sequences",       # |blocks|-row broadcast offset table
     "ml_kmeans_profiles",        # k centroid rows
     "sql_frontend_running_total",  # |days| pre-aggregate (shared SQL dialect)
+    "sql_frontend_recursive_spine",  # |months|-row recursive spine (12 rows)
     "text_bm25_rank",            # rank over the top-20 AFTER TakeOrdered
     "w3_cumulative_users",       # |days| pre-aggregate
 }
