@@ -959,3 +959,96 @@ def stats_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deequ-style data-quality constraint suite: one pass of declarative
+# checks -- referential integrity (anti-join orphan counts), key
+# uniqueness (count vs count-distinct), range and null-rate assertions
+# -- emitted as a (check, n_checked, n_violations) report table, the
+# shape a pipeline gates ingestion on. Every check is an aggregate or
+# an anti join on the natural key; the union of one-row results is
+# driver-free. At 100 TB each check is one scan (Catalyst fuses the
+# per-table aggregates) and the anti joins shuffle on the FK being
+# validated -- the join you would need anyway to use the FK.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraint_checks",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'events_value_nonnull',
+           CAST((SELECT count(*) FROM events) AS BIGINT),
+           CAST((SELECT count(*) FROM events WHERE value IS NULL) AS BIGINT)
+    ORDER BY check_name
+    """,
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    def report(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
+        c = checked.agg(F.count("*").alias("n_checked"))
+        v = violations.agg(F.count("*").alias("n_violations"))
+        return c.crossJoin(v).select(
+            F.lit(name).alias("check_name"), "n_checked", "n_violations"
+        )
+
+    checks = [
+        report(
+            "orders_custkey_fk",
+            orders,
+            orders.join(
+                customer, orders.o_custkey == customer.c_custkey, "left_anti"
+            ),
+        ),
+        report(
+            "lineitem_orderkey_fk",
+            lineitem,
+            lineitem.join(
+                orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+            ),
+        ),
+        # uniqueness is a two-count aggregate, not a self-join
+        customer.agg(
+            F.count("*").alias("n_checked"),
+            (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations"),
+        ).select(
+            F.lit("customer_custkey_unique").alias("check_name"),
+            "n_checked",
+            "n_violations",
+        ),
+        report(
+            "orders_totalprice_positive",
+            orders,
+            orders.filter(F.col("o_totalprice") <= 0),
+        ),
+        report("events_value_nonnull", events, events.filter(F.col("value").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")

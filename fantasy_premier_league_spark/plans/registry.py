@@ -94,6 +94,7 @@ NEW_THIS_ROUND: list[str] = [
     "ann_sq8_recall",
     "stats_mad_outliers",
     "sql_frontend_recursive_spine",
+    "dq_constraint_checks",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -142,6 +143,7 @@ SAMPLE_PRIORITY: list[str] = [
     "ann_sq8_recall",
     "stats_mad_outliers",
     "sql_frontend_recursive_spine",
+    "dq_constraint_checks",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
