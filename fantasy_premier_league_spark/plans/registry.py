@@ -95,6 +95,7 @@ NEW_THIS_ROUND: list[str] = [
     "stats_mad_outliers",
     "sql_frontend_recursive_spine",
     "dq_constraint_checks",
+    "s9_python_stream_feed",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -144,6 +145,7 @@ SAMPLE_PRIORITY: list[str] = [
     "stats_mad_outliers",
     "sql_frontend_recursive_spine",
     "dq_constraint_checks",
+    "s9_python_stream_feed",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",

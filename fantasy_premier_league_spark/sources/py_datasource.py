@@ -116,3 +116,172 @@ def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# S9: the STREAMING twin of the feed connector (Spark 4 Python
+# DataSourceStreamReader). Offsets are row positions; latestOffset()
+# advances one fixed fraction of the table per micro-batch, so the
+# drain always takes _STREAM_BATCHES incremental batches with real
+# offset tracking (initial -> latest -> partitions(start, end) ->
+# commit), exactly the ladder a Kafka-like feed walks. read() yields
+# pyarrow RecordBatches -- the stream reader takes the same vectorized
+# fast path as the batch reader, no per-row Python tuples.
+#
+# Scale notes: partitions(start, end) returns ONE range partition per
+# micro-batch here because the underlying demo file is one parquet; a
+# sharded feed would return one partition per shard-offset-range and
+# executors would read them in parallel (same 1:N shape as the batch
+# reader's row groups). State lives in the checkpoint (offsets log),
+# so a restarted query resumes from the committed row offset.
+# ---------------------------------------------------------------------------
+
+_STREAM_BATCHES = 4
+
+
+class _RowRangePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start, self.end = start, end
+
+
+def _stream_reader_cls():
+    # imported lazily: pyspark.sql.datasource stream ABC exists in 4.x
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class _EventsStreamFeedReader(DataSourceStreamReader):
+        def __init__(self, path: str) -> None:
+            self._path = path
+            self._n: int | None = None
+            self._cur = 0
+
+        def _total(self) -> int:
+            if self._n is None:
+                import pyarrow.parquet as pq
+
+                self._n = pq.ParquetFile(self._path).metadata.num_rows
+            return self._n
+
+        def initialOffset(self) -> dict:
+            return {"row": 0}
+
+        def latestOffset(self) -> dict:
+            # serve ceil(n/_STREAM_BATCHES) rows per micro-batch: the
+            # incremental-offset ladder, scale-independent batch count
+            total = self._total()
+            chunk = -(-total // _STREAM_BATCHES)
+            self._cur = min(self._cur + chunk, total)
+            return {"row": self._cur}
+
+        def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+            return [_RowRangePartition(start["row"], end["row"])]
+
+        def read(self, partition: _RowRangePartition):
+            import pyarrow.parquet as pq
+
+            table = pq.ParquetFile(self._path).read(columns=_FEED_COLUMNS)
+            sliced = table.slice(partition.start, partition.end - partition.start)
+            yield from sliced.to_batches()
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    return _EventsStreamFeedReader
+
+
+class EventsStreamFeedDataSource(DataSource):
+    """``spark.readStream.format("events_stream_feed")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_stream_feed"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, event_type string, value double"
+
+    def streamReader(self, schema):
+        return _stream_reader_cls()(self.options["path"])
+
+
+def register_stream_feed_source(spark) -> None:
+    """Idempotent per-session registration."""
+    if not getattr(spark, "_events_stream_feed_registered", False):
+        spark.dataSource.register(EventsStreamFeedDataSource)
+        spark._events_stream_feed_registered = True
+
+
+@register(
+    "s9_python_stream_feed",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_value,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def python_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom Python stream source and gate the totals
+    against the batch oracle (order-insensitive aggregates, so the
+    4-batch incremental delivery is invisible to the result)."""
+    import ast
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from fantasy_premier_league_spark.functions import scoped_conf
+
+    register_stream_feed_source(spark)
+    path = f"{sf_dir}/events.parquet"
+    import pyarrow.parquet as pq
+
+    total_rows = pq.ParquetFile(path).metadata.num_rows
+    name = "s9_feed_" + uuid.uuid4().hex[:8]
+    ckpt = os.path.join(tempfile.gettempdir(), name + "_ckpt")
+    stream = (
+        spark.readStream.format("events_stream_feed")
+        .option("path", path)
+        .load()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(fixed_units(F.col("value"))).alias("cents"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        # drain until the offset ladder reaches the end of the table
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            query.processAllAvailable()
+            prog = query.lastProgress
+            if prog and prog["sources"][0]["endOffset"]:
+                end = ast.literal_eval(prog["sources"][0]["endOffset"])
+                if end.get("row", 0) >= total_rows:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("s9 stream feed did not drain within 300s")
+    finally:
+        query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            "n_events",
+            rounded(F.col("cents") / 100.0, 2).alias("total_value"),
+            "last_event",
+        )
+        .orderBy("event_type")
+    )
