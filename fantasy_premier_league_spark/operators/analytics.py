@@ -1052,3 +1052,121 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences:
+# counts and row-normalized probabilities for (from_type -> to_type).
+# One user_id-partitioned window pass builds the successor pairs (the
+# same single shuffle as w6), then a |types|^2-row aggregate; the
+# row-normalizing window runs over that tiny matrix, not the events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY event_type)
+                 * 1000000) / 1000000 AS p_transition
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type ORDER BY from_type, to_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n_transitions"))
+    total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        rounded(
+            F.col("n_transitions").cast("double") / F.sum("n_transitions").over(total), 6
+        ).alias("p_transition"),
+    ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation: recency / frequency / monetary quintile
+# scores from ONE orders aggregate, with the quintile BOUNDARIES
+# computed as exact interpolated percentiles and broadcast back -- the
+# scale-safe formulation (an ntile() over all customers would order the
+# whole customer dimension through one task; five boundary scalars
+# join for free). Both engines interpolate percentiles with the same
+# p*(n-1) rule on identical inputs, and score assignment is three
+# boundary comparisons per customer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            DATE '1998-12-31') AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT quantile_cont(recency_days, 0.5) AS r_med,
+             quantile_cont(frequency, 0.5) AS f_med,
+             quantile_cont(monetary_cents, 0.5) AS m_med
+      FROM rfm
+    )
+    SELECT CASE WHEN recency_days <= r_med THEN 1 ELSE 0 END AS r_recent,
+           CASE WHEN frequency > f_med THEN 1 ELSE 0 END AS f_high,
+           CASE WHEN monetary_cents > m_med THEN 1 ELSE 0 END AS m_high,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM rfm, q
+    GROUP BY 1, 2, 3 ORDER BY r_recent, f_high, m_high
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(fixed_units(F.col("o_totalprice"))).alias("monetary_cents"),
+    )
+    q = rfm.agg(
+        F.percentile("recency_days", 0.5).alias("r_med"),
+        F.percentile("frequency", 0.5).alias("f_med"),
+        F.percentile("monetary_cents", 0.5).alias("m_med"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(q))
+        .select(
+            F.when(F.col("recency_days") <= F.col("r_med"), 1).otherwise(0).alias("r_recent"),
+            F.when(F.col("frequency") > F.col("f_med"), 1).otherwise(0).alias("f_high"),
+            F.when(F.col("monetary_cents") > F.col("m_med"), 1).otherwise(0).alias("m_high"),
+            "monetary_cents",
+        )
+        .groupBy("r_recent", "f_high", "m_high")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+        )
+        .orderBy("r_recent", "f_high", "m_high")
+    )

@@ -96,6 +96,8 @@ NEW_THIS_ROUND: list[str] = [
     "sql_frontend_recursive_spine",
     "dq_constraint_checks",
     "s9_python_stream_feed",
+    "events_transition_matrix",
+    "customer_rfm_segments",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -146,6 +148,8 @@ SAMPLE_PRIORITY: list[str] = [
     "sql_frontend_recursive_spine",
     "dq_constraint_checks",
     "s9_python_stream_feed",
+    "events_transition_matrix",
+    "customer_rfm_segments",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -172,12 +176,14 @@ SAMPLE_PRIORITY: list[str] = [
     "j1_broadcast_dim_join",
     "j2_stream_static_join",
     "j4_pair_generation",
-    # NOTE round 7: the 23 round-6-new queries filled the head past 50,
-    # pushing the r2-stale tail from a2a3_pricing_summary onward out of
-    # the r6 sample (new-query verification outranks staleness, rule 2
-    # > rule 3). Those seven r2-stale rows (a2a3 — also covered every
-    # round by the entry() smoke — f3, f4, f5, j1, j2, j4) MUST lead
-    # the round-7 head, ahead of any round-7 additions.
+    # NOTE round 7: the 37 round-6-new queries filled the head past 50
+    # (9 changed + 37 new + the first 4 stale rows fit; everything from
+    # dedup_exact onward is displaced — new-query verification outranks
+    # staleness, rule 2 > rule 3). The displaced r2-stale rows
+    # (dedup_exact, dedup_minhash_signatures, a1-a6, ml_*, mm_*, a5,
+    # a2a3 — the last also covered every round by the entry() smoke —
+    # f3, f4, f5, j1, j2, j4) MUST lead the round-7 head, ahead of any
+    # round-7 additions; the r4-vintage tail follows them.
     # --- fill: least-recently-verified r4 tail (rule 4) ---
     "fpl_req1_win_prediction",
     "fpl_t5_stateful_stream",

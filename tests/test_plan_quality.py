@@ -194,6 +194,12 @@ CARTESIAN_OK = {
     "graph_triangle_doulion",  # scalar fan-in: two 1-row aggregates crossed
     "text_bm25_rank",         # scalar fan-in of the 1-row corpus-stats aggregate
     "knn_classify_vote",      # query-vector fan-out (|queries| rows broadcast)
+    "ann_sq8_recall",         # query-vector fan-out, float + int8 passes
+    "docs_unigram_logprob",   # scalar fan-in of the 1-row corpus-total aggregate
+    "docs_temperature_mix",   # scalar fan-in of two 1-row total aggregates
+    "text_nb_lang_confusion",  # |langs|-row candidate fan-out (bounded by design)
+    "customer_rfm_segments",  # scalar fan-in of the 1-row quantile-boundary row
+    "dq_constraint_checks",   # scalar fan-in: 1-row count crossed with 1-row count
 }
 
 
