@@ -98,6 +98,7 @@ NEW_THIS_ROUND: list[str] = [
     "s9_python_stream_feed",
     "events_transition_matrix",
     "customer_rfm_segments",
+    "t15_sliding_window_stream",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -150,6 +151,7 @@ SAMPLE_PRIORITY: list[str] = [
     "s9_python_stream_feed",
     "events_transition_matrix",
     "customer_rfm_segments",
+    "t15_sliding_window_stream",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",

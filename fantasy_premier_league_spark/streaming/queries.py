@@ -759,3 +759,51 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
         result = run_stream_to_memory(stream, output_mode="append")
     return result.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T15: SLIDING windows -- the window type t4 (tumbling) and t9
+# (session) don't cover: 2-day windows sliding by 1 day, so every
+# event lands in exactly two overlapping windows. Spark's window()
+# replicates each row into its slide-count windows BEFORE the shuffle
+# (map-side expand, then the same partial-agg path as tumbling); state
+# per key is (window, type) and a watermark would evict closed windows
+# on an unbounded feed. The oracle materializes the same two-window
+# membership as a UNION ALL of the aligned day-floor and
+# day-floor-minus-one window starts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t15_sliding_window_stream",
+    oracle="""
+    WITH contrib AS (
+      SELECT date_trunc('day', ts) AS win_start, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+      UNION ALL
+      SELECT date_trunc('day', ts) - INTERVAL 1 DAY, event_type,
+             CAST(round(value * 100) AS BIGINT)
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d') AS win_day, event_type,
+           count(*) AS n,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS total_value
+    FROM contrib GROUP BY win_start, event_type
+    ORDER BY win_day, event_type
+    """,
+)
+def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(fixed_units(F.col("value"))).alias("cents"))
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        result = run_stream_to_memory(stream, output_mode="complete")
+    return result.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("win_day"),
+        "event_type",
+        "n",
+        rounded(F.col("cents") / 100.0, 2).alias("total_value"),
+    ).orderBy("win_day", "event_type")
