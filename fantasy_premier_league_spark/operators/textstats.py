@@ -1027,3 +1027,79 @@ def text_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: the top-3 most characteristic terms per
+# document (raw tf x ln(N/df) idf). The retrieval complement of
+# text_bm25_rank -- BM25 ranks documents for a query, this extracts
+# per-document descriptors for tagging/faceting. IDF snaps to the
+# 1e-9 integer grid at vocab granularity (same ln() discipline as the
+# unigram LM); scores are then exact integer products, and the
+# top-3-per-doc rank<=k filter compiles to a map-side Partial
+# WindowGroupLimit exactly like sketch_kmv_setops' sketch build.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY doc_id, t
+    ),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq FROM dt GROUP BY token),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    idf AS (
+      SELECT token,
+             CAST(round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / dfreq)
+                        * 1000000000) AS BIGINT) AS iu
+      FROM df
+    ),
+    sc AS (
+      SELECT dt.doc_id, dt.token, dt.cnt * idf.iu AS su
+      FROM dt JOIN idf USING (token)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY su DESC, token)
+                AS BIGINT) AS rank,
+           token,
+           round(CAST(su AS DOUBLE) / 1000000000 * 1000000) / 1000000 AS tfidf
+    FROM sc
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY su DESC, token) <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    df = dt.groupBy("token").agg(F.count("*").alias("dfreq"))
+    nd = docs.agg(F.count("*").alias("n"))
+    idf = df.crossJoin(F.broadcast(nd)).select(
+        "token",
+        F.round(F.log(F.col("n").cast("double") / F.col("dfreq")) * 1_000_000_000)
+        .cast("long")
+        .alias("iu"),
+    )
+    sc = dt.join(idf.hint("shuffle_hash"), "token").select(
+        "doc_id", "token", (F.col("cnt") * F.col("iu")).alias("su")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("su").desc(), "token")
+    )
+    return (
+        sc.withColumn("rank", rn)
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            rounded(F.col("su").cast("double") / 1_000_000_000, 6).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )

@@ -99,6 +99,7 @@ NEW_THIS_ROUND: list[str] = [
     "events_transition_matrix",
     "customer_rfm_segments",
     "t15_sliding_window_stream",
+    "text_tfidf_keywords",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -152,6 +153,7 @@ SAMPLE_PRIORITY: list[str] = [
     "events_transition_matrix",
     "customer_rfm_segments",
     "t15_sliding_window_stream",
+    "text_tfidf_keywords",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
