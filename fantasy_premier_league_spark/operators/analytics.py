@@ -1170,3 +1170,79 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_recent", "f_high", "m_high")
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Pareto / "80-20") by customer decile: how much
+# of total revenue the top customer deciles carry. The naive form is a
+# global revenue-DESC running sum over the whole customer dimension --
+# one task at scale; instead the nine decile BOUNDARIES are computed
+# once (exact interpolated percentiles, 1 row) and broadcast back, each
+# customer scores its decile with nine comparisons, and the cumulative
+# share runs over the 10-row decile table. Same boundary-broadcast
+# recipe as customer_rfm_segments, pointed at distribution shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_revenue_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (SELECT quantile_cont(cents, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b
+          FROM cust),
+    scored AS (
+      SELECT cents,
+             CAST(10 - ((cents > b[1])::INT + (cents > b[2])::INT + (cents > b[3])::INT
+                 + (cents > b[4])::INT + (cents > b[5])::INT + (cents > b[6])::INT
+                 + (cents > b[7])::INT + (cents > b[8])::INT + (cents > b[9])::INT)
+               AS BIGINT) AS decile
+      FROM cust, q
+    ),
+    agg AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM scored GROUP BY decile
+    )
+    SELECT decile, n_customers, cents,
+           round(CAST(sum(cents) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / (SELECT CAST(sum(cents) AS BIGINT) FROM cust) * 1000000) / 1000000
+             AS cum_revenue_share
+    FROM agg ORDER BY decile
+    """,
+)
+def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(fixed_units(F.col("o_totalprice"))).alias("cents")
+    )
+    fracs = [i / 10 for i in range(1, 10)]
+    q = cust.agg(F.percentile("cents", F.lit(fracs).cast("array<double>")).alias("b"))
+    above = sum(
+        (F.col("cents") > F.element_at("b", i + 1)).cast("int") for i in range(9)
+    )
+    scored = cust.crossJoin(F.broadcast(q)).select(
+        "cents", (F.lit(10) - above).cast("long").alias("decile")
+    )
+    agg = scored.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("cents").alias("cents")
+    )
+    total = cust.agg(F.sum("cents").alias("total_cents"))
+    # decile 1 = top spenders; cumulative share over the 10-row table
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "cents",
+            rounded(
+                F.sum("cents").over(w).cast("double") / F.col("total_cents"), 6
+            ).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )

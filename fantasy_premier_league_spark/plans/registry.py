@@ -100,6 +100,7 @@ NEW_THIS_ROUND: list[str] = [
     "customer_rfm_segments",
     "t15_sliding_window_stream",
     "text_tfidf_keywords",
+    "orders_revenue_concentration",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -154,6 +155,7 @@ SAMPLE_PRIORITY: list[str] = [
     "customer_rfm_segments",
     "t15_sliding_window_stream",
     "text_tfidf_keywords",
+    "orders_revenue_concentration",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",

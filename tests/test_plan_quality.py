@@ -200,6 +200,7 @@ CARTESIAN_OK = {
     "text_nb_lang_confusion",  # |langs|-row candidate fan-out (bounded by design)
     "customer_rfm_segments",  # scalar fan-in of the 1-row quantile-boundary row
     "dq_constraint_checks",   # scalar fan-in: 1-row count crossed with 1-row count
+    "orders_revenue_concentration",  # scalar fan-in of the 1-row boundary array
 }
 
 
@@ -423,6 +424,7 @@ GLOBAL_WINDOW_OK = {
     "ml_kmeans_profiles",        # k centroid rows
     "sql_frontend_running_total",  # |days| pre-aggregate (shared SQL dialect)
     "sql_frontend_recursive_spine",  # |months|-row recursive spine (12 rows)
+    "orders_revenue_concentration",  # 10-row decile table cumulative share
     "text_bm25_rank",            # rank over the top-20 AFTER TakeOrdered
     "w3_cumulative_users",       # |days| pre-aggregate
 }
