@@ -95,6 +95,14 @@ HEADLINE = [
     "sketch_kmv_setops",
     "ann_sq8_recall",
     "t14_stream_dedup_within_watermark",
+    "text_tfidf_keywords",
+    "t15_sliding_window_stream",
+    "s9_python_stream_feed",
+    "dq_constraint_checks",
+    "events_transition_matrix",
+    "customer_rfm_segments",
+    "orders_revenue_concentration",
+    "sql_frontend_recursive_spine",
 ]
 
 
