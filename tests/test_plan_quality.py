@@ -172,6 +172,9 @@ SLOW_TO_BUILD = {
     "t11_socket_roundtrip",
     "t12_stream_outer_join",
     "t13_stream_cdc_upsert",
+    "t14_stream_dedup_within_watermark",
+    "t15_sliding_window_stream",
+    "s9_python_stream_feed",
     "dedup_cluster_components",
 }
 
@@ -477,13 +480,16 @@ def test_no_unpartitioned_ordered_window(spark, name):
     )
 
 
-def test_kmv_topk_uses_window_group_limit(spark):
-    """sketch_kmv_setops' rank<=k filter must run as WindowGroupLimit
-    with a Partial stage BEFORE the shuffle -- each map task then
-    forwards at most k rows per group, which is what makes per-group
-    top-k survive 100 TB (a full per-group sort would not)."""
-    plan = plan_of(build(spark, "sketch_kmv_setops"), mode="simple")
-    assert "WindowGroupLimit" in plan, f"rank-limit pushdown missing:\n{plan}"
+@pytest.mark.parametrize(
+    "name", ["sketch_kmv_setops", "text_tfidf_keywords"]
+)
+def test_topk_per_group_uses_window_group_limit(spark, name):
+    """rank<=k filters must run as WindowGroupLimit with a Partial
+    stage BEFORE the shuffle -- each map task then forwards at most k
+    rows per group, which is what makes per-group top-k survive 100 TB
+    (a full per-group sort would not)."""
+    plan = plan_of(build(spark, name), mode="simple")
+    assert "WindowGroupLimit" in plan, f"{name}: rank-limit pushdown missing:\n{plan}"
     assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or plan.count(
         "WindowGroupLimit"
-    ) >= 2, f"no map-side (Partial) WindowGroupLimit stage:\n{plan}"
+    ) >= 2, f"{name}: no map-side (Partial) WindowGroupLimit stage:\n{plan}"
