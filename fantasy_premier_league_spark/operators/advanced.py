@@ -716,3 +716,125 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string search (approximate string join): probe part names
+# matched against the part dimension by character-trigram Jaccard --
+# the pg_trgm / fuzzy-join capability class. Candidates meet on a
+# shared-trigram inverted-index equality join (never an all-pairs
+# cross of probes x parts); the exact Jaccard re-check runs on
+# candidates only, and top-3-per-probe is a rank<=k filter
+# (map-side WindowGroupLimit). A self-match rides along as rank 1,
+# pinning the metric's reflexivity in the gate. At 100 TB the hot-
+# trigram cap is the same df-cap lever as dedup_ngram_jaccard's
+# shingle posting lists.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_name_search",
+    oracle="""
+    WITH tg AS (
+      SELECT p_partkey, p_name,
+             list_distinct([substr(lower(p_name), i, 3)
+                            for i in generate_series(1, length(p_name) - 2)]) AS t
+      FROM part
+    ),
+    probes AS (
+      -- perturbed probe: first two chars corrupted, so the match is
+      -- genuinely approximate (never an exact-string equality hit)
+      SELECT p_partkey AS probe_key,
+             'xx' || substr(lower(p_name), 3) AS probe_name,
+             list_distinct([substr('xx' || substr(lower(p_name), 3), i, 3)
+                            for i in generate_series(1, length(p_name) - 2)]) AS pt
+      FROM part WHERE p_partkey <= 5
+    ),
+    cand AS (
+      SELECT DISTINCT pr.probe_key, x.p_partkey
+      FROM (SELECT probe_key, unnest(pt) AS g FROM probes) pr
+      JOIN (SELECT p_partkey, unnest(t) AS g FROM tg) x USING (g)
+    ),
+    scored AS (
+      SELECT c.probe_key, pr.probe_name, c.p_partkey AS match_key,
+             tg.p_name AS match_name,
+             round(CAST(len(list_intersect(pr.pt, tg.t)) AS DOUBLE)
+                   / (len(pr.pt) + len(tg.t) - len(list_intersect(pr.pt, tg.t)))
+                   * 1000000) / 1000000 AS trigram_jaccard
+      FROM cand c
+      JOIN probes pr ON pr.probe_key = c.probe_key
+      JOIN tg ON tg.p_partkey = c.p_partkey
+    )
+    SELECT probe_key, probe_name, match_key, match_name, trigram_jaccard,
+           CAST(row_number() OVER (PARTITION BY probe_key
+                ORDER BY trigram_jaccard DESC, match_key) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY probe_key
+            ORDER BY trigram_jaccard DESC, match_key) <= 3
+    ORDER BY probe_key, rank
+    """,
+)
+def fuzzy_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    # substring with a lambda-var start needs the SQL form (the Python
+    # F.substring binding takes int positions only)
+    tg = part.select(
+        "p_partkey",
+        "p_name",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(p_name) - 2),"
+                " i -> substring(lower(p_name), i, 3))"
+            )
+        ).alias("t"),
+    )
+    probes = part.filter(F.col("p_partkey") <= 5).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.concat(F.lit("xx"), F.expr("substr(lower(p_name), 3)")).alias("probe_name"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, length(p_name) - 2),"
+                " i -> substring('xx' || substr(lower(p_name), 3), i, 3))"
+            )
+        ).alias("pt"),
+    )
+    cand = (
+        probes.select("probe_key", F.explode("pt").alias("g"))
+        .join(tg.select("p_partkey", F.explode("t").alias("g")), "g")
+        .select("probe_key", "p_partkey")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "probe_key")
+        .join(tg.select(F.col("p_partkey"), F.col("p_name").alias("match_name"), F.col("t")), "p_partkey")
+        .withColumn("inter", F.size(F.array_intersect("pt", "t")))
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("p_partkey").alias("match_key"),
+            "match_name",
+            rounded(
+                F.col("inter").cast("double")
+                / (F.size("pt") + F.size("t") - F.col("inter")),
+                6,
+            ).alias("trigram_jaccard"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("probe_key").orderBy(
+            F.col("trigram_jaccard").desc(), "match_key"
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= 3)
+        .select(
+            "probe_key",
+            "probe_name",
+            "match_key",
+            "match_name",
+            "trigram_jaccard",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("probe_key", "rank")
+    )

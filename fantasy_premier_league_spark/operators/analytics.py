@@ -1246,3 +1246,53 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct counts: distinct active users over the
+# trailing 7 days, per day. Distinct doesn't merge across windows, so
+# the scale-safe exact form is the EXPAND trick: each (user, day) pair
+# replicates into the 7 trailing windows it belongs to, then one
+# distinct-aggregate per (window_day, user) -- a bounded 7x expansion
+# of the already-deduplicated day-user table, never a collect_set that
+# would hold per-day user sets in one task. (The sketch alternative at
+# 100 TB is merging per-day HLLs -- sketch_hll_distinct; this query
+# pins the exact semantics.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_trailing_distinct_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    expanded AS (
+      SELECT CAST(du.day + u.i * INTERVAL 1 DAY AS DATE) AS win_day, du.user_id
+      FROM du, unnest(generate_series(0, 6)) u(i)
+    )
+    SELECT e.win_day AS day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS trailing_7d_users
+    FROM expanded e JOIN days d ON d.day = e.win_day
+    GROUP BY e.win_day ORDER BY day
+    """,
+)
+def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    expanded = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "user_id"
+    ).select(F.date_add("day", F.col("i")).alias("win_day"), "user_id")
+    return (
+        expanded.join(
+            F.broadcast(days.select(F.col("day").alias("win_day"))), "win_day"
+        )
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("trailing_7d_users"))
+        .orderBy("day")
+    )

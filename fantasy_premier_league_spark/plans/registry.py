@@ -101,6 +101,8 @@ NEW_THIS_ROUND: list[str] = [
     "t15_sliding_window_stream",
     "text_tfidf_keywords",
     "orders_revenue_concentration",
+    "events_trailing_distinct_users",
+    "fuzzy_name_search",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -156,6 +158,8 @@ SAMPLE_PRIORITY: list[str] = [
     "t15_sliding_window_stream",
     "text_tfidf_keywords",
     "orders_revenue_concentration",
+    "events_trailing_distinct_users",
+    "fuzzy_name_search",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -182,7 +186,12 @@ SAMPLE_PRIORITY: list[str] = [
     "j1_broadcast_dim_join",
     "j2_stream_static_join",
     "j4_pair_generation",
-    # NOTE round 7: the 37 round-6-new queries filled the head past 50
+    # NOTE round 7: the round-6-new queries OVERFLOW the head: 9 changed
+    # + 43 new = 52 candidates for 50 slots, so the last two registered
+    # (events_trailing_distinct_users, fuzzy_name_search) ship with NO
+    # driver row and MUST be first in the round-7 head, before even the
+    # displaced stale tail below.
+    # Original displacement note: the round-6-new queries filled the head past 50
     # (9 changed + 37 new + the first 4 stale rows fit; everything from
     # dedup_exact onward is displaced — new-query verification outranks
     # staleness, rule 2 > rule 3). The displaced r2-stale rows

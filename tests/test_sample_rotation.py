@@ -56,10 +56,24 @@ def test_sampled_head_covers_changed_new_and_stale():
 
     never_sampled = [n for n in queries if n not in last]
     missing = [n for n in never_sampled if n not in head]
-    assert not missing, (
-        f"queries with no driver row yet are outside the sampled head: "
-        f"{missing} -- new queries must enter SAMPLE_PRIORITY"
-    )
+    if len(registry.CHANGED_THIS_ROUND) + len(never_sampled) <= HEAD_SIZE:
+        assert not missing, (
+            f"queries with no driver row yet are outside the sampled head: "
+            f"{missing} -- new queries must enter SAMPLE_PRIORITY"
+        )
+    else:
+        # more changed+new queries than head slots: every slot must be
+        # spent on them (overflow waits for the next round's head, like
+        # the stale-overflow branch below)
+        wasted = [
+            n
+            for n in head
+            if n not in registry.CHANGED_THIS_ROUND and n not in never_sampled
+        ]
+        assert not wasted, (
+            f"changed+new overflow the head, yet slots go to already-"
+            f"verified queries: {wasted}"
+        )
 
     stale = [n for n, rnd in last.items() if n in queries and current_round - rnd > 2]
     missing = [n for n in stale if n not in head]
