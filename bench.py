@@ -103,6 +103,8 @@ HEADLINE = [
     "customer_rfm_segments",
     "orders_revenue_concentration",
     "sql_frontend_recursive_spine",
+    "events_trailing_distinct_users",
+    "fuzzy_name_search",
 ]
 
 

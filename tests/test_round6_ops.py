@@ -87,3 +87,84 @@ def test_sized_loop_partitions_clamps(spark):
     with sized_loop_partitions(spark, 10**9) as p:
         assert p == session_parts
     assert int(spark.conf.get(key)) == session_parts
+
+
+def test_s9_stream_feed_walks_multiple_offsets():
+    """s9's claim is INCREMENTAL delivery: the offset ladder must
+    advance one table fraction per latestOffset() call, reaching the
+    end in exactly _STREAM_BATCHES steps."""
+    from fantasy_premier_league_spark.sources.py_datasource import (
+        _STREAM_BATCHES,
+        _stream_reader_cls,
+    )
+
+    reader = _stream_reader_cls()(os.path.join(SF_SMOKE, "events.parquet"))
+    total = reader._total()
+    offsets = []
+    for _ in range(_STREAM_BATCHES + 2):
+        offsets.append(reader.latestOffset()["row"])
+    assert offsets[_STREAM_BATCHES - 1] == total, offsets
+    assert offsets == sorted(offsets), f"offsets must be monotone: {offsets}"
+    assert len({o for o in offsets[:_STREAM_BATCHES]}) == _STREAM_BATCHES, (
+        f"expected {_STREAM_BATCHES} distinct incremental steps: {offsets}"
+    )
+
+
+def test_kmv_estimate_tracks_exact(spark):
+    """The KMV union estimate must stay within the sketch's standard
+    error envelope (~1/sqrt(k) ≈ 18% for k=32, take 3 sigma) of the
+    exact union it ships alongside — a wildly-off estimator would still
+    hash-match its oracle (both engines compute the same wrong thing),
+    so accuracy needs its own pin."""
+    rows = all_queries()["sketch_kmv_setops"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.exact_union == 0:
+            continue
+        rel = abs(r.est_union - r.exact_union) / r.exact_union
+        assert rel <= 0.55, (
+            f"{r.type_a}/{r.type_b}: est {r.est_union} vs exact "
+            f"{r.exact_union} ({rel:.2f} rel err)"
+        )
+
+
+def test_chunk_dedup_is_conservative_and_lossless_on_uniques(spark):
+    """Span removal must (a) never grow a document and (b) keep at
+    least one copy of every distinct chunk corpus-wide: sum(n_kept)
+    must equal the number of DISTINCT chunks."""
+    df = all_queries()["dedup_chunk_spans"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert all(r.n_kept <= r.n_chunks for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+    # distinct chunk count, recomputed independently
+    from fantasy_premier_league_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    distinct_chunks = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(ceil(size(t)/8) AS INT) - 1),"
+                    " i -> array_join(slice(t, i*8+1, 8), ' '))"
+                )
+            ).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_kept == distinct_chunks, (total_kept, distinct_chunks)
+
+
+def test_fuzzy_search_self_similarity_wins(spark):
+    """Rank 1 for every probe must carry the highest Jaccard, and all
+    scores must be valid (0, 1] with rank strictly ordered."""
+    rows = all_queries()["fuzzy_name_search"](spark, SF_SMOKE).collect()
+    by_probe: dict = {}
+    for r in rows:
+        by_probe.setdefault(r.probe_key, []).append(r)
+    for probe, rs in by_probe.items():
+        rs.sort(key=lambda r: r.rank)
+        scores = [r.trigram_jaccard for r in rs]
+        assert scores == sorted(scores, reverse=True), (probe, scores)
+        assert all(0 < s <= 1 for s in scores), (probe, scores)
