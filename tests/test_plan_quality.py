@@ -204,6 +204,7 @@ CARTESIAN_OK = {
     "customer_rfm_segments",  # scalar fan-in of the 1-row quantile-boundary row
     "dq_constraint_checks",   # scalar fan-in: 1-row count crossed with 1-row count
     "orders_revenue_concentration",  # scalar fan-in of the 1-row boundary array
+    "text_tfidf_keywords",    # scalar fan-in of the 1-row doc-count aggregate
 }
 
 
