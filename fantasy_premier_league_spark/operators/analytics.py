@@ -1296,3 +1296,46 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.countDistinct("user_id").alias("trailing_7d_users"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# W7: the tie-sensitive rank family -- rank, dense_rank, percent_rank,
+# cume_dist in ONE window pass per event type (Spark fuses same-spec
+# windows). The ordering is cents ALONE, so ties are real and each
+# function's tie semantics is what the gate pins: rank gaps, dense
+# ranks, (rank-1)/(n-1), and count(<=x)/n are all exact integer
+# rationals -- correctly-rounded doubles on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w7_rank_family",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(round(value*100) AS BIGINT) AS cents,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w * 1000000) / 1000000 AS prank,
+           round(cume_dist() OVER w * 1000000) / 1000000 AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY CAST(round(value*100) AS BIGINT))
+    ORDER BY event_type, cents, event_id
+    """,
+)
+def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = fixed_units(F.col("value"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    return (
+        ev.select("event_id", "event_type", cents.alias("cents"))
+        .select(
+            "event_id",
+            "event_type",
+            "cents",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            rounded(F.percent_rank().over(w), 6).alias("prank"),
+            rounded(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("event_type", "cents", "event_id")
+    )

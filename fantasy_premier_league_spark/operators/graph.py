@@ -86,22 +86,39 @@ def _oracle() -> str:
     )
 
 
+# Above this node count the per-iteration broadcasts (rank vector +
+# contribution vector, both |nodes| rows, several iterations' worth
+# alive at once before lazy teardown) exhaust unified memory -- the
+# sf10 scale study measured exactly this as a SparkOutOfMemoryError at
+# |nodes| ~ 1.6M on the 8g local driver. Past the cap the iteration
+# drops to shuffle_hash joins against the pre-partitioned edge list:
+# one extra exchange of the small rank vector per iteration, bounded
+# memory.
+_BROADCAST_NODE_CAP = 300_000
+
+
 def _pagerank_iteration(
-    contrib_base: DataFrame, nodes: DataFrame, ranks: DataFrame, base_units: int
+    contrib_base: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    base_units: int,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """One PageRank iteration. Factored out so the plan test can pin
     the PER-ITERATION physical shape (rank vector broadcast into the
-    edge scan, zero SortMergeJoin) — the returned query's own plan is
-    just a scan of the final checkpointed vector."""
+    edge scan below the node cap, zero SortMergeJoin either way) — the
+    returned query's own plan is just a scan of the final checkpointed
+    vector."""
+    hint = F.broadcast if broadcast_vectors else (lambda df: df.hint("shuffle_hash"))
     contribs = (
-        contrib_base.join(F.broadcast(ranks), contrib_base.src == ranks.v)
+        contrib_base.join(hint(ranks), contrib_base.src == ranks.v)
         # integer floor-division per edge: exact, order-independent
         .select(F.col("dst"), F.expr("u div outdeg").alias("w"))
         .groupBy("dst")
         .agg(F.sum("w").alias("mass"))
     )
     return (
-        nodes.join(F.broadcast(contribs), nodes.v == contribs.dst, "left_outer")
+        nodes.join(hint(contribs), nodes.v == contribs.dst, "left_outer")
         .select("v", F.coalesce(F.col("mass"), F.lit(0)).alias("mass"))
         .select(
             "v",
@@ -116,18 +133,20 @@ def _pagerank_iteration(
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # dedupe on the INTEGER key pair -- the distinct is the widest
-    # shuffle in the query, and 16-byte (long, long) rows beat
-    # concatenated strings; the typed node ids are built after, on the
-    # already-deduped rows
+    # INTEGER node ids end to end: customer k -> 2k, supplier k -> 2k+1.
+    # The edge list is the biggest structure the loop touches (2x the
+    # distinct pair count, checkpointed, probed every iteration);
+    # (long, long) rows are ~5x smaller than the "c123"/"s45" string
+    # form the sf10 study OOM'd on, and every join/groupBy hashes longs
+    # instead of strings. Labels are reconstructed only for the final
+    # 50-row presentation.
     pairs = (
         orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select("o_custkey", "l_suppkey")
-        .distinct()
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
+        .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -156,9 +175,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge list gets the session setting back)
     from fantasy_premier_league_spark.functions import sized_loop_partitions
 
+    broadcast_vectors = n <= _BROADCAST_NODE_CAP
     with sized_loop_partitions(spark, contrib_base.count()):
         for i in range(_ITERS):
-            ranks = _pagerank_iteration(contrib_base, nodes, ranks, base_units)
+            ranks = _pagerank_iteration(
+                contrib_base, nodes, ranks, base_units, broadcast_vectors
+            )
             if (i + 1) % 2 == 0 and i + 1 < _ITERS:
                 ranks = ranks.localCheckpoint()  # truncate lineage growth
         # materialize the last iteration INSIDE the scope: the caller's
@@ -168,8 +190,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # TakeOrdered over the checkpointed vector
         ranks = ranks.localCheckpoint()
 
+    label = F.when(
+        F.col("v") % 2 == 0, F.concat(F.lit("c"), (F.col("v") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("s"), ((F.col("v") - 1) / 2).cast("long")))
     return (
-        ranks.select(F.col("v").alias("node"), F.col("u").alias("rank_units"))
+        ranks.select(label.alias("node"), F.col("u").alias("rank_units"))
         .orderBy(F.col("rank_units").desc(), "node")
         .limit(50)
     )

@@ -103,6 +103,7 @@ NEW_THIS_ROUND: list[str] = [
     "orders_revenue_concentration",
     "events_trailing_distinct_users",
     "fuzzy_name_search",
+    "w7_rank_family",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -160,6 +161,7 @@ SAMPLE_PRIORITY: list[str] = [
     "orders_revenue_concentration",
     "events_trailing_distinct_users",
     "fuzzy_name_search",
+    "w7_rank_family",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -187,10 +189,10 @@ SAMPLE_PRIORITY: list[str] = [
     "j2_stream_static_join",
     "j4_pair_generation",
     # NOTE round 7: the round-6-new queries OVERFLOW the head: 9 changed
-    # + 43 new = 52 candidates for 50 slots, so the last two registered
-    # (events_trailing_distinct_users, fuzzy_name_search) ship with NO
-    # driver row and MUST be first in the round-7 head, before even the
-    # displaced stale tail below.
+    # + 44 new = 53 candidates for 50 slots, so the last three
+    # registered (events_trailing_distinct_users, fuzzy_name_search,
+    # w7_rank_family) ship with NO driver row and MUST be first in the
+    # round-7 head, before even the displaced stale tail below.
     # Original displacement note: the round-6-new queries filled the head past 50
     # (9 changed + 37 new + the first 4 stale rows fit; everything from
     # dedup_exact onward is displaced — new-query verification outranks

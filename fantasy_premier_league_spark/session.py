@@ -56,7 +56,10 @@ def get_spark(app_name: str = "fpl-spark-engine", master: str | None = None) -> 
         # scratch warehouse, never the repo working tree
         .config("spark.sql.warehouse.dir", "/tmp/fpl_spark_warehouse")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] on a 128 GiB box: size the single JVM to the machine
+        # (the sf10 scale study OOM'd graph materializations at 8g; a
+        # real cluster sizes executors the same way)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
