@@ -310,9 +310,15 @@ def chemistry_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB [the chemistry pass] needs block partitioning of the pair
 # space"). a6/fpl_a6 are match-bounded (22 players -> 231 pairs per
 # match, reference metrics.py:18-49); this variant runs the SAME sign
-# rule over ONE roster of every customer (1.5k at sf0.01, 15k at
-# sf0.1 -> 112M raw pairs), where a naive same-key self-join puts the
-# whole quadratic pair set into a single task.
+# rule over ONE roster of the first 15k customers (1.5k at sf0.01,
+# the full 15k from sf0.1 up -> 112M raw pairs), where a naive
+# same-key self-join puts the whole quadratic pair set into a single
+# task. The roster width is FIXED (c_custkey < 15000), not a corpus
+# fraction: the pair space is quadratic in roster width by definition,
+# so an sf-proportional roster would make the query 10,000x slower at
+# sf10 -- the same accidental-quadratic the sf1 study caught in
+# knn_classify_vote. A fixed roster measures the blocked-join shape at
+# every scale; widening the roster is the explicit workload knob.
 #
 # Block partitioning: entity -> block g = id % B; pair (a, b) belongs
 # to block-cell (g_a, g_b); each side replicates B ways on the
@@ -338,7 +344,7 @@ _CHEM_BLOCKS = 8
              ((CAST(round(c_acctbal * 100) AS BIGINT) % 2001) + 2001) % 2001
                - 1000 AS d,
              CAST(c_custkey % {_CHEM_BLOCKS} AS BIGINT) AS g
-      FROM customer
+      FROM customer WHERE c_custkey < 15000
     ),
     p AS (
       SELECT a.g AS ga, b.g AS gb,
@@ -353,7 +359,7 @@ _CHEM_BLOCKS = 8
     """,
 )
 def fpl_chem_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 15000)
     ent = cust.select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").alias("team"),
