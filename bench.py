@@ -105,6 +105,9 @@ HEADLINE = [
     "sql_frontend_recursive_spine",
     "events_trailing_distinct_users",
     "fuzzy_name_search",
+    "graph_triangle_counts",
+    "graph_triangle_doulion",
+    "w7_rank_family",
 ]
 
 

