@@ -175,3 +175,33 @@ def sql_frontend_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over the recursion output, never the order rows."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (SPARK-34382): per-nation top-2 customers
+# by balance, the "top-N per group as a join" formulation. Catalyst
+# decorrelates the LATERAL into a ranked window under the hood -- the
+# same WindowGroupLimit-able shape as the explicit w1/w7 queries, but
+# stated in the dialect both engines parse verbatim. Balance is a
+# pass-through 2-dp column (no arithmetic), so no rounding is needed.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT n_name, t.c_name, t.c_acctbal
+    FROM nation,
+    LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    ORDER BY n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@register("sql_frontend_lateral_topn", oracle=_LATERAL_SQL)
+def sql_frontend_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL top-N-per-group through spark.sql; one identical string
+    on both engines."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
