@@ -362,3 +362,105 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batches, schema=_RESIZE_SCHEMA
     )
     return resized.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary detection: the temporal-video stage the decode /
+# resize / frame-sample list doesn't cover. The blob is read as
+# consecutive _FRAME_BYTES-byte frames; per-frame intensity = sum of
+# int8 samples (exact integers), and a boundary is a frame-to-frame
+# intensity jump above _SHOT_THRESHOLD -- the classic
+# histogram-difference cut detector with the pixel histogram stubbed
+# to a byte sum (a real deployment swaps in a pyav frame iterator at
+# the same numpy site). One Arrow pass computes everything per doc;
+# nothing returns to the JVM but 4 integers per document, so the
+# 100 TB cost profile is the decode scan itself.
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 32
+_SHOT_THRESHOLD = 200
+
+_SHOT_SCHEMA = (
+    "doc_id bigint, n_frames bigint, n_boundaries bigint, max_abs_delta bigint"
+)
+
+
+def shot_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            samples = np.frombuffer(payload, dtype=np.int8).astype(np.int64)
+            n = len(samples)
+            starts = np.arange(0, n, _FRAME_BYTES)
+            frames = np.add.reduceat(samples, starts) if n else np.array([], dtype=np.int64)
+            deltas = np.abs(np.diff(frames)) if len(frames) > 1 else np.array([], dtype=np.int64)
+            rows.append(
+                (
+                    int(doc_id),
+                    int(len(frames)),
+                    int((deltas > _SHOT_THRESHOLD).sum()),
+                    int(deltas.max()) if len(deltas) else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "n_boundaries", "max_abs_delta"]
+        )
+
+
+@register(
+    "mm_shot_boundaries",
+    # same byte-exact oracle recipe as mm_audio_energy: hex-expanded
+    # UTF-8 bytes with int8 wraparound, frame sums, lag deltas
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             CASE WHEN code > 127 THEN code - 256 ELSE code END AS sample
+      FROM (
+        SELECT doc_id, pos,
+               ('0x' || substr(hx, 2 * pos - 1, 2))::BIGINT AS code
+        FROM (SELECT doc_id, hx, unnest(range(1, n + 1)) AS pos FROM b)
+      )
+    ),
+    f AS (
+      SELECT doc_id, (pos - 1) // {_FRAME_BYTES} AS frame,
+             sum(sample) AS intensity
+      FROM s GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT doc_id,
+             abs(intensity - lag(intensity)
+                 OVER (PARTITION BY doc_id ORDER BY frame)) AS delta
+      FROM f
+    ),
+    fa AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM f GROUP BY doc_id
+    ),
+    da AS (
+      SELECT doc_id,
+             CAST(count(CASE WHEN delta > {_SHOT_THRESHOLD} THEN 1 END) AS BIGINT)
+               AS n_boundaries,
+             CAST(max(delta) AS BIGINT) AS max_abs_delta
+      FROM d WHERE delta IS NOT NULL GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(fa.n_frames, 0) AS BIGINT) AS n_frames,
+           CAST(coalesce(da.n_boundaries, 0) AS BIGINT) AS n_boundaries,
+           CAST(coalesce(da.max_abs_delta, 0) AS BIGINT) AS max_abs_delta
+    FROM b LEFT JOIN fa USING (doc_id) LEFT JOIN da USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_payloads(spark, sf_dir)
+    return (
+        media.select("doc_id", "payload")
+        .mapInPandas(shot_batches, schema=_SHOT_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -105,6 +105,7 @@ NEW_THIS_ROUND: list[str] = [
     "fuzzy_name_search",
     "w7_rank_family",
     "sql_frontend_lateral_topn",
+    "mm_shot_boundaries",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -164,6 +165,7 @@ SAMPLE_PRIORITY: list[str] = [
     "fuzzy_name_search",
     "w7_rank_family",
     "sql_frontend_lateral_topn",
+    "mm_shot_boundaries",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -191,11 +193,11 @@ SAMPLE_PRIORITY: list[str] = [
     "j2_stream_static_join",
     "j4_pair_generation",
     # NOTE round 7: the round-6-new queries OVERFLOW the head: 9 changed
-    # + 45 new = 54 candidates for 50 slots, so the last four
+    # + 46 new = 55 candidates for 50 slots, so the last five
     # registered (events_trailing_distinct_users, fuzzy_name_search,
-    # w7_rank_family, sql_frontend_lateral_topn) ship with NO driver
-    # row and MUST be first in the round-7 head, before even the
-    # displaced stale tail below.
+    # w7_rank_family, sql_frontend_lateral_topn, mm_shot_boundaries)
+    # ship with NO driver row and MUST be first in the round-7 head,
+    # before even the displaced stale tail below.
     # Original displacement note: the round-6-new queries filled the head past 50
     # (9 changed + 37 new + the first 4 stale rows fit; everything from
     # dedup_exact onward is displaced — new-query verification outranks
