@@ -195,6 +195,17 @@ _NEARDUP_BUCKET_SQL = " + ".join(
 )
 
 
+# Sorted-neighborhood window inside each LSH bucket (Hernandez &
+# Stolfo, SIGMOD'95): with a FIXED bucket count, in-bucket pair counts
+# grow quadratically with the corpus -- the sf10 sweep measured the
+# wall emerging (99x time at 100x data as the 10,800x pair growth
+# overtook fixed costs). Bounding each vector's candidates to its
+# _NEARDUP_WINDOW successors in vec_id order makes candidate work
+# occupancy x W (linear); at gate scales occupancy < W, so the result
+# set is bit-identical to the unbounded bucket join.
+_NEARDUP_WINDOW = 64
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -204,11 +215,23 @@ _NEARDUP_BUCKET_SQL = " + ".join(
              [x / sqrt(list_dot_product(vec, vec)) for x in vec] AS nvec,
              {_NEARDUP_BUCKET_SQL} AS bucket
       FROM v
+    ),
+    r AS (
+      SELECT vec_id, nvec, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk,
+             (row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1)
+               // {_NEARDUP_WINDOW} AS blk
+      FROM b
+    ),
+    probe AS (
+      SELECT vec_id, nvec, bucket, rk, u.pblk
+      FROM r, unnest([blk, blk + 1]) u(pblk)
     )
     SELECT vec1, vec2, round(cosine, 6) AS cosine FROM (
       SELECT a.vec_id AS vec1, b2.vec_id AS vec2,
              list_dot_product(a.nvec, b2.nvec) AS cosine
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      FROM probe a JOIN r b2 ON a.bucket = b2.bucket AND a.pblk = b2.blk
+                            AND b2.rk > a.rk AND b2.rk <= a.rk + {_NEARDUP_WINDOW}
     ) WHERE cosine >= {_NEARDUP_COS}
     ORDER BY vec1, vec2
     """,
@@ -228,15 +251,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             _neardup_bucket_col(F.col("vec")).alias("bucket"),
         )
     )
-    # shuffle_hash both sides: the bucket self-join must not broadcast
-    # (each side is the full corpus at scale) and identical shuffle
-    # exchanges let AQE reuse the first side's bucket computation.
-    a, b = v.alias("a").hint("shuffle_hash"), v.alias("b").hint("shuffle_hash")
+    ranked = v.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("bucket").orderBy("vec_id"))
+    ).withColumn("blk", ((F.col("rk") - 1) / _NEARDUP_WINDOW).cast("long"))
+    # The W-band must be an EQUI key, not a join filter: on bucket
+    # equality alone the hash join still ENUMERATES every in-bucket
+    # pair before filtering (measured: capping via a band filter only
+    # cut sf10 from 166s to 139s). Exploding each probe row to its own
+    # and the next rank-block makes the join key (bucket, block), so
+    # per-key fan-in is W and pair generation itself is occupancy x W.
+    # Same neighbor-bin recipe as range_join_neighbors.
+    probe = ranked.select(
+        "vec_id", "nvec", "bucket", "rk",
+        F.explode(F.array(F.col("blk"), F.col("blk") + 1)).alias("pblk"),
+    )
+    a = probe.alias("a").hint("shuffle_hash")
+    b = ranked.alias("b").hint("shuffle_hash")
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.pblk") == F.col("b.blk"))
+            & (F.col("b.rk") > F.col("a.rk"))
+            & (F.col("b.rk") <= F.col("a.rk") + _NEARDUP_WINDOW),
         )
         .withColumn("cos", dot(F.col("a.nvec"), F.col("b.nvec")))
         .filter(F.col("cos") >= _NEARDUP_COS)

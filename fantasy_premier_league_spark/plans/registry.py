@@ -48,6 +48,7 @@ ORACLES: dict[str, str] = {}
 # pagerank, winnowing overflow guard -> also its pairs consumer).
 CHANGED_THIS_ROUND: list[str] = [
     "dedup_cluster_components",
+    "dedup_embedding_cosine",  # sorted-neighborhood equi-band (sf10 sweep fix)
     "q2_min_cost_supplier",
     "dedup_simhash_pairs",
     "dedup_simhash",
@@ -111,6 +112,7 @@ NEW_THIS_ROUND: list[str] = [
 SAMPLE_PRIORITY: list[str] = [
     # --- implementation changed since last driver check (rule 1) ---
     "dedup_cluster_components",
+    "dedup_embedding_cosine",
     "q2_min_cost_supplier",
     "mm_audio_energy",
     "sql_frontend_running_total",
@@ -192,9 +194,10 @@ SAMPLE_PRIORITY: list[str] = [
     "j1_broadcast_dim_join",
     "j2_stream_static_join",
     "j4_pair_generation",
-    # NOTE round 7: the round-6-new queries OVERFLOW the head: 9 changed
-    # + 46 new = 55 candidates for 50 slots, so the last five
-    # registered (events_trailing_distinct_users, fuzzy_name_search,
+    # NOTE round 7: the round-6 changed+new queries OVERFLOW the head:
+    # 10 changed + 46 new = 56 candidates for 50 slots, so the last six
+    # entries of the new section (orders_revenue_concentration,
+    # events_trailing_distinct_users, fuzzy_name_search,
     # w7_rank_family, sql_frontend_lateral_topn, mm_shot_boundaries)
     # ship with NO driver row and MUST be first in the round-7 head,
     # before even the displaced stale tail below.
