@@ -108,6 +108,10 @@ HEADLINE = [
     "graph_triangle_counts",
     "graph_triangle_doulion",
     "w7_rank_family",
+    "sql_frontend_lateral_topn",
+    "mm_shot_boundaries",
+    "dedup_containment_pairs",
+    "dedup_cluster_keep_best",
 ]
 
 

@@ -910,3 +910,154 @@ def dedup_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: asymmetric set overlap |A n B| / min(|A|, |B|)
+# over the df-capped shingle sets. Symmetric Jaccard misses the
+# subset-document case a crawl corpus is full of (a short page embedded
+# verbatim inside a longer aggregation page): with |A| << |B| the union
+# term drowns the overlap, while containment stays ~1. Same
+# inverted-index candidate join as dedup_ngram_jaccard -- only pairs
+# sharing a surviving shingle are materialized, hot shingles capped at
+# _MAX_SHINGLE_DF before the self-join -- so the pair space stays
+# linear in posting-list mass at 100 TB. Both scores ship side by side;
+# the interesting rows are high containment + low Jaccard.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_T = 0.5
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    capped AS (
+      SELECT doc_id, shingle FROM posting
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= {_MAX_SHINGLE_DF}
+    ),
+    sized AS (
+      SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS sz
+      FROM capped
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+             a.sz AS sz1, b.sz AS sz2, count(*) AS n_common
+      FROM sized a JOIN sized b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc1, doc2,
+           round(CAST(n_common AS DOUBLE) / least(sz1, sz2), 6) AS containment,
+           round(CAST(n_common AS DOUBLE) / (sz1 + sz2 - n_common), 6) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / least(sz1, sz2) >= {_CONTAIN_T}
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    capped = posting.withColumn(
+        "df", F.count("*").over(Window.partitionBy("shingle"))
+    ).filter(F.col("df") <= _MAX_SHINGLE_DF)
+    sized = capped.select(
+        "doc_id",
+        "shingle",
+        F.count("*").over(Window.partitionBy("doc_id")).alias("sz"),
+    )
+    a = sized.alias("a").hint("shuffle_hash")
+    b = sized.alias("b").hint("shuffle_hash")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    contain = F.col("n_common").cast("double") / F.least("sz1", "sz2")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    return (
+        inter.filter(contain >= _CONTAIN_T)
+        .select(
+            "doc1",
+            "doc2",
+            rounded(contain, 6).alias("containment"),
+            rounded(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster representative selection: the near-dup analog of
+# dedup_exact_keep_best. Connected components over the LSH candidate
+# graph assign every near-duplicate document a cluster label; this
+# query then picks WHICH member of each cluster survives (longest text
+# wins, doc_id breaks ties) -- the final emit step of a dedup pipeline,
+# where everything not in `kept_doc` is dropped from the training set.
+# The labels table (one row per clustered doc) joins docs on doc_id --
+# an equi join Catalyst broadcasts at gate scale; at 100 TB it degrades
+# gracefully to a hash join co-partitioned on doc_id. The argmax is a
+# row_number window inside each cluster, never a self-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CAND_CTES},
+    edges AS (
+      SELECT doc1 AS src, doc2 AS dst FROM cand
+      UNION SELECT doc2, doc1 FROM cand
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.node = e.src
+    ),
+    lab AS (
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+      FROM reach GROUP BY node
+    )
+    SELECT cluster, n_members, kept_doc, kept_chars FROM (
+      SELECT l.cluster,
+             CAST(count(*) OVER (PARTITION BY l.cluster) AS BIGINT) AS n_members,
+             d.doc_id AS kept_doc,
+             CAST(length(d.text) AS BIGINT) AS kept_chars,
+             row_number() OVER (PARTITION BY l.cluster
+                                ORDER BY length(d.text) DESC, d.doc_id) AS rn
+      FROM lab l JOIN documents d ON l.doc_id = d.doc_id
+    ) WHERE rn = 1 ORDER BY cluster
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = dedup_cluster_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("kept_chars")
+    )
+    member = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("kept_chars").desc(), F.col("doc_id")
+    )
+    cnt = Window.partitionBy("cluster")
+    return (
+        member.withColumn("n_members", F.count("*").over(cnt))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster", "n_members", F.col("doc_id").alias("kept_doc"), "kept_chars"
+        )
+        .orderBy("cluster")
+    )

@@ -107,6 +107,8 @@ NEW_THIS_ROUND: list[str] = [
     "w7_rank_family",
     "sql_frontend_lateral_topn",
     "mm_shot_boundaries",
+    "dedup_containment_pairs",
+    "dedup_cluster_keep_best",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -168,6 +170,8 @@ SAMPLE_PRIORITY: list[str] = [
     "w7_rank_family",
     "sql_frontend_lateral_topn",
     "mm_shot_boundaries",
+    "dedup_containment_pairs",
+    "dedup_cluster_keep_best",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -195,10 +199,11 @@ SAMPLE_PRIORITY: list[str] = [
     "j2_stream_static_join",
     "j4_pair_generation",
     # NOTE round 7: the round-6 changed+new queries OVERFLOW the head:
-    # 10 changed + 46 new = 56 candidates for 50 slots, so the last six
-    # entries of the new section (orders_revenue_concentration,
+    # 10 changed + 48 new = 58 candidates for 50 slots, so the last
+    # eight entries of the new section (orders_revenue_concentration,
     # events_trailing_distinct_users, fuzzy_name_search,
-    # w7_rank_family, sql_frontend_lateral_topn, mm_shot_boundaries)
+    # w7_rank_family, sql_frontend_lateral_topn, mm_shot_boundaries,
+    # dedup_containment_pairs, dedup_cluster_keep_best)
     # ship with NO driver row and MUST be first in the round-7 head,
     # before even the displaced stale tail below.
     # Original displacement note: the round-6-new queries filled the head past 50
