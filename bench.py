@@ -112,6 +112,8 @@ HEADLINE = [
     "mm_shot_boundaries",
     "dedup_containment_pairs",
     "dedup_cluster_keep_best",
+    "part_skyline",
+    "zorder_layout_buckets",
 ]
 
 

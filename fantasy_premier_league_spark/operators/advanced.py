@@ -838,3 +838,183 @@ def fuzzy_name_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto-optimal set): parts no other part dominates with
+# cheaper-or-equal price AND bigger-or-equal size (at least one strict).
+# The textbook definition is a quadratic NOT EXISTS self-join -- that IS
+# the DuckDB oracle, so the differential gate proves the scalable
+# formulation below equals the brute-force spec.
+#
+# Scalable form (one shuffle): the classic sort-sweep. Distinct
+# (price, size) points sorted by price asc, size desc are on the
+# skyline iff size exceeds the running max size of every strictly
+# preceding point. The running max is computed HIERARCHICALLY, the same
+# recipe as docs_pack_sequences / orders_revenue_concentration: a
+# per-price-band window (partitioned, parallel) plus a |bands|-row
+# band-boundary table whose cumulative max broadcasts back -- no global
+# single-task window over the data ever exists, so the sweep survives
+# 100 TB (bands are ~100 rows regardless of corpus size).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             p_size AS size,
+             CAST(min(p_partkey) AS BIGINT) AS rep_partkey,
+             count(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT price_cents, size, rep_partkey, n_parts FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        AND (b.price_cents < a.price_cents OR b.size > a.size)
+    )
+    ORDER BY price_cents
+    """,
+)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(
+            F.min("p_partkey").alias("rep_partkey"),
+            F.count("*").alias("n_parts"),
+        )
+        .withColumn("band", (F.col("price_cents") / 1000).cast("long"))
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.col("price_cents").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_band = pts.withColumn("maxprev_band", F.max("size").over(w_in))
+    # |bands|-row boundary table (~100 rows at any corpus size: one row
+    # per $10 price band); its cumulative max over STRICTLY earlier
+    # bands is the only unpartitioned window and broadcasts back.
+    w_bands = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    boundaries = (
+        pts.groupBy("band")
+        .agg(F.max("size").alias("bmax"))
+        .withColumn("prior_max", F.max("bmax").over(w_bands))
+        .select("band", "prior_max")
+    )
+    prev_max = F.greatest(
+        F.coalesce(F.col("maxprev_band"), F.lit(-1)),
+        F.coalesce(F.col("prior_max"), F.lit(-1)),
+    )
+    return (
+        in_band.join(F.broadcast(boundaries), "band")
+        .filter(F.col("size") > prev_max)
+        .select("price_cents", "size", "rep_partkey", "n_parts")
+        .orderBy("price_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout clustering: THE data-layout lever for
+# multi-dimensional scan pruning at 100 TB. Interleaving the bits of
+# two dimensions gives a 1-D sort key whose contiguous ranges are small
+# RECTANGLES in (size, price) space; files written in z-order therefore
+# carry tight per-file min/max footers on BOTH dimensions, and a scan
+# filtered on either dimension prunes most files. (A production write
+# is `repartitionByRange(z).sortWithinPartitions(z)` before the parquet
+# sink; Delta OPTIMIZE ZORDER BY is this exact recipe.)
+#
+# The query quantifies the win, differentially gated: bucket parts by
+# (a) z-value ranges and (b) arrival order (p_partkey ranges -- the
+# layout you get for free), and emit each bucket's bounding rectangle.
+# Z-order buckets cover a fraction of the value space; arrival buckets
+# span nearly all of it (footer min/max prunes nothing). All pure
+# column expressions, one shuffle (the bucket agg).
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10  # y = price decigrid 0..999 needs 10; x = size 1..50 needs 6
+
+_Z_TERMS_SQL = " + ".join(
+    f"(((x >> {i}) & 1) * {1 << (2 * i + 1)}) + (((y >> {i}) & 1) * {1 << (2 * i)})"
+    for i in range(_Z_BITS)
+)
+
+
+def _morton(x, y):
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = (
+            z
+            + F.shiftright(x, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+            + F.shiftright(y, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        )
+    return z
+
+
+@register(
+    "zorder_layout_buckets",
+    oracle=f"""
+    WITH xy AS (
+      SELECT p_partkey, p_size AS x,
+             CAST(round((p_retailprice - 900.0) * 10) AS INTEGER) AS y
+      FROM part
+    ),
+    coded AS (
+      SELECT p_partkey, x, y, {_Z_TERMS_SQL} AS z FROM xy
+    ),
+    both_layouts AS (
+      SELECT 'zorder' AS layout, z >> 15 AS bucket, x, y FROM coded
+      UNION ALL
+      SELECT 'arrival', p_partkey >> 6, x, y FROM coded
+    )
+    SELECT layout, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+           min(x) AS min_size, max(x) AS max_size,
+           CAST(min(y) AS BIGINT) AS min_pu, CAST(max(y) AS BIGINT) AS max_pu,
+           CAST((max(x) - min(x) + 1) AS BIGINT) * (max(y) - min(y) + 1)
+             AS rect_area
+    FROM both_layouts
+    GROUP BY 1, 2 ORDER BY layout, bucket
+    """,
+)
+def zorder_layout_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xy = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").alias("x"),
+        F.round((F.col("p_retailprice") - 900.0) * 10).cast("int").alias("y"),
+    )
+    coded = xy.withColumn("z", _morton(F.col("x"), F.col("y")))
+    zorder = coded.select(
+        F.lit("zorder").alias("layout"),
+        F.shiftright(F.col("z"), 15).cast("long").alias("bucket"),
+        "x",
+        "y",
+    )
+    arrival = coded.select(
+        F.lit("arrival").alias("layout"),
+        F.shiftright(F.col("p_partkey"), 6).cast("long").alias("bucket"),
+        "x",
+        "y",
+    )
+    return (
+        zorder.unionByName(arrival)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_size"),
+            F.max("x").alias("max_size"),
+            F.min("y").cast("long").alias("min_pu"),
+            F.max("y").cast("long").alias("max_pu"),
+            (
+                (F.max("x") - F.min("x") + 1).cast("long")
+                * (F.max("y") - F.min("y") + 1)
+            ).alias("rect_area"),
+        )
+        .orderBy("layout", "bucket")
+    )

@@ -109,6 +109,8 @@ NEW_THIS_ROUND: list[str] = [
     "mm_shot_boundaries",
     "dedup_containment_pairs",
     "dedup_cluster_keep_best",
+    "part_skyline",
+    "zorder_layout_buckets",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -172,6 +174,8 @@ SAMPLE_PRIORITY: list[str] = [
     "mm_shot_boundaries",
     "dedup_containment_pairs",
     "dedup_cluster_keep_best",
+    "part_skyline",
+    "zorder_layout_buckets",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -199,11 +203,12 @@ SAMPLE_PRIORITY: list[str] = [
     "j2_stream_static_join",
     "j4_pair_generation",
     # NOTE round 7: the round-6 changed+new queries OVERFLOW the head:
-    # 10 changed + 48 new = 58 candidates for 50 slots, so the last
-    # eight entries of the new section (orders_revenue_concentration,
+    # 10 changed + 50 new = 60 candidates for 50 slots, so the last
+    # ten entries of the new section (orders_revenue_concentration,
     # events_trailing_distinct_users, fuzzy_name_search,
     # w7_rank_family, sql_frontend_lateral_topn, mm_shot_boundaries,
-    # dedup_containment_pairs, dedup_cluster_keep_best)
+    # dedup_containment_pairs, dedup_cluster_keep_best, part_skyline,
+    # zorder_layout_buckets)
     # ship with NO driver row and MUST be first in the round-7 head,
     # before even the displaced stale tail below.
     # Original displacement note: the round-6-new queries filled the head past 50

@@ -431,6 +431,7 @@ GLOBAL_WINDOW_OK = {
     "orders_revenue_concentration",  # 10-row decile table cumulative share
     "text_bm25_rank",            # rank over the top-20 AFTER TakeOrdered
     "w3_cumulative_users",       # |days| pre-aggregate
+    "part_skyline",              # |price-bands| (~100-row) boundary table
 }
 
 
