@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_cluster_keep_best",
     "part_skyline",
     "zorder_layout_buckets",
+    "ann_pq_recall",
 ]
 
 

@@ -696,3 +696,291 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + recall: the FAISS IVF-PQ compression
+# standard for billion-vector serving. The 64-dim space splits into
+# M=4 independent 16-dim subspaces; each subspace trains its own tiny
+# codebook (K=4 centroids, deterministic Lloyd's: first-K init + one
+# refinement, exactly the ml_kmeans_embeddings recipe), and every
+# vector compresses to M small code ids -- here 4x log2(8) = 12 bits a
+# vector vs 64 float32s, the 32x that makes a 100 TB corpus fit a
+# serving tier. Queries rank candidates by ASYMMETRIC distance (ADC):
+# per-subspace query->centroid distances form an M x K lookup table
+# (M*K*|queries| tiny rows, broadcast), and a candidate's distance is
+# the fixed-order sum of its M looked-up entries -- the corpus itself
+# never computes a full-dimension distance at serving time.
+#
+# Determinism: features quantize to BIGINT (floor(x * 2^20), exact in
+# both engines); centroids are exact-integer-sum / count doubles; every
+# distance is the identical left-associated IEEE chain on both engines
+# (F.aggregate's fold order == the oracle's written 16-term chain);
+# argmin ties break on cid, ranking ties on vec_id. Output floats
+# (recall, relative ADC error) snap to the 1e-6 grid on both sides.
+#
+# Scale: codebooks and LUTs are O(M*K) rows and broadcast; the corpus
+# shuffles only on vec_id-width code rows; exact top-k (the recall
+# yardstick) broadcasts the bounded query set like ann_cosine_topk.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_D = 16  # dims per subspace (4 x 16 = 64)
+_PQ_K = 8  # centroids per subspace codebook
+_PQ_SCALE = 1048576.0  # 2^20, exact double product with any float32
+
+
+def _pq_feats_sql() -> str:
+    cols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {_PQ_SCALE}) AS BIGINT) AS x{i}"
+        for i in range(1, _PQ_M * _PQ_D + 1)
+    )
+    return f"SELECT vec_id, {cols} FROM embeddings"
+
+
+def _pq_oracle() -> str:
+    def dims(s):  # 1-based feature indices of subspace s
+        return range(s * _PQ_D + 1, (s + 1) * _PQ_D + 1)
+
+    def chain(s, left, right):  # left-assoc 16-term squared-distance chain
+        return " + ".join(
+            f"(CAST({left}.x{i} AS DOUBLE) - {right}.c{i}) * "
+            f"(CAST({left}.x{i} AS DOUBLE) - {right}.c{i})"
+            for i in dims(s)
+        )
+
+    sql = f"WITH f AS ({_pq_feats_sql()}),\n    q AS (SELECT * FROM f WHERE vec_id < {N_QUERIES})"
+    for s in range(_PQ_M):
+        init_cols = ", ".join(f"CAST(x{i} AS DOUBLE) AS c{i}" for i in dims(s))
+        recenter = ", ".join(
+            f"CAST(sum(x{i}) AS DOUBLE) / count(*) AS c{i}" for i in dims(s)
+        )
+        sql += f""",
+    cb0_{s} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) AS cid, {init_cols}
+      FROM (SELECT * FROM f ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    a_{s} AS (
+      SELECT vec_id, cid FROM (
+        SELECT f.vec_id, c.cid,
+               row_number() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {chain(s, 'f', 'c')} ASC, c.cid ASC) AS rn
+        FROM f, cb0_{s} c
+      ) WHERE rn = 1
+    ),
+    cb_{s} AS (
+      SELECT a.cid, {recenter}
+      FROM a_{s} a JOIN f ON f.vec_id = a.vec_id GROUP BY a.cid
+    ),
+    code_{s} AS (
+      SELECT vec_id, cid FROM (
+        SELECT f.vec_id, c.cid,
+               row_number() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {chain(s, 'f', 'c')} ASC, c.cid ASC) AS rn
+        FROM f, cb_{s} c
+      ) WHERE rn = 1
+    ),
+    lut_{s} AS (
+      SELECT q.vec_id AS query_id, c.cid, {chain(s, 'q', 'c')} AS pdist
+      FROM q, cb_{s} c
+    )"""
+    exact_chain = " + ".join(
+        f"(CAST(f.x{i} AS DOUBLE) - CAST(q.x{i} AS DOUBLE)) * "
+        f"(CAST(f.x{i} AS DOUBLE) - CAST(q.x{i} AS DOUBLE))"
+        for i in range(1, _PQ_M * _PQ_D + 1)
+    )
+    code_joins = " ".join(
+        f"JOIN code_{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.query_id = l0.query_id AND l{s}.cid = cw.c{s}"
+        for s in range(1, _PQ_M)
+    )
+    adc_sum = " + ".join(f"l{s}.pdist" for s in range(_PQ_M))
+    sql += f""",
+    codes AS (
+      SELECT vec_id, {", ".join(f"code_{s}.cid AS c{s}" for s in range(_PQ_M))}
+      FROM code_0 {code_joins}
+    ),
+    adc AS (
+      SELECT l0.query_id, cw.vec_id, {adc_sum} AS adist
+      FROM codes cw
+      JOIN lut_0 l0 ON l0.cid = cw.c0
+      {lut_joins}
+      WHERE cw.vec_id <> l0.query_id
+    ),
+    approx AS (
+      SELECT query_id, vec_id, adist FROM (
+        SELECT query_id, vec_id, adist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, vec_id ASC) AS rank
+        FROM adc
+      ) WHERE rank <= {TOP_K}
+    ),
+    exact AS (
+      SELECT query_id, vec_id, edist FROM (
+        SELECT q.vec_id AS query_id, f.vec_id, {exact_chain} AS edist,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {exact_chain} ASC, f.vec_id ASC) AS rank
+        FROM q, f
+        WHERE f.vec_id <> q.vec_id
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(count(a.vec_id) AS DOUBLE) / count(*) * 1000000) / 1000000
+             AS recall,
+           round(avg(CASE WHEN a.vec_id IS NOT NULL
+                          THEN abs(a.adist - e.edist) / e.edist END)
+                 * 1000000) / 1000000 AS mean_rel_adc_err
+    FROM exact e
+    LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+    return sql
+
+
+def _pq_sub(xs: Column, s: int) -> Column:
+    return F.slice(xs, s * _PQ_D + 1, _PQ_D)
+
+
+def _pq_dist2(sub: Column, cs: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(sub, cs, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("ann_pq_recall", oracle=_pq_oracle())
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda e: F.floor(e.cast("double") * _PQ_SCALE).cast("long")
+        ).alias("xs"),
+    ).cache()
+
+    def argmin(sub_feats: DataFrame, cents: DataFrame, out: str) -> DataFrame:
+        pairs = sub_feats.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cid", _pq_dist2(F.col("sub"), F.col("cs")).alias("dist")
+        )
+        return pairs.groupBy("vec_id").agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias(out)
+        )
+
+    codes = None
+    luts = []
+    q_ids = feats.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "xs"
+    )
+    for s in range(_PQ_M):
+        sub = feats.select("vec_id", _pq_sub(F.col("xs"), s).alias("sub"))
+        cb0 = (
+            sub.orderBy("vec_id")
+            .limit(_PQ_K)
+            .select(
+                F.row_number()
+                .over(Window.partitionBy(F.lit(0)).orderBy("vec_id"))
+                .alias("cid"),
+                F.transform("sub", lambda x: x.cast("double")).alias("cs"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        assign0 = argmin(sub, cb0, "cid")
+        # exact-integer elementwise recenter, reassembled in pos order
+        cb = (
+            sub.join(assign0, "vec_id")
+            .select("cid", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg((F.sum("x").cast("double") / F.count("*")).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda t: t["c"],
+                ).alias("cs")
+            )
+            .localCheckpoint(eager=False)
+        )
+        code_s = argmin(sub, cb, f"c{s}")
+        # narrow (vec_id, code) tables equi-joined on exact keys with no
+        # downstream order need: shuffle_hash, not sort-merge (same
+        # rationale as the CC iteration body)
+        codes = (
+            code_s
+            if codes is None
+            else codes.join(code_s.hint("shuffle_hash"), "vec_id")
+        )
+        lut = (
+            q_ids.select("query_id", _pq_sub(F.col("xs"), s).alias("sub"))
+            .crossJoin(F.broadcast(cb))
+            .select(
+                "query_id",
+                F.col("cid").alias(f"c{s}"),
+                _pq_dist2(F.col("sub"), F.col("cs")).alias(f"p{s}"),
+            )
+        )
+        luts.append(lut)
+    adc = codes.crossJoin(
+        F.broadcast(q_ids.select("query_id"))
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    for s in range(_PQ_M):
+        adc = adc.join(F.broadcast(luts[s]), ["query_id", f"c{s}"])
+    adist = F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
+    wa = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    approx = (
+        adc.select("query_id", "vec_id", adist.alias("adist"))
+        .withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("vec_id").alias("a_vec_id"),
+            "adist",
+        )
+    )
+    qf = q_ids.select("query_id", F.col("xs").alias("qxs"))
+    edist = F.aggregate(
+        F.zip_with(
+            "xs", "qxs", lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    we = Window.partitionBy("query_id").orderBy(F.col("edist").asc(), F.col("vec_id"))
+    exact = (
+        feats.crossJoin(F.broadcast(qf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", edist.alias("edist"))
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    joined = exact.join(
+        F.broadcast(approx),
+        (F.col("a_query_id") == F.col("query_id"))
+        & (F.col("a_vec_id") == F.col("vec_id")),
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.count("a_vec_id").alias("n_hits"),
+            rounded(F.count("a_vec_id").cast("double") / F.count("*"), 6).alias(
+                "recall"
+            ),
+            rounded(
+                F.avg(
+                    F.when(
+                        F.col("a_vec_id").isNotNull(),
+                        F.abs(F.col("adist") - F.col("edist")) / F.col("edist"),
+                    )
+                ),
+                6,
+            ).alias("mean_rel_adc_err"),
+        )
+        .orderBy("query_id")
+    )

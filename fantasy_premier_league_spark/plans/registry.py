@@ -111,6 +111,7 @@ NEW_THIS_ROUND: list[str] = [
     "dedup_cluster_keep_best",
     "part_skyline",
     "zorder_layout_buckets",
+    "ann_pq_recall",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -176,6 +177,7 @@ SAMPLE_PRIORITY: list[str] = [
     "dedup_cluster_keep_best",
     "part_skyline",
     "zorder_layout_buckets",
+    "ann_pq_recall",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -203,12 +205,12 @@ SAMPLE_PRIORITY: list[str] = [
     "j2_stream_static_join",
     "j4_pair_generation",
     # NOTE round 7: the round-6 changed+new queries OVERFLOW the head:
-    # 10 changed + 50 new = 60 candidates for 50 slots, so the last
-    # ten entries of the new section (orders_revenue_concentration,
+    # 10 changed + 51 new = 61 candidates for 50 slots, so the last
+    # eleven entries of the new section (orders_revenue_concentration,
     # events_trailing_distinct_users, fuzzy_name_search,
     # w7_rank_family, sql_frontend_lateral_topn, mm_shot_boundaries,
     # dedup_containment_pairs, dedup_cluster_keep_best, part_skyline,
-    # zorder_layout_buckets)
+    # zorder_layout_buckets, ann_pq_recall)
     # ship with NO driver row and MUST be first in the round-7 head,
     # before even the displaced stale tail below.
     # Original displacement note: the round-6-new queries filled the head past 50
