@@ -115,6 +115,7 @@ HEADLINE = [
     "part_skyline",
     "zorder_layout_buckets",
     "ann_pq_recall",
+    "docs_dsir_weights",
 ]
 
 

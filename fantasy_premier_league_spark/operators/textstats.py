@@ -1103,3 +1103,123 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights for data selection (Xie et al. 2023,
+# "Data Selection for Language Models via Importance Resampling" --
+# public method): score every document by the mean per-token log ratio
+# of a TARGET unigram distribution (here the 'src0' slice standing in
+# for the curated target domain) against the full-corpus SOURCE
+# distribution. Documents whose token mix looks more target-like than
+# corpus-average score > 0 and are up-sampled by importance resampling;
+# junk scores negative. Both distributions are Laplace-smoothed
+# ((c + 1) / (T + V)) so tokens unseen in the target slice stay finite
+# -- essential once the driver regenerates testdata.
+#
+# Cross-engine float discipline: the 4-term ln() combination is
+# snapped to a 1e-9 grid ONCE on the vocab-sized table, and every
+# per-doc aggregate is an exact BIGINT sum of grid units -- the
+# docs_unigram_logprob / graph_pagerank recipe.
+#
+# Scale: two token aggregations, three broadcast scalars, one
+# token-keyed shuffle_hash join; per-hot-token fan-in is |docs
+# containing it| thanks to the per-doc pre-aggregation. Nothing leaves
+# the JVM.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dsir_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY doc_id, token
+    ),
+    vocab AS (
+      SELECT token, CAST(sum(cnt) AS BIGINT) AS c_s FROM doc_tok GROUP BY token
+    ),
+    tgt AS (
+      SELECT dt.token, CAST(sum(dt.cnt) AS BIGINT) AS c_t
+      FROM doc_tok dt JOIN documents d ON d.doc_id = dt.doc_id
+      WHERE d.source = 'src0' GROUP BY dt.token
+    ),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_s) AS BIGINT) AS t_s
+      FROM vocab
+    ),
+    scal_t AS (SELECT CAST(coalesce(sum(c_t), 0) AS BIGINT) AS t_t FROM tgt),
+    units AS (
+      SELECT vb.token,
+             CAST(round((ln(CAST(coalesce(t.c_t, 0) + 1 AS DOUBLE))
+                         - ln(CAST((SELECT t_t FROM scal_t)
+                                   + (SELECT v FROM scal) AS DOUBLE))
+                         - ln(CAST(vb.c_s + 1 AS DOUBLE))
+                         + ln(CAST((SELECT t_s FROM scal)
+                                   + (SELECT v FROM scal) AS DOUBLE)))
+                        * 1000000000) AS BIGINT) AS u
+      FROM vocab vb LEFT JOIN tgt t ON t.token = vb.token
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+           round(CAST(sum(d.cnt * u.u) AS DOUBLE) / sum(d.cnt) / 1000000000
+                 * 1000000) / 1000000 AS mean_log_ratio
+    FROM doc_tok d JOIN units u ON u.token = d.token
+    GROUP BY d.doc_id ORDER BY doc_id
+    """,
+)
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    doc_tok = (
+        docs.select("doc_id", F.explode(_tok(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = doc_tok.groupBy("token").agg(F.sum("cnt").alias("c_s"))
+    tgt = (
+        doc_tok.join(
+            docs.filter(F.col("source") == "src0").select("doc_id"), "doc_id"
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("c_t"))
+    )
+    scal = vocab.agg(
+        F.count("*").alias("v"), F.sum("c_s").alias("t_s")
+    )
+    scal_t = tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_t"))
+    units = (
+        vocab.join(tgt.hint("shuffle_hash"), "token", "left")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(scal_t))
+        .select(
+            "token",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + 1)
+                    - F.log((F.col("t_t") + F.col("v")).cast("double"))
+                    - F.log(F.col("c_s").cast("double") + 1)
+                    + F.log((F.col("t_s") + F.col("v")).cast("double"))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    return (
+        doc_tok.join(units.hint("shuffle_hash"), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            rounded(
+                F.sum(F.col("cnt") * F.col("u")).cast("double")
+                / F.sum("cnt")
+                / 1_000_000_000,
+                6,
+            ).alias("mean_log_ratio"),
+        )
+        .orderBy("doc_id")
+    )
