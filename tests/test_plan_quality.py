@@ -205,6 +205,8 @@ CARTESIAN_OK = {
     "dq_constraint_checks",   # scalar fan-in: 1-row count crossed with 1-row count
     "orders_revenue_concentration",  # scalar fan-in of the 1-row boundary array
     "text_tfidf_keywords",    # scalar fan-in of the 1-row doc-count aggregate
+    "ann_pq_recall",          # codebook (_PQ_K rows) + query-set fan-out
+    "docs_dsir_weights",      # scalar fan-in of the 1-row vocab/total aggregates
 }
 
 
