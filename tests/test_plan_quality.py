@@ -497,3 +497,52 @@ def test_topk_per_group_uses_window_group_limit(spark, name):
     assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or plan.count(
         "WindowGroupLimit"
     ) >= 2, f"{name}: no map-side (Partial) WindowGroupLimit stage:\n{plan}"
+
+
+# ---------------------------------------------------------------------------
+# Round-6 closer tier, pinned: the scale-bearing plan properties of the
+# containment/keep-best/skyline/z-order/PQ additions. Same rationale as
+# the CC/PageRank iteration pins -- these properties were established
+# by hand-audit and must not silently regress under a refactor.
+# ---------------------------------------------------------------------------
+
+
+def test_containment_pairs_join_shape(spark):
+    """The posting-list self-join must hash-join (never sort-merge: no
+    downstream order need) and must never broadcast a corpus side."""
+    plan = plan_of(all_queries()["dedup_containment_pairs"](spark, SF))
+    assert "SortMergeJoin" not in plan, f"containment self-join sorts:\n{plan}"
+    assert "ShuffledHashJoin" in plan, f"containment self-join not SHJ:\n{plan}"
+
+
+def test_skyline_single_bounded_global_window(spark):
+    """Exactly ONE unpartitioned ordered window may exist -- the
+    ~100-row price-band boundary table. A second one means the sweep
+    regressed to a global window over the data."""
+    plan = plan_of(all_queries()["part_skyline"](spark, SF))
+    n = _unpartitioned_ordered_windows(plan)
+    assert n <= 1, f"part_skyline: {n} global windows (boundary table only):\n{plan}"
+    assert "BroadcastHashJoin" in plan, (
+        f"part_skyline: boundary table must broadcast back:\n{plan}"
+    )
+
+
+def test_zorder_layout_joinless(spark):
+    """Morton coding + bucket rectangles is map-side expressions plus
+    one aggregation: any join appearing means the layout comparison
+    stopped being a single-pass computation."""
+    plan = plan_of(all_queries()["zorder_layout_buckets"](spark, SF))
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, f"zorder_layout_buckets grew a {op}:\n{plan}"
+
+
+def test_pq_recall_no_sort_merge(spark):
+    """PQ code tables join on exact keys with no order need: the 4-way
+    codes join and the recall join must stay hash joins (the corpus
+    never sorts), and codebook/LUT/query fan-outs must broadcast."""
+    plan = plan_of(all_queries()["ann_pq_recall"](spark, SF))
+    assert "SortMergeJoin" not in plan, f"ann_pq_recall sorts a codes join:\n{plan}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        f"ann_pq_recall: bounded fan-outs must broadcast:\n{plan}"
+    )
