@@ -116,6 +116,7 @@ HEADLINE = [
     "zorder_layout_buckets",
     "ann_pq_recall",
     "docs_dsir_weights",
+    "stats_chi2_independence",
 ]
 
 

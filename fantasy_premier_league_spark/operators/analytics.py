@@ -1339,3 +1339,101 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "cents", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: is event_type independent of the
+# event-value band? The inferential-statistics member of the stats
+# family (corr matrix = linear association, z-score/MAD = outliers,
+# chi2 = categorical independence) -- the readout an experimentation
+# or data-drift pipeline computes per segment.
+#
+# Cross-engine float discipline: observed counts and marginals are
+# exact BIGINTs; each cell's expected count and (obs-exp)^2/exp
+# contribution is one deterministic IEEE double expression with the
+# multiplication ordered wide-first (CAST(row_tot AS DOUBLE) *
+# col_tot / N -- BIGINT products would overflow at 100 TB marginals),
+# snapped once to a 1e-9 grid per CELL (the contingency table is
+# |types| x |bands| ~ 25 rows), then summed as exact BIGINT units --
+# the docs_unigram_logprob recipe, so summation order cannot flip the
+# gate.
+#
+# Scale: ONE map-side-combined shuffle builds the contingency table;
+# marginals are aggregates of the tiny cells table and broadcast back.
+# The raw events never shuffle on anything but the (type, band) key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(floor(value / 100.0) AS INTEGER) AS band,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rows_m AS (
+      SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_tot
+      FROM cells GROUP BY event_type
+    ),
+    cols_m AS (
+      SELECT band, CAST(sum(obs) AS BIGINT) AS col_tot FROM cells GROUP BY band
+    ),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM cells),
+    contrib AS (
+      SELECT c.event_type, c.band,
+             CAST(round(
+               (CAST(c.obs AS DOUBLE)
+                - CAST(r.row_tot AS DOUBLE) * k.col_tot / t.total)
+               * (CAST(c.obs AS DOUBLE)
+                  - CAST(r.row_tot AS DOUBLE) * k.col_tot / t.total)
+               / (CAST(r.row_tot AS DOUBLE) * k.col_tot / t.total)
+               * 1000000000) AS BIGINT) AS u
+      FROM cells c
+      JOIN rows_m r USING (event_type)
+      JOIN cols_m k USING (band)
+      CROSS JOIN n t
+    )
+    SELECT c.event_type,
+           r.row_tot AS n_events,
+           CAST(count(*) AS BIGINT) AS n_bands,
+           round(CAST(sum(c.u) AS DOUBLE) / 1000000000 * 1000000) / 1000000
+             AS chi2_contrib
+    FROM contrib c JOIN rows_m r USING (event_type)
+    GROUP BY c.event_type, r.row_tot ORDER BY event_type
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cells = (
+        events.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 100.0).cast("int").alias("band"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    rows_m = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    cols_m = cells.groupBy("band").agg(F.sum("obs").alias("col_tot"))
+    n = cells.agg(F.sum("obs").alias("total"))
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("total")
+    d = F.col("obs").cast("double") - exp
+    contrib = (
+        cells.join(F.broadcast(rows_m), "event_type")
+        .join(F.broadcast(cols_m), "band")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "row_tot",
+            F.round(d * d / exp * 1_000_000_000).cast("long").alias("u"),
+        )
+    )
+    return (
+        contrib.groupBy("event_type", F.col("row_tot").alias("n_events"))
+        .agg(
+            F.count("*").alias("n_bands"),
+            rounded(F.sum("u").cast("double") / 1_000_000_000, 6).alias(
+                "chi2_contrib"
+            ),
+        )
+        .orderBy("event_type")
+    )

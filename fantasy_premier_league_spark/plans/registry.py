@@ -113,6 +113,7 @@ NEW_THIS_ROUND: list[str] = [
     "zorder_layout_buckets",
     "ann_pq_recall",
     "docs_dsir_weights",
+    "stats_chi2_independence",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -180,6 +181,7 @@ SAMPLE_PRIORITY: list[str] = [
     "zorder_layout_buckets",
     "ann_pq_recall",
     "docs_dsir_weights",
+    "stats_chi2_independence",
     # --- last driver row is r2: four rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -207,12 +209,13 @@ SAMPLE_PRIORITY: list[str] = [
     "j2_stream_static_join",
     "j4_pair_generation",
     # NOTE round 7: the round-6 changed+new queries OVERFLOW the head:
-    # 10 changed + 52 new = 62 candidates for 50 slots, so the last
-    # twelve entries of the new section (orders_revenue_concentration,
+    # 10 changed + 53 new = 63 candidates for 50 slots, so the last
+    # thirteen entries of the new section (orders_revenue_concentration,
     # events_trailing_distinct_users, fuzzy_name_search,
     # w7_rank_family, sql_frontend_lateral_topn, mm_shot_boundaries,
     # dedup_containment_pairs, dedup_cluster_keep_best, part_skyline,
-    # zorder_layout_buckets, ann_pq_recall, docs_dsir_weights)
+    # zorder_layout_buckets, ann_pq_recall, docs_dsir_weights,
+    # stats_chi2_independence)
     # ship with NO driver row and MUST be first in the round-7 head,
     # before even the displaced stale tail below.
     # Original displacement note: the round-6-new queries filled the head past 50

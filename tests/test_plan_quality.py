@@ -207,6 +207,7 @@ CARTESIAN_OK = {
     "text_tfidf_keywords",    # scalar fan-in of the 1-row doc-count aggregate
     "ann_pq_recall",          # codebook (_PQ_K rows) + query-set fan-out
     "docs_dsir_weights",      # scalar fan-in of the 1-row vocab/total aggregates
+    "stats_chi2_independence",  # scalar fan-in of the 1-row grand-total aggregate
 }
 
 
