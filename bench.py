@@ -117,6 +117,11 @@ HEADLINE = [
     "ann_pq_recall",
     "docs_dsir_weights",
     "stats_chi2_independence",
+    # round 7 additions: composed IVF-PQ, req1 quirk twin, full-pipeline
+    # sink roundtrip
+    "ann_ivfpq_recall",
+    "fpl_req1_invalid_team_quirk",
+    "t16_fpl_pipeline_roundtrip",
 ]
 
 
@@ -203,7 +208,29 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
+    # Full payload (per-query medians + min/med/max spread) first, for
+    # humans and BASELINE.md bookkeeping...
     print(json.dumps(payload))
+    # ...then a COMPACT summary as the LAST line. The driver captures
+    # only the tail of stdout (~2000 chars) and parses the last JSON
+    # line it sees; round 6's single 8 kB line was truncated to
+    # parsed=null (VERDICT r6 #2). The final line therefore carries the
+    # headline numbers plus per-query medians for ONLY the comparable-24
+    # prefix, and tests/test_bench_contract.py caps its length.
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "baseline_comparable_24_total": comparable,
+        "repeats": repeats,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {n: timings[n] for n in HEADLINE[:24] if n in timings},
+        "sf": payload["sf"],
+    }
+    line = json.dumps(summary)
+    assert len(line) < 1500, f"summary line too long ({len(line)} chars)"
+    print(line)
     sys.stdout.flush()
     try:
         spark.stop()

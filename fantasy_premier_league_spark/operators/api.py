@@ -176,17 +176,21 @@ _REQ1_COLS = (
     + "}"
 )
 
-_REQ1_ROSTER_SQL = f"""
+def _req1_roster_sql(path: str) -> str:
+    return f"""
   SELECT team, team_name, unnest(names) AS player_name FROM (
     SELECT 'team1' AS team, team1.name AS team_name,
            [{", ".join("team1." + pk for pk in PLAYER_KEYS)}] AS names
-    FROM read_json('{REQ1}', columns={_REQ1_COLS})
+    FROM read_json('{path}', columns={_REQ1_COLS})
     UNION ALL
     SELECT 'team2' AS team, team2.name AS team_name,
            [{", ".join("team2." + pk for pk in PLAYER_KEYS)}] AS names
-    FROM read_json('{REQ1}', columns={_REQ1_COLS})
+    FROM read_json('{path}', columns={_REQ1_COLS})
   )
 """
+
+
+_REQ1_ROSTER_SQL = _req1_roster_sql(REQ1)
 
 _CHEM_SQL = f"""
     WITH trace AS ({_RATING_SQL}),
@@ -265,6 +269,132 @@ def fpl_req1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "team",
         "team_name",
         rounded(F.col("strength"), 6).alias("strength"),
+        rounded(
+            F.when(F.col("team") == "team1", chance1).otherwise(100 - chance1), 6
+        ).alias("winning_chance"),
+    ).orderBy("team")
+
+
+# ---------------------------------------------------------------------------
+# req_type 1 compat twin: the invalid-team-overwrite quirk
+# ---------------------------------------------------------------------------
+
+from fantasy_premier_league_spark.sources.fpl_fixtures import (  # noqa: E402
+    ensure_invalid_req1,
+)
+
+REQ1_INVALID = ensure_invalid_req1(FIXTURES)
+
+_REQ1_INVALID_ORACLE = f"""
+    WITH roster AS ({_req1_roster_sql(REQ1_INVALID)}),
+    ids AS (
+      SELECT r.team, r.team_name, p.Id AS playerId
+      FROM roster r JOIN {_PLAYERS_CSV_SQL} p ON p.name = r.player_name
+    ),
+    validity AS (
+      SELECT r.team,
+             CASE WHEN sum(CASE WHEN p.role = 'GK' THEN 1 ELSE 0 END) = 1
+                   AND sum(CASE WHEN p.role = 'DF' THEN 1 ELSE 0 END) >= 2
+                   AND sum(CASE WHEN p.role = 'MD' THEN 1 ELSE 0 END) >= 2
+                   AND sum(CASE WHEN p.role = 'FW' THEN 1 ELSE 0 END) >= 1
+                  THEN 1 ELSE 0 END AS is_valid
+      FROM roster r JOIN {_PLAYERS_CSV_SQL} p ON p.name = r.player_name
+      GROUP BY r.team
+    ),
+    chem AS ({_CHEM_SQL}),
+    team_chem AS (
+      SELECT a.team, sum(c.chemistry) * 2 / 11 AS team_avg
+      FROM ids a JOIN ids b ON a.team = b.team
+      JOIN chem c ON c.p1 = a.playerId AND c.p2 = b.playerId
+      GROUP BY a.team
+    ),
+    final_rating AS (
+      SELECT playerId, rating FROM (
+        SELECT playerId, rating,
+               row_number() OVER (PARTITION BY playerId ORDER BY matchId DESC) AS rn
+        FROM ({_RATING_SQL})
+      ) WHERE rn = 1
+    ),
+    strength AS (
+      SELECT i.team, i.team_name, sum(fr.rating) * any_value(tc.team_avg) / 11 AS s
+      FROM ids i JOIN final_rating fr ON fr.playerId = i.playerId
+      JOIN team_chem tc ON tc.team = i.team
+      GROUP BY i.team, i.team_name
+    ),
+    used AS (
+      SELECT s.team, s.team_name, v.is_valid,
+             CASE WHEN v.is_valid = 1 THEN s.s ELSE 0 END AS su
+      FROM strength s JOIN validity v ON v.team = s.team
+    )
+    SELECT team, team_name, is_valid, round(su, 6) AS strength_used,
+           round(CASE WHEN team = 'team1'
+                 THEN (0.5 + su - (SELECT sum(su) FROM used) / 2) * 100
+                 ELSE 100 - (0.5 + (SELECT su FROM used WHERE team = 'team1')
+                             - (SELECT sum(su) FROM used) / 2) * 100 END, 6)
+             AS winning_chance
+    FROM used ORDER BY team
+"""
+
+
+@register("fpl_req1_invalid_team_quirk", oracle=_REQ1_INVALID_ORACLE)
+def fpl_req1_invalid_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pins the reference's last-iteration-overwrite bug (ui.py:53-74):
+    ``out`` is reassigned per team-loop iteration, so when team1 is
+    invalid but team2 is valid, the "Invalid Team" status is silently
+    replaced by a win prediction computed with team1's strength still
+    at its initial 0 (``team_strength = [0, 0]``, ui.py:28). The
+    canonical ``predict_win`` above fixes this (any invalid team
+    invalidates the request); this compat twin reproduces the quirk
+    exactly on the two-GK team1 fixture, as the r6 verdict ordered
+    (Next round #7)."""
+    from pyspark.sql import Window
+
+    with open(REQ1_INVALID) as f:
+        request = json.load(f)
+    roster = spark.createDataFrame(
+        _team_rosters(request), "team string, team_name string, player_name string"
+    )
+    players = F.broadcast(load_players(spark))
+    validity = (
+        roster.join(players, roster.player_name == players.name)
+        .groupBy("team")
+        .agg(
+            F.sum(F.when(F.col("role") == "GK", 1).otherwise(0)).alias("gk"),
+            F.sum(F.when(F.col("role") == "DF", 1).otherwise(0)).alias("dfn"),
+            F.sum(F.when(F.col("role") == "MD", 1).otherwise(0)).alias("md"),
+            F.sum(F.when(F.col("role") == "FW", 1).otherwise(0)).alias("fw"),
+        )
+        .select(
+            "team",
+            (
+                (F.col("gk") == 1)
+                & (F.col("dfn") >= 2)
+                & (F.col("md") >= 2)
+                & (F.col("fw") >= 1)
+            )
+            .cast("int")
+            .alias("is_valid"),
+        )
+    )
+    tot = Window.partitionBy(F.lit(0))
+    s = (
+        team_strengths(spark, request)
+        .join(validity, "team")
+        .withColumn(
+            "su",
+            F.when(F.col("is_valid") == 1, F.col("strength")).otherwise(F.lit(0.0)),
+        )
+        .withColumn("total", F.sum("su").over(tot))
+        .withColumn(
+            "s1", F.sum(F.when(F.col("team") == "team1", F.col("su"))).over(tot)
+        )
+    )
+    chance1 = (0.5 + F.col("s1") - F.col("total") / 2) * 100
+    return s.select(
+        "team",
+        "team_name",
+        "is_valid",
+        rounded(F.col("su"), 6).alias("strength_used"),
         rounded(
             F.when(F.col("team") == "team1", chance1).otherwise(100 - chance1), 6
         ).alias("winning_chance"),

@@ -738,18 +738,35 @@ def _pq_feats_sql() -> str:
     return f"SELECT vec_id, {cols} FROM embeddings"
 
 
-def _pq_oracle() -> str:
-    def dims(s):  # 1-based feature indices of subspace s
-        return range(s * _PQ_D + 1, (s + 1) * _PQ_D + 1)
+def _pq_dims(s):  # 1-based feature indices of subspace s
+    return range(s * _PQ_D + 1, (s + 1) * _PQ_D + 1)
 
-    def chain(s, left, right):  # left-assoc 16-term squared-distance chain
-        return " + ".join(
-            f"(CAST({left}.x{i} AS DOUBLE) - {right}.c{i}) * "
-            f"(CAST({left}.x{i} AS DOUBLE) - {right}.c{i})"
-            for i in dims(s)
-        )
 
-    sql = f"WITH f AS ({_pq_feats_sql()}),\n    q AS (SELECT * FROM f WHERE vec_id < {N_QUERIES})"
+def _pq_chain(s, left, right):  # left-assoc 16-term squared-distance chain
+    return " + ".join(
+        f"(CAST({left}.x{i} AS DOUBLE) - {right}.c{i}) * "
+        f"(CAST({left}.x{i} AS DOUBLE) - {right}.c{i})"
+        for i in _pq_dims(s)
+    )
+
+
+def _exact_chain_sql(left: str, right: str) -> str:
+    # left-assoc 64-term exact squared distance (matches F.aggregate's
+    # elementwise fold order over zip_with on both engines)
+    return " + ".join(
+        f"(CAST({left}.x{i} AS DOUBLE) - CAST({right}.x{i} AS DOUBLE)) * "
+        f"(CAST({left}.x{i} AS DOUBLE) - CAST({right}.x{i} AS DOUBLE))"
+        for i in range(1, _PQ_M * _PQ_D + 1)
+    )
+
+
+def _pq_train_ctes() -> str:
+    """Per-subspace codebook-training + query-LUT CTE text; expects
+    CTEs ``f`` (quantized features) and ``q`` (query subset of f) to be
+    defined by the caller. Shared by the pure-PQ and IVF-PQ oracles so
+    both gate the IDENTICAL codebooks."""
+    dims, chain = _pq_dims, _pq_chain
+    sql = ""
     for s in range(_PQ_M):
         init_cols = ", ".join(f"CAST(x{i} AS DOUBLE) AS c{i}" for i in dims(s))
         recenter = ", ".join(
@@ -784,24 +801,38 @@ def _pq_oracle() -> str:
       SELECT q.vec_id AS query_id, c.cid, {chain(s, 'q', 'c')} AS pdist
       FROM q, cb_{s} c
     )"""
-    exact_chain = " + ".join(
-        f"(CAST(f.x{i} AS DOUBLE) - CAST(q.x{i} AS DOUBLE)) * "
-        f"(CAST(f.x{i} AS DOUBLE) - CAST(q.x{i} AS DOUBLE))"
-        for i in range(1, _PQ_M * _PQ_D + 1)
-    )
     code_joins = " ".join(
         f"JOIN code_{s} USING (vec_id)" for s in range(1, _PQ_M)
     )
-    lut_joins = " ".join(
-        f"JOIN lut_{s} l{s} ON l{s}.query_id = l0.query_id AND l{s}.cid = cw.c{s}"
-        for s in range(1, _PQ_M)
-    )
-    adc_sum = " + ".join(f"l{s}.pdist" for s in range(_PQ_M))
     sql += f""",
     codes AS (
       SELECT vec_id, {", ".join(f"code_{s}.cid AS c{s}" for s in range(_PQ_M))}
       FROM code_0 {code_joins}
-    ),
+    )"""
+    return sql
+
+
+def _lut_joins_sql() -> str:
+    return " ".join(
+        f"JOIN lut_{s} l{s} ON l{s}.query_id = l0.query_id AND l{s}.cid = cw.c{s}"
+        for s in range(1, _PQ_M)
+    )
+
+
+def _adc_sum_sql() -> str:
+    return " + ".join(f"l{s}.pdist" for s in range(_PQ_M))
+
+
+def _pq_oracle() -> str:
+    exact_chain = _exact_chain_sql("f", "q")
+    lut_joins = _lut_joins_sql()
+    adc_sum = _adc_sum_sql()
+    sql = (
+        f"WITH f AS ({_pq_feats_sql()}),\n"
+        f"    q AS (SELECT * FROM f WHERE vec_id < {N_QUERIES})"
+    )
+    sql += _pq_train_ctes()
+    sql += f""",
     adc AS (
       SELECT l0.query_id, cw.vec_id, {adc_sum} AS adist
       FROM codes cw
@@ -853,15 +884,23 @@ def _pq_dist2(sub: Column, cs: Column) -> Column:
     )
 
 
-@register("ann_pq_recall", oracle=_pq_oracle())
-def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    feats = emb.select(
+    return emb.select(
         "vec_id",
         F.transform(
             "embedding", lambda e: F.floor(e.cast("double") * _PQ_SCALE).cast("long")
         ).alias("xs"),
     ).cache()
+
+
+def _pq_train(feats: DataFrame, q_ids: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Train the M per-subspace codebooks (deterministic Lloyd's:
+    first-K init + one exact-integer recenter) and return
+    ``(codes, luts)``: codes = (vec_id, c0..c{M-1}); luts[s] =
+    (query_id, c{s}, p{s}) broadcast-sized ADC lookup tables for the
+    given query frame (query_id, xs). Shared by the pure-PQ and IVF-PQ
+    recall queries so both serve from IDENTICAL codebooks."""
 
     def argmin(sub_feats: DataFrame, cents: DataFrame, out: str) -> DataFrame:
         pairs = sub_feats.crossJoin(F.broadcast(cents)).select(
@@ -873,9 +912,6 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = None
     luts = []
-    q_ids = feats.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "xs"
-    )
     for s in range(_PQ_M):
         sub = feats.select("vec_id", _pq_sub(F.col("xs"), s).alias("sub"))
         cb0 = (
@@ -924,6 +960,27 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         luts.append(lut)
+    return codes, luts
+
+
+def _full_dist2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register("ann_pq_recall", oracle=_pq_oracle())
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _pq_feats_df(spark, sf_dir)
+    q_ids = feats.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "xs"
+    )
+    codes, luts = _pq_train(feats, q_ids)
     adc = codes.crossJoin(
         F.broadcast(q_ids.select("query_id"))
     ).filter(F.col("vec_id") != F.col("query_id"))
@@ -981,6 +1038,230 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("mean_rel_adc_err"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the production ANN index shape (FAISS IndexIVFPQ), composed
+# from the two verified halves -- IVF coarse cells (ann_ivf_topk's
+# assign/probe) gate WHICH candidates are scored, PQ ADC (ann_pq_recall's
+# codebooks/LUTs) gates HOW CHEAPLY, and an exact re-rank of the ADC
+# shortlist restores precision at the top. Output is the measurement the
+# r6 verdict ordered (Next round #6): recall@k of the full pipeline vs
+# the exact top-k, per query, with the candidate-set size riding along
+# so the prune ratio is itself gated.
+#
+# Serving-path cost model at 100 TB:
+# - coarse centroids: O(nlist) rows, broadcast; every corpus vector
+#   computes nlist full-dim distances ONCE at build time (one scan);
+# - codes: M small ints per vector (the 32x compression tier), the only
+#   corpus-wide table the query path touches;
+# - per query: nlist coarse distances + M*K LUT entries (broadcast),
+#   then ADC over only the probed cells' candidates (~nprobe/nlist of
+#   the corpus), then RERANK full-dim distances -- the full corpus never
+#   computes a full-dimension distance at serving time;
+# - the exact top-k yardstick is the measurement harness, not the
+#   serving path: it broadcasts the bounded query set like
+#   ann_cosine_topk.
+#
+# Determinism is inherited wholesale: integer-quantized features,
+# left-associated distance chains identical to F.aggregate's fold,
+# argmin/rank ties on (distance, id).
+# ---------------------------------------------------------------------------
+
+# Operating point (tuned on the synthetic corpus, honest numbers in
+# the docstring): probe half the cells and exact-re-rank a 10k-deep ADC
+# shortlist. The two knobs decompose the recall loss measurably --
+# nprobe/nlist bounds the cell-hit ceiling (2/8 cells -> 0.36 here,
+# 4/8 -> 0.68), and the shortlist depth recovers ADC's ~0.5 relative
+# distance error within probed cells (12-bit codes are deliberately
+# tiny). A production index raises K and M before raising nprobe.
+_IVFPQ_NPROBE = 4
+_IVFPQ_RERANK = 10 * TOP_K
+
+
+def _ivfpq_oracle() -> str:
+    fg = _exact_chain_sql("f", "g")
+    qg = _exact_chain_sql("q", "g")
+    fq = _exact_chain_sql("f", "q")
+    sql = (
+        f"WITH f AS ({_pq_feats_sql()}),\n"
+        f"    g AS (SELECT * FROM f WHERE vec_id < {_NLIST}),\n"
+        f"    q AS (SELECT * FROM f WHERE vec_id >= {_NLIST}"
+        f" AND vec_id < {_NLIST + N_QUERIES})"
+    )
+    sql += _pq_train_ctes()
+    sql += f""",
+    assigned AS (
+      SELECT vec_id, gid FROM (
+        SELECT f.vec_id, g.vec_id AS gid,
+               row_number() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {fg} ASC, g.vec_id ASC) AS rn
+        FROM f, g
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, gid FROM (
+        SELECT q.vec_id AS query_id, g.vec_id AS gid,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {qg} ASC, g.vec_id ASC) AS rn
+        FROM q, g
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a ON a.gid = p.gid
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT l0.query_id, cw.vec_id, {_adc_sum_sql()} AS adist
+      FROM cand cd
+      JOIN codes cw ON cw.vec_id = cd.vec_id
+      JOIN lut_0 l0 ON l0.query_id = cd.query_id AND l0.cid = cw.c0
+      {_lut_joins_sql()}
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, vec_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= {_IVFPQ_RERANK}
+    ),
+    rerank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {fq} ASC, s.vec_id ASC) AS rn
+        FROM shortlist s
+        JOIN f ON f.vec_id = s.vec_id
+        JOIN q ON q.vec_id = s.query_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, f.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {fq} ASC, f.vec_id ASC) AS rank
+        FROM q, f
+        WHERE f.vec_id <> q.vec_id
+      ) WHERE rank <= {TOP_K}
+    ),
+    candn AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id)
+    SELECT e.query_id,
+           CAST(any_value(cn.n_cand) AS BIGINT) AS n_cand,
+           CAST(count(*) AS BIGINT) AS k,
+           CAST(count(r.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(count(r.vec_id) AS DOUBLE) / count(*) * 1000000) / 1000000
+             AS recall
+    FROM exact e
+    LEFT JOIN rerank r ON r.query_id = e.query_id AND r.vec_id = e.vec_id
+    LEFT JOIN candn cn ON cn.query_id = e.query_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """
+    return sql
+
+
+@register("ann_ivfpq_recall", oracle=_ivfpq_oracle())
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _pq_feats_df(spark, sf_dir)
+    coarse = feats.filter(F.col("vec_id") < _NLIST).select(
+        F.col("vec_id").alias("gid"), F.col("xs").alias("gxs")
+    )
+    q = feats.filter(
+        (F.col("vec_id") >= _NLIST) & (F.col("vec_id") < _NLIST + N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), "xs")
+
+    # build-time: one scan assigns every corpus vector to its nearest
+    # coarse cell (nlist broadcast distances per row, map-side argmin)
+    assigned = (
+        feats.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id", "gid", _full_dist2(F.col("xs"), F.col("gxs")).alias("dist")
+        )
+        .groupBy("vec_id")
+        .agg(F.min_by("gid", F.struct("dist", "gid")).alias("gid"))
+    )
+    # query-time: nearest nprobe cells per query
+    wp = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("gid"))
+    probes = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id", "gid", _full_dist2(F.col("xs"), F.col("gxs")).alias("dist")
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "gid")
+    )
+    # candidates = corpus vectors living in a probed cell; the bounded
+    # (query x cell) probe frame broadcasts, the corpus never shuffles
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "gid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    codes, luts = _pq_train(feats, q)
+    # ADC over candidates only: inner join prunes codes to the probed
+    # cells before any LUT lookup
+    adc = codes.join(F.broadcast(cand), "vec_id")
+    for s in range(_PQ_M):
+        adc = adc.join(F.broadcast(luts[s]), ["query_id", f"c{s}"])
+    adist = F.col("p0") + F.col("p1") + F.col("p2") + F.col("p3")
+    ws = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
+    shortlist = (
+        adc.select("query_id", "vec_id", adist.alias("adist"))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _IVFPQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank of the bounded shortlist (RERANK x |q| rows)
+    qf = q.select("query_id", F.col("xs").alias("qxs"))
+    wr = Window.partitionBy("query_id").orderBy(F.col("edist").asc(), F.col("vec_id"))
+    rerank = (
+        F.broadcast(shortlist)
+        .join(feats, "vec_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id", "vec_id", _full_dist2(F.col("xs"), F.col("qxs")).alias("edist")
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            F.col("query_id").alias("r_query_id"), F.col("vec_id").alias("r_vec_id")
+        )
+    )
+    # the yardstick: exact top-k over the full corpus
+    we = Window.partitionBy("query_id").orderBy(F.col("edist").asc(), F.col("vec_id"))
+    exact = (
+        feats.crossJoin(F.broadcast(qf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", _full_dist2(F.col("xs"), F.col("qxs")).alias("edist")
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    candn = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    joined = exact.join(
+        F.broadcast(rerank),
+        (F.col("r_query_id") == F.col("query_id"))
+        & (F.col("r_vec_id") == F.col("vec_id")),
+        "left",
+    ).join(F.broadcast(candn), "query_id", "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.any_value("n_cand").alias("n_cand"),
+            F.count("*").alias("k"),
+            F.count("r_vec_id").alias("n_hits"),
+            rounded(F.count("r_vec_id").cast("double") / F.count("*"), 6).alias(
+                "recall"
+            ),
         )
         .orderBy("query_id")
     )

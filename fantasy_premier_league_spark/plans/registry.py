@@ -42,133 +42,30 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update this list whenever a registered query's
-# implementation or oracle changes. Round 6: the two r5 perf-rewrites
-# that missed the r5 sample (VERDICT #1), plus the five ADVICE-fix
-# rewrites (byte-based audio oracle, running-total units, integer-grid
-# pagerank, winnowing overflow guard -> also its pairs consumer).
+# implementation or oracle changes. Round 7: the s9 stream reader now
+# reads only the row groups overlapping the partition's row range
+# (VERDICT r6 #5, the round's one `weak` mark).
 CHANGED_THIS_ROUND: list[str] = [
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",  # sorted-neighborhood equi-band (sf10 sweep fix)
-    "q2_min_cost_supplier",
-    "dedup_simhash_pairs",
-    "dedup_simhash",
-    "mm_audio_energy",
-    "sql_frontend_running_total",
-    "graph_pagerank",
-    "text_winnowing",
-    "dedup_winnowing_pairs",
+    "s9_python_stream_feed",
 ]
 
 # Queries first registered this round (no driver row exists yet).
+# Round 7 registers FEW new queries by design: the head must first
+# drain the 13 r6-overflow queries (registered last round, never
+# driver-checked) and the 25 r2-stale rows. Registration is throttled
+# to the verification budget -- tests/test_sample_rotation.py now FAILS
+# (no grace branch) when changed + never-sampled > 50.
 NEW_THIS_ROUND: list[str] = [
-    "aqe_skew_join",
-    "t11_socket_roundtrip",
-    "fpl_chem_blocked_pairs",
-    "t12_stream_outer_join",
-    "cdc_latest_state",
-    "w5_range_frame",
-    "docs_source_mix",
-    "graph_triangle_counts",
-    "graph_triangle_doulion",
-    "events_gapfill_daily",
-    "text_bm25_rank",
-    "docs_decontaminate",
-    "knn_classify_vote",
-    "grouping_sets_revenue",
-    "stats_corr_matrix",
-    "bucketed_colocated_join",
-    "t13_stream_cdc_upsert",
-    "s8_python_datasource_feed",
-    "text_repetition_stats",
-    "dedup_prefix_filter_pairs",
-    "mm_image_resize",
-    "c13_variant_json",
-    "dedup_chunk_spans",
-    "docs_unigram_logprob",
-    "docs_temperature_mix",
-    "w6_lag_lead_delta",
-    "stats_mode_per_key",
-    "unpivot_priority_measures",
-    "t14_stream_dedup_within_watermark",
-    "sketch_kmv_setops",
-    "text_nb_lang_confusion",
-    "ann_sq8_recall",
-    "stats_mad_outliers",
-    "sql_frontend_recursive_spine",
-    "dq_constraint_checks",
-    "s9_python_stream_feed",
-    "events_transition_matrix",
-    "customer_rfm_segments",
-    "t15_sliding_window_stream",
-    "text_tfidf_keywords",
-    "orders_revenue_concentration",
-    "events_trailing_distinct_users",
-    "fuzzy_name_search",
-    "w7_rank_family",
-    "sql_frontend_lateral_topn",
-    "mm_shot_boundaries",
-    "dedup_containment_pairs",
-    "dedup_cluster_keep_best",
-    "part_skyline",
-    "zorder_layout_buckets",
-    "ann_pq_recall",
-    "docs_dsir_weights",
-    "stats_chi2_independence",
+    "ann_ivfpq_recall",
+    "fpl_req1_invalid_team_quirk",
+    "t16_fpl_pipeline_roundtrip",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
     # --- implementation changed since last driver check (rule 1) ---
-    "dedup_cluster_components",
-    "dedup_embedding_cosine",
-    "q2_min_cost_supplier",
-    "mm_audio_energy",
-    "sql_frontend_running_total",
-    "graph_pagerank",
-    "text_winnowing",
-    "dedup_winnowing_pairs",
-    "dedup_simhash",  # 32-bit widening (also r2-stale)
-    "dedup_simhash_pairs",  # r5 materialization + r6 32-bit widening
-    # --- new this round, never driver-sampled (rule 2) ---
-    "aqe_skew_join",
-    "t11_socket_roundtrip",
-    "fpl_chem_blocked_pairs",
-    "t12_stream_outer_join",
-    "cdc_latest_state",
-    "w5_range_frame",
-    "docs_source_mix",
-    "graph_triangle_counts",
-    "graph_triangle_doulion",
-    "events_gapfill_daily",
-    "text_bm25_rank",
-    "docs_decontaminate",
-    "knn_classify_vote",
-    "grouping_sets_revenue",
-    "stats_corr_matrix",
-    "bucketed_colocated_join",
-    "t13_stream_cdc_upsert",
-    "s8_python_datasource_feed",
-    "text_repetition_stats",
-    "dedup_prefix_filter_pairs",
-    "mm_image_resize",
-    "c13_variant_json",
-    "dedup_chunk_spans",
-    "docs_unigram_logprob",
-    "docs_temperature_mix",
-    "w6_lag_lead_delta",
-    "stats_mode_per_key",
-    "unpivot_priority_measures",
-    "t14_stream_dedup_within_watermark",
-    "sketch_kmv_setops",
-    "text_nb_lang_confusion",
-    "ann_sq8_recall",
-    "stats_mad_outliers",
-    "sql_frontend_recursive_spine",
-    "dq_constraint_checks",
-    "s9_python_stream_feed",
-    "events_transition_matrix",
-    "customer_rfm_segments",
-    "t15_sliding_window_stream",
-    "text_tfidf_keywords",
+    "s9_python_stream_feed",  # row-group-bounded stream read (r6 weak fix)
+    # --- registered r6, never driver-sampled: the 13-query overflow
+    # --- the r6 verdict ordered drained FIRST this round (rule 2) ---
     "orders_revenue_concentration",
     "events_trailing_distinct_users",
     "fuzzy_name_search",
@@ -182,7 +79,11 @@ SAMPLE_PRIORITY: list[str] = [
     "ann_pq_recall",
     "docs_dsir_weights",
     "stats_chi2_independence",
-    # --- last driver row is r2: four rounds stale (rule 3) ---
+    # --- new this round (rule 2) ---
+    "ann_ivfpq_recall",
+    "fpl_req1_invalid_team_quirk",
+    "t16_fpl_pipeline_roundtrip",
+    # --- last driver row is r2: five rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
     "fpl_a6_chemistry",
@@ -208,38 +109,17 @@ SAMPLE_PRIORITY: list[str] = [
     "j1_broadcast_dim_join",
     "j2_stream_static_join",
     "j4_pair_generation",
-    # NOTE round 7: the round-6 changed+new queries OVERFLOW the head:
-    # 10 changed + 53 new = 63 candidates for 50 slots, so the last
-    # thirteen entries of the new section (orders_revenue_concentration,
-    # events_trailing_distinct_users, fuzzy_name_search,
-    # w7_rank_family, sql_frontend_lateral_topn, mm_shot_boundaries,
-    # dedup_containment_pairs, dedup_cluster_keep_best, part_skyline,
-    # zorder_layout_buckets, ann_pq_recall, docs_dsir_weights,
-    # stats_chi2_independence)
-    # ship with NO driver row and MUST be first in the round-7 head,
-    # before even the displaced stale tail below.
-    # Original displacement note: the round-6-new queries filled the head past 50
-    # (9 changed + 37 new + the first 4 stale rows fit; everything from
-    # dedup_exact onward is displaced — new-query verification outranks
-    # staleness, rule 2 > rule 3). The displaced r2-stale rows
-    # (dedup_exact, dedup_minhash_signatures, a1-a6, ml_*, mm_*, a5,
-    # a2a3 — the last also covered every round by the entry() smoke —
-    # f3, f4, f5, j1, j2, j4) MUST lead the round-7 head, ahead of any
-    # round-7 additions; the r4-vintage tail follows them.
-    # --- fill: least-recently-verified r4 tail (rule 4) ---
+    # --- fill: least-recently-verified r4 tail (rule 3/4; 44 r4 rows
+    # --- exist, more than the 8 remaining slots -- the stale-overflow
+    # --- branch of the rotation test applies; the rest lead round 8) ---
     "fpl_req1_win_prediction",
     "fpl_t5_stateful_stream",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_candidates",
     "ann_cosine_topk",
     "ann_lsh_buckets",
-    "dedup_embedding_cosine",
     "ann_ivf_topk",
     "sketch_hll_distinct",
-    "text_token_stats",
-    "text_quality_filter",
-    "text_lang_id",
-    "text_fingerprint",
 ]
 
 

@@ -220,6 +220,7 @@ def ensure_fixtures() -> str:
     root = fixtures_dir()
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
+        ensure_invalid_req1(root)
         return root
     os.makedirs(os.path.join(root, "stream"), exist_ok=True)
     os.makedirs(os.path.join(root, "requests"), exist_ok=True)
@@ -271,4 +272,35 @@ def ensure_fixtures() -> str:
 
     with open(marker, "w") as f:
         f.write(VERSION + "\n")
+    ensure_invalid_req1(root)
     return root
+
+
+def ensure_invalid_req1(root: str) -> str:
+    """req1 fixture with an INVALID team1 (two goalkeepers) and a valid
+    team2 — the input shape that exposes the reference's last-iteration
+    overwrite quirk (ui.py:53-74): team1's "Invalid Team" status is
+    silently replaced by team2's win-prediction, computed with
+    team1's strength stuck at its initial 0.
+
+    Written idempotently OUTSIDE the _COMPLETE marker so adding it to
+    an already-generated v1 fixture dir needs no version bump (content
+    is deterministic; existing files and oracle paths are untouched).
+    """
+    path = os.path.join(root, "requests", "req1_invalid_team1.json")
+    if os.path.exists(path):
+        return path
+    # team1 XI: slots 0-9 plus the bench GK (slot 11) -> gk==2, invalid
+    bad_xi = [f"Player {TEAM_NAMES[0]} {s:02d}" for s in list(range(10)) + [11]]
+    xi2 = [f"Player {TEAM_NAMES[1]} {s:02d}" for s in range(11)]
+    payload = {
+        "req_type": 1,
+        "date": "2018-04-01",
+        "team1": {"name": TEAM_NAMES[0], **{f"player{i+1}": n for i, n in enumerate(bad_xi)}},
+        "team2": {"name": TEAM_NAMES[1], **{f"player{i+1}": n for i, n in enumerate(xi2)}},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+    return path

@@ -807,3 +807,265 @@ def sliding_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         rounded(F.col("cents") / 100.0, 2).alias("total_value"),
     ).orderBy("win_day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# T16: the reference's WHOLE pipeline end-to-end THROUGH THE REAL SINKS
+# (r6 verdict Next round #8). The fixture stream drains through (a) the
+# K2 ingest sinks (match log + event feed, idempotent batch_id
+# partitions, streaming/pipeline.py run_ingest_sinks), (b) the K4
+# rating sink (per-batch partitions of the stateful operator's output),
+# and (c) a K3 profile snapshot per batch (the reference's
+# rmtree+rewrite of player_profile_data, master.py:220-221, rebuilt as
+# versioned prev-snapshot MERGE like t13 -- each snapshot reads only its
+# predecessor, state size O(players), never the full history). The
+# gated result then recomputes the reference's three user-facing
+# surfaces (final rating A7, cumulative profile A4, chemistry A6) FROM
+# THE SINK TABLES ONLY, while the oracle re-derives them from the raw
+# fixture JSON: one hash gate proves ingest -> state -> sinks -> serving
+# loses nothing. Closes the last local-pytest-only rows of SURVEY 2.1.
+# ---------------------------------------------------------------------------
+
+
+def _t16_oracle() -> str:
+    from fantasy_premier_league_spark.operators import pipeline as P
+
+    return f"""
+    WITH RECURSIVE trace AS ({P._RATING_SQL}),
+    final AS (
+      SELECT playerId, rating FROM (
+        SELECT playerId, rating,
+               row_number() OVER (PARTITION BY playerId ORDER BY matchId DESC) AS rn
+        FROM trace
+      ) WHERE rn = 1
+    ),
+    fm AS (
+      SELECT playerId, matchId, pass_accuracy,
+             row_number() OVER (PARTITION BY playerId ORDER BY matchId) AS seq
+      FROM ({P._FM_SQL})
+    ),
+    pa AS (
+      SELECT playerId, seq, pass_accuracy AS pa FROM fm WHERE seq = 1
+      UNION ALL
+      SELECT f.playerId, f.seq, (f.pass_accuracy + pa.pa) / 2 AS pa
+      FROM fm f JOIN pa ON f.playerId = pa.playerId AND f.seq = pa.seq + 1
+    ),
+    last_pa AS (
+      SELECT playerId, pa FROM (
+        SELECT playerId, pa,
+               row_number() OVER (PARTITION BY playerId ORDER BY seq DESC) AS rn
+        FROM pa
+      ) WHERE rn = 1
+    ),
+    totals AS (
+      SELECT playerId, CAST(sum(fouls) AS BIGINT) AS fouls,
+             CAST(sum(goals) AS BIGINT) AS goals,
+             CAST(sum(own_goals) AS BIGINT) AS own_goals,
+             CAST(sum(shots_on_target) AS BIGINT) AS shots_on_target
+      FROM ({P._FM_SQL}) GROUP BY playerId
+    ),
+    cpairs AS (
+      SELECT a.playerId AS p1, b.playerId AS p2,
+             abs((a.delta + b.delta) / 2) AS mag,
+             ((a.delta > 0 AND b.delta > 0) OR (a.delta < 0 AND b.delta < 0))
+               AS same_sign,
+             (a.teamId = b.teamId) AS same_team
+      FROM trace a JOIN trace b
+        ON a.matchId = b.matchId AND a.playerId < b.playerId
+    ),
+    chem AS (
+      SELECT p1, p2,
+             round(greatest(0.0, least(1.0,
+               {P.INIT_CHEMISTRY} + sum(CASE WHEN same_team = same_sign THEN mag
+                                             ELSE -mag END))), 6) AS chemistry
+      FROM cpairs GROUP BY p1, p2
+    ),
+    chem_pp AS (
+      SELECT playerId,
+             CAST(sum(CAST(round(chemistry * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 AS chem_sum
+      FROM (
+        SELECT p1 AS playerId, chemistry FROM chem
+        UNION ALL
+        SELECT p2 AS playerId, chemistry FROM chem
+      ) GROUP BY playerId
+    )
+    SELECT f.playerId, round(f.rating, 6) AS final_rating,
+           round(lp.pa, 6) AS pass_accuracy,
+           t.fouls, t.goals, t.own_goals, t.shots_on_target,
+           round(cp.chem_sum, 6) AS chem_sum
+    FROM final f
+    JOIN last_pa lp ON lp.playerId = f.playerId
+    JOIN totals t ON t.playerId = f.playerId
+    JOIN chem_pp cp ON cp.playerId = f.playerId
+    ORDER BY f.playerId
+    """
+
+
+def _register_pipeline_roundtrip() -> None:
+    import glob as _glob
+
+    from fantasy_premier_league_spark.sources import fpl_fixtures
+
+    @register("t16_fpl_pipeline_roundtrip", oracle=_t16_oracle())
+    def t16_fpl_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        from fantasy_premier_league_spark.operators.pipeline import INIT_CHEMISTRY
+        from fantasy_premier_league_spark.streaming.pipeline import (
+            run_ingest_sinks,
+            stream_source,
+            streaming_player_state,
+        )
+
+        stream_dir = os.path.join(fpl_fixtures.ensure_fixtures(), "stream")
+        # deterministic dir, cleaned at entry and left on disk afterwards
+        # (the returned DataFrame lazily reads the sink parquet; the
+        # next invocation resets it)
+        out_dir = os.path.join(tempfile.gettempdir(), "t16_roundtrip")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        rating_dir = os.path.join(out_dir, "rating")
+        profile_root = os.path.join(out_dir, "profile")
+        events_dir = os.path.join(out_dir, "events")
+
+        # K2 + event feed: one micro-batch per match file, idempotent
+        # batch_id partitions (T8)
+        run_ingest_sinks(
+            stream_source(spark, stream_dir),
+            out_dir,
+            os.path.join(out_dir, "_ckpt_ingest"),
+        ).awaitTermination()
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # K4: this batch's rating rows land in their own partition
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").parquet(rating_dir)
+            # K3: profile snapshot = previous snapshot MERGE this batch's
+            # latest per-player state (reference rmtree+rewrite, made
+            # incremental: reads ONLY the previous snapshot)
+            wlast = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
+            latest = (
+                batch_df.withColumn("rn", F.row_number().over(wlast))
+                .filter(F.col("rn") == 1)
+                .select(
+                    "playerId",
+                    "matchId",
+                    F.col("pass_accuracy_mean").alias("pass_accuracy"),
+                    F.col("fouls_total").alias("fouls"),
+                    F.col("goals_total").alias("goals"),
+                    F.col("own_goals_total").alias("own_goals"),
+                    F.col("shots_on_target_total").alias("shots_on_target"),
+                )
+            )
+            prevs = sorted(_glob.glob(os.path.join(profile_root, "v*")))
+            if prevs:
+                prev = sp.read.parquet(prevs[-1])
+                merged = prev.join(latest, "playerId", "left_anti").unionByName(latest)
+            else:
+                merged = latest
+            merged.write.mode("overwrite").parquet(
+                os.path.join(profile_root, f"v{batch_id:05d}")
+            )
+
+        with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+            (
+                streaming_player_state(stream_source(spark, stream_dir))
+                .writeStream.foreachBatch(sink)
+                .option(
+                    "checkpointLocation", os.path.join(out_dir, "_ckpt_state")
+                )
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        # ---- serving: every input below comes from the sink tables ----
+        rating = spark.read.parquet(rating_dir)
+        profile = spark.read.parquet(
+            sorted(_glob.glob(os.path.join(profile_root, "v*")))[-1]
+        )
+        teams = (
+            spark.read.parquet(events_dir)
+            .select("playerId", "matchId", "teamId")
+            .distinct()
+        )
+        wf = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
+        final = (
+            rating.withColumn("rn", F.row_number().over(wf))
+            .filter(F.col("rn") == 1)
+            .select("playerId", F.col("rating").alias("final_rating"))
+        )
+        trace = rating.select("playerId", "matchId", "delta").join(
+            teams, ["playerId", "matchId"]
+        )
+        a, b = trace.alias("a"), trace.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.matchId") == F.col("b.matchId"))
+            & (F.col("a.playerId") < F.col("b.playerId")),
+        ).select(
+            F.col("a.playerId").alias("p1"),
+            F.col("b.playerId").alias("p2"),
+            F.abs((F.col("a.delta") + F.col("b.delta")) / 2).alias("mag"),
+            (
+                ((F.col("a.delta") > 0) & (F.col("b.delta") > 0))
+                | ((F.col("a.delta") < 0) & (F.col("b.delta") < 0))
+            ).alias("same_sign"),
+            (F.col("a.teamId") == F.col("b.teamId")).alias("same_team"),
+        )
+        chem_expr = F.lit(INIT_CHEMISTRY) + F.sum(
+            F.when(F.col("same_team") == F.col("same_sign"), F.col("mag")).otherwise(
+                -F.col("mag")
+            )
+        )
+        chem = pairs.groupBy("p1", "p2").agg(
+            rounded(F.greatest(F.lit(0.0), F.least(F.lit(1.0), chem_expr)), 6).alias(
+                "chemistry"
+            )
+        )
+        # per-pair values are 6-dp-rounded on both engines, so the
+        # per-player sum runs on exact scaled integers (order-free)
+        chem_pp = (
+            chem.select(F.col("p1").alias("playerId"), "chemistry")
+            .unionByName(chem.select(F.col("p2").alias("playerId"), "chemistry"))
+            .groupBy("playerId")
+            .agg(
+                (
+                    F.sum(F.round(F.col("chemistry") * 1000000).cast("long")).cast(
+                        "long"
+                    )
+                    / 1000000.0
+                ).alias("chem_sum")
+            )
+        )
+        return (
+            final.join(
+                profile.select(
+                    "playerId",
+                    "pass_accuracy",
+                    "fouls",
+                    "goals",
+                    "own_goals",
+                    "shots_on_target",
+                ),
+                "playerId",
+            )
+            .join(chem_pp, "playerId")
+            .select(
+                "playerId",
+                rounded(F.col("final_rating"), 6).alias("final_rating"),
+                rounded(F.col("pass_accuracy"), 6).alias("pass_accuracy"),
+                "fouls",
+                "goals",
+                "own_goals",
+                "shots_on_target",
+                rounded(F.col("chem_sum"), 6).alias("chem_sum"),
+            )
+            .orderBy("playerId")
+        )
+
+
+_register_pipeline_roundtrip()

@@ -38,7 +38,7 @@ def test_bench_exits_zero_and_prints_one_json_line():
     json_lines = [
         ln for ln in proc.stdout.splitlines() if ln.startswith("{") and ln.endswith("}")
     ]
-    assert len(json_lines) == 1, f"expected exactly one JSON line, got: {proc.stdout!r}"
+    assert len(json_lines) == 2, f"expected two JSON lines, got: {proc.stdout!r}"
     payload = json.loads(json_lines[0])
     for key in ("metric", "value", "unit", "queries", "sf", "baseline_comparable_24_total"):
         assert key in payload, f"missing key {key}"
@@ -55,3 +55,30 @@ def test_bench_exits_zero_and_prints_one_json_line():
     assert set(payload["spread"]) == set(payload["queries"])
     for s in payload["spread"].values():
         assert s["min"] <= s["med"] <= s["max"]
+
+    # The LAST line is the driver-facing compact summary: it must parse
+    # ALONE and fit comfortably inside the driver's ~2000-char stdout
+    # tail capture (BENCH_r06 shipped parsed=null because the one full
+    # line grew past that window). It must also be the final stdout
+    # line, so tail-truncation can never clip it.
+    final = proc.stdout.splitlines()[-1].strip()
+    assert final == json_lines[1], "compact summary must be the last stdout line"
+    assert len(final) < 1500, f"compact summary too long: {len(final)} chars"
+    summary = json.loads(final)
+    for key in (
+        "metric",
+        "value",
+        "unit",
+        "baseline_comparable_24_total",
+        "n_queries",
+        "n_errors",
+        "queries",
+        "sf",
+    ):
+        assert key in summary, f"compact summary missing key {key}"
+    assert summary["value"] == payload["value"]
+    assert summary["n_errors"] == 0
+    assert summary["baseline_comparable_24_total"] is not None
+    # per-query medians for the comparable prefix ride along (24 names
+    # at ~30 chars each stays far under the length cap)
+    assert len(summary["queries"]) == 24

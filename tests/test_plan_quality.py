@@ -176,6 +176,7 @@ SLOW_TO_BUILD = {
     "t15_sliding_window_stream",
     "s9_python_stream_feed",
     "dedup_cluster_components",
+    "t16_fpl_pipeline_roundtrip",
 }
 
 # Broadcast nested-loop joins that are genuinely all-pairs by design
@@ -208,6 +209,7 @@ CARTESIAN_OK = {
     "ann_pq_recall",          # codebook (_PQ_K rows) + query-set fan-out
     "docs_dsir_weights",      # scalar fan-in of the 1-row vocab/total aggregates
     "stats_chi2_independence",  # scalar fan-in of the 1-row grand-total aggregate
+    "ann_ivfpq_recall",       # coarse-centroid (_NLIST rows) + query-set fan-out
 }
 
 

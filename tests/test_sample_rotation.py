@@ -55,25 +55,22 @@ def test_sampled_head_covers_changed_new_and_stale():
     )
 
     never_sampled = [n for n in queries if n not in last]
+    # HARD budget (r6 verdict #3): a round may not register more new
+    # queries than the verification window can check. There is no grace
+    # branch -- over-registering is red locally BEFORE it ships, forcing
+    # either fewer registrations per round or staging across rounds.
+    overflow = len(registry.CHANGED_THIS_ROUND) + len(never_sampled) - HEAD_SIZE
+    assert overflow <= 0, (
+        f"changed ({len(registry.CHANGED_THIS_ROUND)}) + never-driver-"
+        f"checked ({len(never_sampled)}) queries exceed the {HEAD_SIZE}-"
+        f"slot sample window by {overflow}: register fewer queries this "
+        f"round (stage the rest for the next round's head)"
+    )
     missing = [n for n in never_sampled if n not in head]
-    if len(registry.CHANGED_THIS_ROUND) + len(never_sampled) <= HEAD_SIZE:
-        assert not missing, (
-            f"queries with no driver row yet are outside the sampled head: "
-            f"{missing} -- new queries must enter SAMPLE_PRIORITY"
-        )
-    else:
-        # more changed+new queries than head slots: every slot must be
-        # spent on them (overflow waits for the next round's head, like
-        # the stale-overflow branch below)
-        wasted = [
-            n
-            for n in head
-            if n not in registry.CHANGED_THIS_ROUND and n not in never_sampled
-        ]
-        assert not wasted, (
-            f"changed+new overflow the head, yet slots go to already-"
-            f"verified queries: {wasted}"
-        )
+    assert not missing, (
+        f"queries with no driver row yet are outside the sampled head: "
+        f"{missing} -- new queries must enter SAMPLE_PRIORITY"
+    )
 
     stale = [n for n, rnd in last.items() if n in queries and current_round - rnd > 2]
     missing = [n for n in stale if n not in head]
