@@ -122,6 +122,10 @@ HEADLINE = [
     "ann_ivfpq_recall",
     "fpl_req1_invalid_team_quirk",
     "t16_fpl_pipeline_roundtrip",
+    "dedup_semantic_clusters",
+    "dedup_simhash_accuracy",
+    "sample_reservoir_per_key",
+    "corpus_source_overlap",
 ]
 
 

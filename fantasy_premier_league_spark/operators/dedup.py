@@ -755,53 +755,119 @@ _PF_T = 0.5
     """,
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sets = (
+    """Lossless prefix-filtered similarity join, run over exact-dup
+    CLASSES rather than raw documents.
+
+    Exact duplicates are collapsed first (one digest groupBy -- the
+    dedup_exact shape), the prefix-filter candidate/verify machinery
+    runs once per distinct shingle list, and surviving class pairs
+    expand back to doc pairs at the end; within-class pairs are
+    Jaccard 1.0 by definition and are emitted directly. Semantics are
+    IDENTICAL to the raw pairwise join (the brute-force oracle is
+    unchanged) -- what changes is who pays for duplicate mass: the r7
+    sf10 study caught the raw form dying of disk (*No space left on
+    device*) because the factor-100 replica wraps the 26-letter Caesar
+    rotation, giving every document ~4 identical twins, so every base
+    candidate pair was re-verified 16x with ~1 KB of shingle arrays
+    shipped per pair (~186M candidate pairs, ~400 GB of shuffle).
+    Collapsing first cuts candidate mass to the distinct-text tier
+    (11M here) and array bytes to one verify per class pair; the
+    quadratic duplicate mass survives only as OUTPUT rows (true pairs),
+    which no pair-emitting contract can avoid. This is also the
+    production ordering: exact dedup always precedes near-dup.
+    """
+    base = (
         doc_shingles(spark, sf_dir)
         .filter(F.size("shingles") > 0)
         .select("doc_id", "shingles", F.size("shingles").alias("sz"))
+    )
+    # deterministic list digest (order is first-occurrence within the
+    # text, so identical texts collapse; equal sets in different order
+    # conservatively stay separate classes)
+    tagged = base.withColumn(
+        "digest", F.md5(F.concat_ws("\x1e", F.col("shingles")).cast("binary"))
+    ).localCheckpoint(eager=False)  # shingling feeds classes AND mapping
+    classes = tagged.groupBy("digest").agg(F.min("doc_id").alias("cls"))
+    mapping = (
+        tagged.select("doc_id", "digest")
+        .join(classes.hint("shuffle_hash"), "digest")
+        .select("doc_id", "cls")
+        .localCheckpoint(eager=False)
+    )
+    usets = (
+        tagged.join(classes.hint("shuffle_hash"), "digest")
+        .filter(F.col("doc_id") == F.col("cls"))
+        .select("cls", "shingles", "sz")
         .localCheckpoint(eager=False)  # feeds posting build AND verify
     )
-    posting = sets.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
+    posting = usets.select("cls", "sz", F.explode("shingles").alias("shingle"))
     dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
-    # global rarest-first total order (df, shingle); per-doc rank under
-    # it selects the probe prefix |s| - ceil(t|s|) + 1
+    # global rarest-first total order (df, shingle); per-class rank
+    # under it selects the probe prefix |s| - ceil(t|s|) + 1
     ranked = posting.join(dfreq.hint("shuffle_hash"), "shingle").withColumn(
         "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "shingle")
-        ),
+        F.row_number().over(Window.partitionBy("cls").orderBy("df", "shingle")),
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(_PF_T * F.col("sz")) + 1
-    ).select("doc_id", "shingle")
+    ).select("cls", "shingle")
     cand = (
         prefix.alias("a")
         .hint("shuffle_hash")
         .join(
             prefix.alias("b").hint("shuffle_hash"),
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.cls") < F.col("b.cls")),
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .select(F.col("a.cls").alias("c1"), F.col("b.cls").alias("c2"))
         .distinct()
     )
     verify = (
         cand.join(
-            sets.select(F.col("doc_id").alias("doc1"), F.col("shingles").alias("s1"), F.col("sz").alias("sz1")).hint("shuffle_hash"),
-            "doc1",
+            usets.select(
+                F.col("cls").alias("c1"),
+                F.col("shingles").alias("s1"),
+                F.col("sz").alias("sz1"),
+            ).hint("shuffle_hash"),
+            "c1",
         )
         .join(
-            sets.select(F.col("doc_id").alias("doc2"), F.col("shingles").alias("s2"), F.col("sz").alias("sz2")).hint("shuffle_hash"),
-            "doc2",
+            usets.select(
+                F.col("cls").alias("c2"),
+                F.col("shingles").alias("s2"),
+                F.col("sz").alias("sz2"),
+            ).hint("shuffle_hash"),
+            "c2",
         )
         .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
     )
     jac = F.col("inter").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-    return (
-        verify.filter(jac >= _PF_T)
-        .select("doc1", "doc2", rounded(jac, 6).alias("jaccard"))
-        .orderBy("doc1", "doc2")
+    cpairs = verify.filter(jac >= _PF_T).select(
+        "c1", "c2", rounded(jac, 6).alias("jaccard")
     )
+    # expand surviving class pairs to doc pairs (classes are disjoint,
+    # so least/greatest ordering cannot collide across sources)
+    m1 = mapping.select(F.col("cls").alias("c1"), F.col("doc_id").alias("d1"))
+    m2 = mapping.select(F.col("cls").alias("c2"), F.col("doc_id").alias("d2"))
+    cross = (
+        cpairs.join(m1.hint("shuffle_hash"), "c1")
+        .join(m2.hint("shuffle_hash"), "c2")
+        .select(
+            F.least("d1", "d2").alias("doc1"),
+            F.greatest("d1", "d2").alias("doc2"),
+            "jaccard",
+        )
+    )
+    a, b = mapping.alias("a"), mapping.alias("b")
+    within = a.join(
+        b.hint("shuffle_hash"),
+        (F.col("a.cls") == F.col("b.cls")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc1"),
+        F.col("b.doc_id").alias("doc2"),
+        rounded(F.lit(1.0), 6).alias("jaccard"),
+    )
+    return cross.unionByName(within).orderBy("doc1", "doc2")
 
 
 # ---------------------------------------------------------------------------
@@ -1060,4 +1126,188 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster", "n_members", F.col("doc_id").alias("kept_doc"), "kept_chars"
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash accuracy readout: for every BANDED candidate pair (>=1 shared
+# 8-bit band, no hamming cutoff), the 32-bit sign-agreement estimate
+# next to the EXACT shingle-set Jaccard -- the simhash twin of
+# dedup_minhash_accuracy, completing the calibration tier (every
+# approximate dedup path ships with an oracle-gated estimate-vs-exact
+# readout). Charikar's bound makes agreement = 1 - hamming/32 the
+# similarity proxy; seeing it against exact Jaccard on the candidate
+# set is what justifies the hamming<=3 cutoff dedup_simhash_pairs uses.
+# Candidates only: the exact Jaccard runs on the band-pruned pairs,
+# never all pairs (same posting-join shape as the pairs operator).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_simhash_accuracy",
+    oracle=_simhash_sql(nonempty=True)
+    + f"""
+    , bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> ({_BAND_BITS} * band)) & {(1 << _BAND_BITS) - 1} AS band_val
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(shingles) AS s FROM sh WHERE len(shingles) > 0
+    )
+    SELECT c.doc1, c.doc2, c.hamming,
+           round(1.0 - CAST(c.hamming AS DOUBLE) / {_SIMHASH_BITS}, 6)
+             AS est_agreement,
+           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6)
+             AS exact_jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc1
+    JOIN sets sb ON sb.doc_id = c.doc2
+    ORDER BY doc1, doc2
+    """,
+)
+def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_df(spark, sf_dir, nonempty=True).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band * {_BAND_BITS}) & {(1 << _BAND_BITS) - 1}"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    cand = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+    sets = (
+        doc_shingles(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.array_distinct("shingles").alias("s"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.join(sa, "doc1")
+        .join(sb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "hamming",
+            rounded(
+                F.lit(1.0) - F.col("hamming").cast("double") / _SIMHASH_BITS, 6
+            ).alias("est_agreement"),
+            rounded(inter.cast("double") / union, 6).alias("exact_jaccard"),
+        )
+        .orderBy("doc1", "doc2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level source overlap matrix: shingle-set Jaccard between every
+# pair of SOURCES -- the dataset-audit readout a training-mixture
+# curator runs before weighting sources (two crawls with 0.9 overlap
+# should not both get full weight; cf. docs_source_mix). Doc-level
+# dedup (the operators above) cannot see this: each source's shingle
+# INVENTORY is the unit here, not documents.
+#
+# Scale shape: one distinct-shuffle to (source, shingle), then the pair
+# counts come from a posting-list equi-join ON shingle whose per-key
+# fan-out is bounded by |sources|^2 (sources are a handful; with
+# thousands of sources the df-cap of dedup_ngram_jaccard applies
+# unchanged). The corpus text itself is touched exactly once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH ds AS (
+      SELECT DISTINCT source, unnest(shingles) AS shingle FROM (
+        SELECT source,
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                for i in range(1, greatest(len(toks) - 1, 1))] AS shingles
+        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+      )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM ds GROUP BY source),
+    inter AS (
+      SELECT a.source AS src1, b.source AS src2, count(*) AS n_common
+      FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.src1, i.src2,
+           CAST(sa.n AS BIGINT) AS n1, CAST(sb.n AS BIGINT) AS n2,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src1
+    JOIN sizes sb ON sb.source = i.src2
+    ORDER BY src1, src2
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # the distinct posting table feeds three consumers (sizes + both
+    # join sides); materialize it once or the corpus is shingled and
+    # distinct-shuffled three times
+    ds = (
+        docs.select(
+            "source", F.explode(shingles_col(F.col("text"))).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sizes = ds.groupBy("source").agg(F.count("*").alias("n"))
+    a = ds.select(F.col("source").alias("src1"), "shingle")
+    b = ds.select(F.col("source").alias("src2"), "shingle")
+    inter = (
+        a.join(b.hint("shuffle_hash"), "shingle")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src1"), F.col("n").alias("n1")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src2"), F.col("n").alias("n2")))
+    return (
+        inter.join(sa, "src1")
+        .join(sb, "src2")
+        .select(
+            "src1",
+            "src2",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("n_common").cast("long").alias("n_common"),
+            rounded(
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src1", "src2")
     )

@@ -175,13 +175,25 @@ def _emb_features_sql() -> str:
     return f"SELECT vec_id,\n             {cols}\n      FROM embeddings"
 
 
-def _emb_kmeans_oracle() -> str:
+def _emb_dist_sql(left: str, cent: str) -> str:
+    """Left-assoc 64-term squared-distance chain between a feature row
+    alias and a centroid alias (same fold order as _emb_dist2)."""
+    return " + ".join(
+        f"(CAST({left}.x{i} AS DOUBLE) - {cent}.c{i}) * "
+        f"(CAST({left}.x{i} AS DOUBLE) - {cent}.c{i})"
+        for i in range(1, _DIMS + 1)
+    )
+
+
+def _emb_kmeans_ctes() -> str:
+    """WITH-body through the final assignment: CTEs ``f`` (quantized
+    integer features), ``c0``..``c{ITERS}`` (centroids), ``a1``..
+    ``a{ITERS}`` (assignments, carrying the feature columns). Shared by
+    the kmeans gate and the semantic-dedup gate so both verify the
+    IDENTICAL clustering."""
     rng = range(1, _DIMS + 1)
     c0_cols = ", ".join(f"CAST(x{i} AS DOUBLE) AS c{i}" for i in rng)
-    dist = " + ".join(
-        f"(CAST(f.x{i} AS DOUBLE) - c.c{i}) * (CAST(f.x{i} AS DOUBLE) - c.c{i})"
-        for i in rng
-    )
+    dist = _emb_dist_sql("f", "c")
     recenter = ", ".join(f"CAST(sum(x{i}) AS DOUBLE) / count(*) AS c{i}" for i in rng)
     xs = ", ".join(f"x{i}" for i in rng)
     sql = f"""
@@ -203,11 +215,17 @@ def _emb_kmeans_oracle() -> str:
     ),
     c{it} AS (SELECT cid, {recenter} FROM a{it} GROUP BY cid)"""
         prev = f"c{it}"
-    sql += f"""
+    return sql
+
+
+def _emb_kmeans_oracle() -> str:
+    return (
+        _emb_kmeans_ctes()
+        + f"""
     SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_vectors
     FROM a{_ITERS_EMB} GROUP BY cid ORDER BY cluster
     """
-    return sql
+    )
 
 
 def _emb_dist2() -> Column:
@@ -231,28 +249,27 @@ def _emb_dist2() -> Column:
     )
 
 
-@register("ml_kmeans_embeddings", oracle=_emb_kmeans_oracle())
-def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic Lloyd's KMeans (k=5, 2 iters) over the 64-dim
-    embedding column, reported as cluster sizes.
-
-    Same 100 TB shape as ml_kmeans_profiles: per iteration one
-    broadcast of k tiny centroid rows + one groupBy(cid) -- the corpus
-    itself never shuffles on anything wider than the cluster id.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
+def _emb_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # features/centroids stay ARRAY-typed end to end (one small generated
     # expression per stage, vs 64 scalar columns whose codegen dominates
     # wall time); feats is cached and each k-row centroid frame is
     # localCheckpoint'ed -- the standard iterative-algorithm lineage
     # discipline (MLlib's own KMeans caches + truncates the same way).
-    feats = emb.select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
         "vec_id",
         F.transform(
             "embedding",
             lambda e: F.floor(e.cast("double") * _SCALE).cast("long"),
         ).alias("xs"),
     ).cache()
+
+
+def _emb_lloyd(feats: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's over the quantized features. Returns
+    ``(assigned, cent_used)``: the final assignment (vec_id, xs, cid)
+    and the centroid frame (cid, cs) that final assignment minimized
+    against -- the pair the semantic-dedup gate ranks by."""
     cent = (
         feats.orderBy("vec_id")
         .limit(_K_EMB)
@@ -265,7 +282,9 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     assigned = None
+    cent_used = cent
     for it in range(_ITERS_EMB):
+        cent_used = cent
         # argmin as min_by over a NARROW (vec_id, cid, dist) projection:
         # the shuffle carries 3 columns and combines map-side (k rows per
         # partition), never the feature vectors -- the same assignment
@@ -295,6 +314,19 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if it < _ITERS_EMB - 1:
             cent = cent.localCheckpoint(eager=False)
+    return assigned, cent_used
+
+
+@register("ml_kmeans_embeddings", oracle=_emb_kmeans_oracle())
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's KMeans (k=5, 2 iters) over the 64-dim
+    embedding column, reported as cluster sizes.
+
+    Same 100 TB shape as ml_kmeans_profiles: per iteration one
+    broadcast of k tiny centroid rows + one groupBy(cid) -- the corpus
+    itself never shuffles on anything wider than the cluster id.
+    """
+    assigned, _ = _emb_lloyd(_emb_feats_df(spark, sf_dir))
     return (
         assigned.groupBy(F.col("cid").cast("int").alias("cluster"))
         .agg(F.count("*").cast("long").alias("n_vectors"))

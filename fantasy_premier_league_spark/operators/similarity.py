@@ -1265,3 +1265,128 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the embedding
+# space, then inside each cluster drop every vector that has a
+# cosine >= tau neighbor CLOSER to the centroid -- the keep-one-per-
+# semantic-group pruning used on LAION/web corpora before training.
+# Composed end-to-end from verified parts: the deterministic Lloyd's of
+# ml_kmeans_embeddings (shared CTE/DataFrame helpers, so the gate
+# verifies the IDENTICAL clustering) + in-cluster cosine pairs + a
+# centroid-distance ranking.
+#
+# Scale shape: the all-pairs step is per cluster -- SemDeDup's premise
+# is k grows with the corpus so cluster populations stay bounded (the
+# paper uses k=50k for 5B embeddings); pair generation here is an
+# equi-join on cid whose per-key fan-out is that bounded population,
+# never a corpus-wide cross. Ranking is one broadcast join against k
+# tiny centroids + one in-cluster window.
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.3
+
+
+def _semantic_oracle() -> str:
+    from fantasy_premier_league_spark.operators.ml import (
+        _DIMS,
+        _ITERS_EMB,
+        _emb_dist_sql,
+        _emb_kmeans_ctes,
+    )
+
+    rng = range(1, _DIMS + 1)
+    dot_uv = " + ".join(f"CAST(u.x{i} AS DOUBLE) * CAST(v.x{i} AS DOUBLE)" for i in rng)
+    nrm_u = " + ".join(f"CAST(u.x{i} AS DOUBLE) * CAST(u.x{i} AS DOUBLE)" for i in rng)
+    nrm_v = " + ".join(f"CAST(v.x{i} AS DOUBLE) * CAST(v.x{i} AS DOUBLE)" for i in rng)
+    return (
+        _emb_kmeans_ctes()
+        + f""",
+    cdist AS (
+      SELECT a.vec_id, a.cid, {_emb_dist_sql("a", "c")} AS cdist
+      FROM a{_ITERS_EMB} a JOIN c{_ITERS_EMB - 1} c ON c.cid = a.cid
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY cdist ASC, vec_id ASC) AS rnk
+      FROM cdist
+    ),
+    af AS (
+      SELECT a.*, r.rnk FROM a{_ITERS_EMB} a JOIN ranked r ON r.vec_id = a.vec_id
+    ),
+    drops AS (
+      SELECT DISTINCT v.cid, v.vec_id
+      FROM af u JOIN af v ON u.cid = v.cid AND u.rnk < v.rnk
+      WHERE round(({dot_uv}) / (sqrt({nrm_u}) * sqrt({nrm_v})), 6) >= {_SEM_TAU}
+    ),
+    sizes AS (SELECT cid, count(*) AS n_vectors FROM a{_ITERS_EMB} GROUP BY cid),
+    dcount AS (SELECT cid, count(*) AS n_dropped FROM drops GROUP BY cid)
+    SELECT CAST(s.cid AS INT) AS cluster,
+           CAST(s.n_vectors AS BIGINT) AS n_vectors,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(s.n_vectors - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+    FROM sizes s LEFT JOIN dcount d ON d.cid = s.cid
+    ORDER BY cluster
+    """
+    )
+
+
+@register("dedup_semantic_clusters", oracle=_semantic_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fantasy_premier_league_spark.operators.ml import (
+        _emb_dist2,
+        _emb_feats_df,
+        _emb_lloyd,
+    )
+
+    assigned, cent = _emb_lloyd(_emb_feats_df(spark, sf_dir))
+    cdist = assigned.join(F.broadcast(cent), "cid").select(
+        "vec_id", "cid", "xs", _emb_dist2().alias("cdist")
+    )
+    wr = Window.partitionBy("cid").orderBy(F.col("cdist").asc(), F.col("vec_id"))
+    xd = F.transform("xs", lambda x: x.cast("double"))
+    ranked = (
+        cdist.withColumn("rnk", F.row_number().over(wr))
+        .select("vec_id", "cid", "rnk", xd.alias("xd"))
+        .localCheckpoint(eager=False)  # truncate the Lloyd's lineage once
+    )
+    u = ranked.select(
+        "cid",
+        F.col("vec_id").alias("u_id"),
+        F.col("rnk").alias("u_rnk"),
+        F.col("xd").alias("uxs"),
+    )
+    v = ranked.select(
+        "cid",
+        F.col("vec_id").alias("v_id"),
+        F.col("rnk").alias("v_rnk"),
+        F.col("xd").alias("vxs"),
+    )
+    cosine = rounded(
+        dot(F.col("uxs"), F.col("vxs"))
+        / (norm(F.col("uxs")) * norm(F.col("vxs"))),
+        6,
+    )
+    drops = (
+        u.join(v, "cid")
+        .filter(F.col("u_rnk") < F.col("v_rnk"))
+        .filter(cosine >= _SEM_TAU)
+        .select("cid", "v_id")
+        .distinct()
+    )
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    dc = drops.groupBy("cid").agg(F.count("*").alias("n_dropped"))
+    return (
+        sizes.join(dc, "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cluster"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )

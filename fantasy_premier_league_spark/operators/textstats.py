@@ -1223,3 +1223,51 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key reservoir sample: a FIXED-SIZE uniform sample per group,
+# derived deterministically -- rank rows inside each key by a portable
+# content hash and keep the k smallest. Equivalent in distribution to
+# reservoir sampling (the hash is a uniform [0,2^32) draw per row) but
+# coordination-free and REPRODUCIBLE: re-runs, retries, and incremental
+# ingestion all pick the same rows, which is what makes the sample
+# auditable in a training-data pipeline (same property as
+# sample_hash_split, lifted from a global rate to a per-key quota).
+# Scale shape: rank-k-by-hash plans as a map-side WindowGroupLimit --
+# each input partition keeps at most k rows per key BEFORE the shuffle,
+# so the exchange carries O(partitions x keys x k), never the corpus.
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 4
+
+
+@register(
+    "sample_reservoir_per_key",
+    oracle=f"""
+    SELECT event_type, slot, event_id, user_id FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT,
+                        event_id) AS slot
+      FROM events
+    ) WHERE slot <= {_RESERVOIR_K}
+    ORDER BY event_type, slot
+    """,
+)
+def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hkey = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy("hkey", "event_id")
+    return (
+        ev.select("event_type", "event_id", "user_id", hkey.alias("hkey"))
+        .withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= _RESERVOIR_K)
+        .select("event_type", "slot", "event_id", "user_id")
+        .orderBy("event_type", "slot")
+    )

@@ -44,9 +44,14 @@ ORACLES: dict[str, str] = {}
 # driver check -- update this list whenever a registered query's
 # implementation or oracle changes. Round 7: the s9 stream reader now
 # reads only the row groups overlapping the partition's row range
-# (VERDICT r6 #5, the round's one `weak` mark).
+# (VERDICT r6 #5, the round's one `weak` mark), and the embedding
+# kmeans was refactored into shared Lloyd's helpers so the semantic
+# dedup gate verifies the identical clustering. (ann_pq_recall's
+# codebook training was refactored too, but it has no driver row yet,
+# so its head slot comes from the never-sampled rule.)
 CHANGED_THIS_ROUND: list[str] = [
     "s9_python_stream_feed",
+    "ml_kmeans_embeddings",
 ]
 
 # Queries first registered this round (no driver row exists yet).
@@ -59,11 +64,16 @@ NEW_THIS_ROUND: list[str] = [
     "ann_ivfpq_recall",
     "fpl_req1_invalid_team_quirk",
     "t16_fpl_pipeline_roundtrip",
+    "dedup_semantic_clusters",
+    "dedup_simhash_accuracy",
+    "sample_reservoir_per_key",
+    "corpus_source_overlap",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
     # --- implementation changed since last driver check (rule 1) ---
     "s9_python_stream_feed",  # row-group-bounded stream read (r6 weak fix)
+    "ml_kmeans_embeddings",  # Lloyd's helpers shared with semantic dedup
     # --- registered r6, never driver-sampled: the 13-query overflow
     # --- the r6 verdict ordered drained FIRST this round (rule 2) ---
     "orders_revenue_concentration",
@@ -83,6 +93,10 @@ SAMPLE_PRIORITY: list[str] = [
     "ann_ivfpq_recall",
     "fpl_req1_invalid_team_quirk",
     "t16_fpl_pipeline_roundtrip",
+    "dedup_semantic_clusters",
+    "dedup_simhash_accuracy",
+    "sample_reservoir_per_key",
+    "corpus_source_overlap",
     # --- last driver row is r2: five rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -110,16 +124,11 @@ SAMPLE_PRIORITY: list[str] = [
     "j2_stream_static_join",
     "j4_pair_generation",
     # --- fill: least-recently-verified r4 tail (rule 3/4; 44 r4 rows
-    # --- exist, more than the 8 remaining slots -- the stale-overflow
+    # --- exist, more than the 3 remaining slots -- the stale-overflow
     # --- branch of the rotation test applies; the rest lead round 8) ---
     "fpl_req1_win_prediction",
     "fpl_t5_stateful_stream",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh_candidates",
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_ivf_topk",
-    "sketch_hll_distinct",
 ]
 
 

@@ -210,6 +210,7 @@ CARTESIAN_OK = {
     "docs_dsir_weights",      # scalar fan-in of the 1-row vocab/total aggregates
     "stats_chi2_independence",  # scalar fan-in of the 1-row grand-total aggregate
     "ann_ivfpq_recall",       # coarse-centroid (_NLIST rows) + query-set fan-out
+    "dedup_semantic_clusters",  # Lloyd's centroid fan-out (k rows broadcast)
 }
 
 

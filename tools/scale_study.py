@@ -20,7 +20,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(REPO, ".scale", "sf1")
+# big side of the study: .scale/sf1 (one decade) by default; point
+# SPARK_GRAFT_SCALE_BIG at .scale/sf10 for the two-decade sweep
+SF1 = os.environ.get(
+    "SPARK_GRAFT_SCALE_BIG", os.path.join(REPO, ".scale", "sf1")
+)
+_FACTOR = 100 if SF1.rstrip("/").endswith("sf10") else 10
 
 DEFAULT_HEAVIES = [
     "aqe_skew_join",
@@ -50,7 +55,10 @@ def bench(sf_dir: str, names: list[str]) -> dict[str, float]:
         text=True,
         check=False,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    # first JSON line = the full payload (per-query medians for every
+    # selected query); the LAST line is the driver-facing compact
+    # summary whose queries dict only covers the comparable-24 prefix
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][0]
     payload = json.loads(line)
     if payload.get("errors"):
         print(f"# errors at {sf_dir}: {payload['errors']}", file=sys.stderr)
@@ -69,13 +77,14 @@ def main() -> None:
                 "--dst",
                 SF1,
                 "--factor",
-                "10",
+                str(_FACTOR),
             ],
             check=True,
         )
     small = bench(SF01, names)
     big = bench(SF1, names)
-    print("| query | sf0.1 med | sf1 med | ratio (10x data) | exponent |")
+    big_name = os.path.basename(SF1.rstrip("/"))
+    print(f"| query | sf0.1 med | {big_name} med | ratio ({_FACTOR}x data) | exponent |")
     print("|---|---|---|---|---|")
     for n in names:
         if n not in small or n not in big:
@@ -84,7 +93,7 @@ def main() -> None:
         r = big[n] / small[n]
         print(
             f"| `{n}` | {small[n]:.2f} s | {big[n]:.2f} s "
-            f"| {r:.2f}x | {math.log10(r):.2f} |"
+            f"| {r:.2f}x | {math.log10(r) / math.log10(_FACTOR):.2f} |"
         )
 
 
