@@ -52,6 +52,7 @@ ORACLES: dict[str, str] = {}
 CHANGED_THIS_ROUND: list[str] = [
     "s9_python_stream_feed",
     "ml_kmeans_embeddings",
+    "dedup_prefix_filter_pairs",  # exact-dup class collapse (sf10 disk fix)
 ]
 
 # Queries first registered this round (no driver row exists yet).
@@ -74,6 +75,7 @@ SAMPLE_PRIORITY: list[str] = [
     # --- implementation changed since last driver check (rule 1) ---
     "s9_python_stream_feed",  # row-group-bounded stream read (r6 weak fix)
     "ml_kmeans_embeddings",  # Lloyd's helpers shared with semantic dedup
+    "dedup_prefix_filter_pairs",  # exact-dup class collapse (sf10 disk fix)
     # --- registered r6, never driver-sampled: the 13-query overflow
     # --- the r6 verdict ordered drained FIRST this round (rule 2) ---
     "orders_revenue_concentration",
@@ -128,7 +130,6 @@ SAMPLE_PRIORITY: list[str] = [
     # --- branch of the rotation test applies; the rest lead round 8) ---
     "fpl_req1_win_prediction",
     "fpl_t5_stateful_stream",
-    "dedup_ngram_jaccard",
 ]
 
 
