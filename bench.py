@@ -126,6 +126,7 @@ HEADLINE = [
     "dedup_simhash_accuracy",
     "sample_reservoir_per_key",
     "corpus_source_overlap",
+    "c14_corrupt_record_audit",
 ]
 
 

@@ -800,3 +800,77 @@ def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
         .orderBy("event_type", "k_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# C14: malformed-input accounting. Real feeds carry broken records; the
+# reference's socket parser (master.py:139-156) raises on the first bad
+# line and loses the batch. Here ingestion is PERMISSIVE: every line is
+# read as text, `from_json` yields NULL for structurally-invalid rows
+# (Spark's permissive contract), and the audit reports valid/corrupt
+# counts plus the value mass that survived -- the dead-letter-queue
+# accounting every production pipeline fronts its parsers with. The
+# oracle re-derives validity with DuckDB's json_valid + json_type over
+# the same raw lines: two independent JSON validity implementations
+# agreeing on every line IS the gate.
+#
+# Scale: a pure line-wise projection + one 2-row aggregate; corrupt
+# rows cost exactly one failed parse each, no job failure, no retry.
+# ---------------------------------------------------------------------------
+
+
+def _corrupt_feed_path() -> str:
+    from fantasy_premier_league_spark.sources.fpl_fixtures import (
+        ensure_corrupt_feed,
+        ensure_fixtures,
+    )
+
+    return ensure_corrupt_feed(ensure_fixtures())
+
+
+@register(
+    "c14_corrupt_record_audit",
+    oracle=f"""
+    WITH lines AS (
+      SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS line
+      FROM read_text('{_corrupt_feed_path()}')
+    ),
+    parsed AS (
+      SELECT CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
+                  THEN 'valid' ELSE 'corrupt' END AS status,
+             CASE WHEN json_valid(line) AND json_type(line) = 'OBJECT'
+                  THEN CAST(round(try_cast(
+                         json_extract_string(line, '$.value') AS DOUBLE) * 100)
+                       AS BIGINT) END AS cents
+      FROM lines
+    )
+    SELECT status, count(*) AS n_lines,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS value_cents
+    FROM parsed GROUP BY status ORDER BY status
+    """,
+)
+def c14_corrupt_record_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _corrupt_feed_path()
+    lines = spark.read.text(path)
+    # the full PERMISSIVE contract: malformed input yields EITHER a null
+    # struct (whitespace-only lines) or a struct whose configured
+    # _corrupt_record field carries the raw text (every other shape) --
+    # a bare null-check undercounts corruption by ~7x
+    r = F.from_json(
+        F.col("value"),
+        "id BIGINT, type STRING, value DOUBLE, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    ok = r.isNotNull() & r.getField("_corrupt_record").isNull()
+    parsed = lines.select(
+        F.when(ok, "valid").otherwise("corrupt").alias("status"),
+        F.when(ok, fixed_units(r.getField("value"))).alias("cents"),
+    )
+    return (
+        parsed.groupBy("status")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("value_cents"),
+        )
+        .orderBy("status")
+    )

@@ -69,6 +69,7 @@ NEW_THIS_ROUND: list[str] = [
     "dedup_simhash_accuracy",
     "sample_reservoir_per_key",
     "corpus_source_overlap",
+    "c14_corrupt_record_audit",
 ]
 
 SAMPLE_PRIORITY: list[str] = [
@@ -99,6 +100,7 @@ SAMPLE_PRIORITY: list[str] = [
     "dedup_simhash_accuracy",
     "sample_reservoir_per_key",
     "corpus_source_overlap",
+    "c14_corrupt_record_audit",
     # --- last driver row is r2: five rounds stale (rule 3) ---
     "fpl_a7_final_rating",
     "fpl_a4_profile",
@@ -129,7 +131,6 @@ SAMPLE_PRIORITY: list[str] = [
     # --- exist, more than the 3 remaining slots -- the stale-overflow
     # --- branch of the rotation test applies; the rest lead round 8) ---
     "fpl_req1_win_prediction",
-    "fpl_t5_stateful_stream",
 ]
 
 

@@ -221,6 +221,7 @@ def ensure_fixtures() -> str:
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
         ensure_invalid_req1(root)
+        ensure_corrupt_feed(root)
         return root
     os.makedirs(os.path.join(root, "stream"), exist_ok=True)
     os.makedirs(os.path.join(root, "requests"), exist_ok=True)
@@ -273,7 +274,48 @@ def ensure_fixtures() -> str:
     with open(marker, "w") as f:
         f.write(VERSION + "\n")
     ensure_invalid_req1(root)
+    ensure_corrupt_feed(root)
     return root
+
+
+def ensure_corrupt_feed(root: str) -> str:
+    """A JSONL feed with deterministic malformed lines mixed into valid
+    event records — the ingest-robustness fixture (the reference's
+    socket parser, master.py:139-156, would raise on any of these).
+    Corruption shapes: truncated object, unquoted key, plain text, a
+    whitespace-only line, and a JSON array where an object is expected. Written
+    idempotently outside the _COMPLETE marker, like the invalid-req1
+    fixture below.
+    """
+    path = os.path.join(root, "stream_corrupt", "feed.jsonl")
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = random.Random(777)
+    lines: list[str] = []
+    for i in range(200):
+        if i % 10 == 3:
+            lines.append('{"id": %d, "type": "click", "value": 1.2' % i)  # truncated
+        elif i % 10 == 6:
+            lines.append("{id: %d, type: click}" % i)  # unquoted keys
+        elif i % 10 == 9:
+            lines.append(rng.choice(["garbage line", "   ", "[1, 2, 3]"]))
+        else:
+            lines.append(
+                json.dumps(
+                    {
+                        "id": i,
+                        "type": rng.choice(["click", "view", "buy"]),
+                        "value": round(rng.uniform(0, 50), 2),
+                    },
+                    separators=(",", ":"),
+                )
+            )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
 
 
 def ensure_invalid_req1(root: str) -> str:
