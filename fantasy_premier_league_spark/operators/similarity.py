@@ -1277,15 +1277,25 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verifies the IDENTICAL clustering) + in-cluster cosine pairs + a
 # centroid-distance ranking.
 #
-# Scale shape: the all-pairs step is per cluster -- SemDeDup's premise
-# is k grows with the corpus so cluster populations stay bounded (the
-# paper uses k=50k for 5B embeddings); pair generation here is an
-# equi-join on cid whose per-key fan-out is that bounded population,
-# never a corpus-wide cross. Ranking is one broadcast join against k
-# tiny centroids + one in-cluster window.
+# Scale shape: SemDeDup's own premise is k grows with the corpus so
+# cluster populations stay bounded (the paper uses k=50k for 5B
+# embeddings) -- but a FIXED k with raw in-cluster all-pairs is
+# quadratic, the exact disease the r6 sf10 sweep caught in
+# dedup_embedding_cosine (and an analytical pre-ship audit caught
+# here: 400k in-cluster pairs at sf0.1 -> ~4B at sf10). So the drop
+# rule is the sorted-neighborhood form: a vector is compared only to
+# the _SEM_WINDOW closer-to-centroid predecessors in its cluster,
+# and -- the r6 filter-vs-equi lesson -- the window is an EQUI join
+# key (rank-block + neighbor-block explosion), so pair GENERATION is
+# occupancy x 2W, never enumerate-then-filter. At gate scale cluster
+# populations sit under the window, making this bit-identical to full
+# SemDeDup; at 100 TB it is the documented bounded approximation.
+# Ranking is one broadcast join against k tiny centroids + one
+# in-cluster window.
 # ---------------------------------------------------------------------------
 
 _SEM_TAU = 0.3
+_SEM_WINDOW = 128
 
 
 def _semantic_oracle() -> str:
@@ -1318,7 +1328,8 @@ def _semantic_oracle() -> str:
     ),
     drops AS (
       SELECT DISTINCT v.cid, v.vec_id
-      FROM af u JOIN af v ON u.cid = v.cid AND u.rnk < v.rnk
+      FROM af u JOIN af v
+        ON u.cid = v.cid AND u.rnk < v.rnk AND v.rnk - u.rnk <= {_SEM_WINDOW}
       WHERE round(({dot_uv}) / (sqrt({nrm_u}) * sqrt({nrm_v})), 6) >= {_SEM_TAU}
     ),
     sizes AS (SELECT cid, count(*) AS n_vectors FROM a{_ITERS_EMB} GROUP BY cid),
@@ -1352,17 +1363,29 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid", "rnk", xd.alias("xd"))
         .localCheckpoint(eager=False)  # truncate the Lloyd's lineage once
     )
+    # equi-key window join: the candidate (build) side appears in its
+    # own rank block AND the next, the probe side in its block only, so
+    # every predecessor within _SEM_WINDOW ranks meets its successor on
+    # an exact (cid, block) key -- the join never ENUMERATES a pair
+    # outside 2W (dedup_embedding_cosine's sorted-neighborhood recipe)
     u = ranked.select(
         "cid",
         F.col("vec_id").alias("u_id"),
         F.col("rnk").alias("u_rnk"),
         F.col("xd").alias("uxs"),
+        F.explode(
+            F.array(
+                (F.col("rnk") / _SEM_WINDOW).cast("long"),
+                (F.col("rnk") / _SEM_WINDOW).cast("long") + 1,
+            )
+        ).alias("blk"),
     )
     v = ranked.select(
         "cid",
         F.col("vec_id").alias("v_id"),
         F.col("rnk").alias("v_rnk"),
         F.col("xd").alias("vxs"),
+        (F.col("rnk") / _SEM_WINDOW).cast("long").alias("blk"),
     )
     cosine = rounded(
         dot(F.col("uxs"), F.col("vxs"))
@@ -1370,8 +1393,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     drops = (
-        u.join(v, "cid")
-        .filter(F.col("u_rnk") < F.col("v_rnk"))
+        u.join(v.hint("shuffle_hash"), ["cid", "blk"])
+        .filter(
+            (F.col("u_rnk") < F.col("v_rnk"))
+            & (F.col("v_rnk") - F.col("u_rnk") <= _SEM_WINDOW)
+        )
         .filter(cosine >= _SEM_TAU)
         .select("cid", "v_id")
         .distinct()

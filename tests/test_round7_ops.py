@@ -73,3 +73,92 @@ def test_s9_stream_read_is_bounded_by_partition_range():
 
         # an empty range yields nothing (offset ladder edge at EOF)
         assert list(reader.read(_RowRangePartition(100, 100))) == []
+
+
+# ---------------------------------------------------------------------------
+# Behavioral pins for the round-7 operators (oracle parity checks the
+# values; these pin the invariants a refactor could silently break).
+# ---------------------------------------------------------------------------
+
+from fantasy_premier_league_spark.plans.registry import all_queries  # noqa: E402
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+
+def test_semantic_dedup_keeps_a_representative_per_cluster(spark):
+    """The rank-1 (closest-to-centroid) member has no predecessor, so
+    every cluster must keep at least one vector; counts must tie out."""
+    rows = all_queries()["dedup_semantic_clusters"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept >= 1, f"cluster {r.cluster} dropped everything"
+        assert r.n_dropped + r.n_kept == r.n_vectors
+
+
+def test_simhash_accuracy_covers_the_pairs_operator(spark):
+    """dedup_simhash_pairs is the hamming<=3 cut of the SAME banded
+    candidate set; every emitted pair must therefore appear in the
+    accuracy readout with an identical hamming distance."""
+    acc = {
+        (r.doc1, r.doc2): r.hamming
+        for r in all_queries()["dedup_simhash_accuracy"](spark, SF_SMOKE).collect()
+    }
+    pairs = all_queries()["dedup_simhash_pairs"](spark, SF_SMOKE).collect()
+    assert pairs, "fixture corpus should produce at least one near-dup pair"
+    for p in pairs:
+        assert acc.get((p.doc1, p.doc2)) == p.hamming, (
+            f"pair {(p.doc1, p.doc2)} missing or inconsistent in accuracy set"
+        )
+    for (d1, d2), h in acc.items():
+        assert d1 < d2 and 0 <= h <= 32
+
+
+def test_reservoir_sample_is_deterministic_and_bounded(spark):
+    from fantasy_premier_league_spark.operators.textstats import _RESERVOIR_K
+
+    one = all_queries()["sample_reservoir_per_key"](spark, SF_SMOKE).collect()
+    two = all_queries()["sample_reservoir_per_key"](spark, SF_SMOKE).collect()
+    assert one == two, "re-runs must pick the identical sample"
+    per_key: dict[str, int] = {}
+    for r in one:
+        per_key[r.event_type] = per_key.get(r.event_type, 0) + 1
+    assert per_key and all(n <= _RESERVOIR_K for n in per_key.values())
+
+
+def test_corrupt_audit_accounts_for_every_line(spark):
+    rows = {
+        r.status: r for r in all_queries()["c14_corrupt_record_audit"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(rows) == {"valid", "corrupt"}
+    assert rows["valid"].n_lines + rows["corrupt"].n_lines == 200
+    assert rows["corrupt"].n_lines == 60  # 3 corruption slots per 10 lines
+    assert rows["corrupt"].value_cents == 0
+    assert rows["valid"].value_cents > 0
+
+
+def test_t16_writes_versioned_profile_snapshots_and_batch_partitions(spark):
+    """The K3/K4 sink mechanics: one rating partition per non-empty
+    micro-batch and a monotone chain of profile snapshot versions."""
+    import glob
+    import tempfile
+
+    all_queries()["t16_fpl_pipeline_roundtrip"](spark, SF_SMOKE).collect()
+    out = os.path.join(tempfile.gettempdir(), "t16_roundtrip")
+    batches = glob.glob(os.path.join(out, "rating", "batch_id=*"))
+    versions = sorted(glob.glob(os.path.join(out, "profile", "v*")))
+    assert len(batches) >= 2, f"expected per-batch rating partitions, got {batches}"
+    assert len(versions) >= 2, f"expected versioned profile snapshots, got {versions}"
+    # the final snapshot must cover every player the rating log has seen
+    rating_players = {
+        r.playerId
+        for r in spark.read.parquet(os.path.join(out, "rating"))
+        .select("playerId")
+        .distinct()
+        .collect()
+    }
+    prof_players = {
+        r.playerId
+        for r in spark.read.parquet(versions[-1]).select("playerId").collect()
+    }
+    assert prof_players == rating_players
