@@ -754,6 +754,42 @@ _PF_T = 0.5
     ORDER BY doc1, doc2
     """,
 )
+def _shingle_classes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate equivalence classes over nonempty shingle lists:
+    returns ``(mapping, usets)`` -- (doc_id, cls) membership and one
+    (cls, shingles, sz) row per distinct list, cls = min member doc_id.
+    The round-7 lesson shared by the prefix-filter and simhash-accuracy
+    joins: pairwise tiers must never re-pay for exact duplicates, so
+    collapse to classes before any O(pairs) work and expand after.
+    The digest is over the ORDERED list (first-occurrence order within
+    the text): identical texts collapse; equal sets in different order
+    conservatively stay separate classes."""
+    base = (
+        doc_shingles(spark, sf_dir)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles", F.size("shingles").alias("sz"))
+    )
+    tagged = base.withColumn(
+        "digest", F.md5(F.concat_ws("\x1e", F.col("shingles")).cast("binary"))
+    ).localCheckpoint(eager=False)  # shingling feeds classes AND mapping
+    classes = tagged.groupBy("digest").agg(F.min("doc_id").alias("cls"))
+    mapping = (
+        tagged.select("doc_id", "digest")
+        .join(classes.hint("shuffle_hash"), "digest")
+        .select("doc_id", "cls")
+        .localCheckpoint(eager=False)
+    )
+    usets = (
+        tagged.join(classes.hint("shuffle_hash"), "digest")
+        .filter(F.col("doc_id") == F.col("cls"))
+        .select("cls", "shingles", "sz")
+        .localCheckpoint(eager=False)  # feeds posting build AND verify
+    )
+    return mapping, usets
+
+
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless prefix-filtered similarity join, run over exact-dup
     CLASSES rather than raw documents.
@@ -776,30 +812,7 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which no pair-emitting contract can avoid. This is also the
     production ordering: exact dedup always precedes near-dup.
     """
-    base = (
-        doc_shingles(spark, sf_dir)
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", "shingles", F.size("shingles").alias("sz"))
-    )
-    # deterministic list digest (order is first-occurrence within the
-    # text, so identical texts collapse; equal sets in different order
-    # conservatively stay separate classes)
-    tagged = base.withColumn(
-        "digest", F.md5(F.concat_ws("\x1e", F.col("shingles")).cast("binary"))
-    ).localCheckpoint(eager=False)  # shingling feeds classes AND mapping
-    classes = tagged.groupBy("digest").agg(F.min("doc_id").alias("cls"))
-    mapping = (
-        tagged.select("doc_id", "digest")
-        .join(classes.hint("shuffle_hash"), "digest")
-        .select("doc_id", "cls")
-        .localCheckpoint(eager=False)
-    )
-    usets = (
-        tagged.join(classes.hint("shuffle_hash"), "digest")
-        .filter(F.col("doc_id") == F.col("cls"))
-        .select("cls", "shingles", "sz")
-        .localCheckpoint(eager=False)  # feeds posting build AND verify
-    )
+    mapping, usets = _shingle_classes(spark, sf_dir)
     posting = usets.select("cls", "sz", F.explode("shingles").alias("shingle"))
     dfreq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
     # global rarest-first total order (df, shingle); per-class rank
@@ -1130,17 +1143,26 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash accuracy readout: for every BANDED candidate pair (>=1 shared
-# 8-bit band, no hamming cutoff), the 32-bit sign-agreement estimate
-# next to the EXACT shingle-set Jaccard -- the simhash twin of
-# dedup_minhash_accuracy, completing the calibration tier (every
-# approximate dedup path ships with an oracle-gated estimate-vs-exact
-# readout). Charikar's bound makes agreement = 1 - hamming/32 the
-# similarity proxy; seeing it against exact Jaccard on the candidate
-# set is what justifies the hamming<=3 cutoff dedup_simhash_pairs uses.
-# Candidates only: the exact Jaccard runs on the band-pruned pairs,
-# never all pairs (same posting-join shape as the pairs operator).
+# SimHash accuracy readout over a BOUNDED PROBE SET: for every banded
+# candidate pair involving one of the _CAL_PROBES probe documents, the
+# 32-bit sign-agreement estimate next to the EXACT shingle Jaccard --
+# the simhash twin of dedup_minhash_accuracy, completing the
+# calibration tier. Charikar's bound makes agreement = 1 - hamming/32
+# the similarity proxy; seeing it against exact Jaccard on real
+# candidates is what justifies the hamming<=3 cutoff
+# dedup_simhash_pairs uses.
+#
+# Why probes (the ann_lsh_recall design, r7): banded candidates are
+# birthday-quadratic -- |docs|^2 / 2^band_bits per band -- and a
+# calibration that exact-verifies EVERY candidate ships two full
+# shingle arrays per pair: the all-candidates form died of shuffle-
+# spill disk at sf10 (~130M candidate pairs x ~1.8 KB). A calibration
+# is a measurement, not a dedup pass: a fixed probe set makes the
+# work |probes| x per-band collision lists -- linear in the corpus --
+# while sampling candidates from the true banded distribution.
 # ---------------------------------------------------------------------------
+
+_CAL_PROBES = 64
 
 
 @register(
@@ -1153,24 +1175,26 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band)
     ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
-             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      SELECT DISTINCT p.doc_id AS probe_doc, b.doc_id AS other_doc,
+             CAST(bit_count(xor(p.simhash, b.simhash)) AS INT) AS hamming
+      FROM bands p JOIN bands b
+        ON p.band = b.band AND p.band_val = b.band_val
+       AND p.doc_id <> b.doc_id
+      WHERE p.doc_id < {_CAL_PROBES}
     ),
     sets AS (
       SELECT doc_id, list_distinct(shingles) AS s FROM sh WHERE len(shingles) > 0
     )
-    SELECT c.doc1, c.doc2, c.hamming,
+    SELECT c.probe_doc, c.other_doc, c.hamming,
            round(1.0 - CAST(c.hamming AS DOUBLE) / {_SIMHASH_BITS}, 6)
              AS est_agreement,
-           round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-                 / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6)
+           round(CAST(len(list_intersect(sp.s, so.s)) AS DOUBLE)
+                 / (len(sp.s) + len(so.s) - len(list_intersect(sp.s, so.s))), 6)
              AS exact_jaccard
     FROM cand c
-    JOIN sets sa ON sa.doc_id = c.doc1
-    JOIN sets sb ON sb.doc_id = c.doc2
-    ORDER BY doc1, doc2
+    JOIN sets sp ON sp.doc_id = c.probe_doc
+    JOIN sets so ON so.doc_id = c.other_doc
+    ORDER BY probe_doc, other_doc
     """,
 )
 def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,21 +1207,24 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_val",
         F.expr(f"shiftright(simhash, band * {_BAND_BITS}) & {(1 << _BAND_BITS) - 1}"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    probes = bands.filter(F.col("doc_id") < _CAL_PROBES).select(
+        F.col("doc_id").alias("probe_doc"),
+        F.col("simhash").alias("p_simhash"),
+        "band",
+        "band_val",
+    )
     hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        F.col("p_simhash").bitwiseXOR(F.col("simhash"))
     ).cast("int")
+    # bounded probe frame broadcasts; the corpus-side band lists stream
+    # past it -- |probes| x per-band collision lists, never pair^2
     cand = (
-        a.join(
-            b.hint("shuffle_hash"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        F.broadcast(probes)
+        .join(bands, ["band", "band_val"])
+        .filter(F.col("probe_doc") != F.col("doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
+            "probe_doc",
+            F.col("doc_id").alias("other_doc"),
             hamming.alias("hamming"),
         )
         .distinct()
@@ -1207,24 +1234,25 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("shingles") > 0)
         .select("doc_id", F.array_distinct("shingles").alias("s"))
     )
-    sa = sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("sb"))
-    inter = F.size(F.array_intersect("sa", "sb"))
-    union = F.size("sa") + F.size("sb") - inter
+    sp = sets.select(F.col("doc_id").alias("probe_doc"), F.col("s").alias("sp"))
+    so = sets.select(F.col("doc_id").alias("other_doc"), F.col("s").alias("so"))
+    inter = F.size(F.array_intersect("sp", "so"))
+    union = F.size("sp") + F.size("so") - inter
     return (
-        cand.join(sa, "doc1")
-        .join(sb, "doc2")
+        cand.join(sp.hint("shuffle_hash"), "probe_doc")
+        .join(so.hint("shuffle_hash"), "other_doc")
         .select(
-            "doc1",
-            "doc2",
+            "probe_doc",
+            "other_doc",
             "hamming",
             rounded(
                 F.lit(1.0) - F.col("hamming").cast("double") / _SIMHASH_BITS, 6
             ).alias("est_agreement"),
             rounded(inter.cast("double") / union, 6).alias("exact_jaccard"),
         )
-        .orderBy("doc1", "doc2")
+        .orderBy("probe_doc", "other_doc")
     )
+
 
 
 # ---------------------------------------------------------------------------

@@ -94,22 +94,32 @@ def test_semantic_dedup_keeps_a_representative_per_cluster(spark):
         assert r.n_dropped + r.n_kept == r.n_vectors
 
 
-def test_simhash_accuracy_covers_the_pairs_operator(spark):
-    """dedup_simhash_pairs is the hamming<=3 cut of the SAME banded
-    candidate set; every emitted pair must therefore appear in the
-    accuracy readout with an identical hamming distance."""
+def test_simhash_accuracy_covers_probe_involved_pairs(spark):
+    """The accuracy readout samples the SAME banded candidate set the
+    pairs operator cuts at hamming<=3, restricted to a bounded probe
+    set: every pairs-operator pair that involves a probe doc must
+    appear with an identical hamming distance."""
+    from fantasy_premier_league_spark.operators.dedup import _CAL_PROBES
+
     acc = {
-        (r.doc1, r.doc2): r.hamming
+        (r.probe_doc, r.other_doc): r.hamming
         for r in all_queries()["dedup_simhash_accuracy"](spark, SF_SMOKE).collect()
     }
+    assert acc, "probe set should surface banded candidates"
     pairs = all_queries()["dedup_simhash_pairs"](spark, SF_SMOKE).collect()
-    assert pairs, "fixture corpus should produce at least one near-dup pair"
-    for p in pairs:
-        assert acc.get((p.doc1, p.doc2)) == p.hamming, (
+    probe_pairs = [
+        p for p in pairs if p.doc1 < _CAL_PROBES or p.doc2 < _CAL_PROBES
+    ]
+    assert probe_pairs, "fixture corpus should near-dup at least one probe doc"
+    for p in probe_pairs:
+        # the accuracy frame is (probe, other); a pair appears keyed by
+        # whichever side is the probe
+        h = acc.get((p.doc1, p.doc2), acc.get((p.doc2, p.doc1)))
+        assert h == p.hamming, (
             f"pair {(p.doc1, p.doc2)} missing or inconsistent in accuracy set"
         )
-    for (d1, d2), h in acc.items():
-        assert d1 < d2 and 0 <= h <= 32
+    for (p_doc, _o), h in acc.items():
+        assert p_doc < _CAL_PROBES and 0 <= h <= 32
 
 
 def test_reservoir_sample_is_deterministic_and_bounded(spark):
