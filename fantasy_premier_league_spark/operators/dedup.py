@@ -1036,15 +1036,34 @@ _CONTAIN_T = 0.5
     """,
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    capped = posting.withColumn(
-        "df", F.count("*").over(Window.partitionBy("shingle"))
-    ).filter(F.col("df") <= _MAX_SHINGLE_DF)
+    """Containment join over exact-dup CLASSES (shared _shingle_classes
+    collapse): posting lists, the df cap, and the pair aggregation run
+    once per distinct shingle list, and surviving class pairs expand
+    back to doc pairs. Two semantics-preserving details: the hot-
+    shingle cap counts DOCUMENTS, so class postings are weighted by
+    member count before the df sum; and within-class (identical-doc)
+    pairs are emitted only for classes with at least one cap-surviving
+    shingle -- a doc whose capped set is empty has no posting rows and
+    therefore no pairs in the raw form either. Oracle (raw doc-level
+    inverted index) unchanged. Without the collapse the sf10 replica's
+    ~4 identical twins per doc multiplied pair enumeration 16x
+    (measured 27x wall at 100x data); duplicate mass now survives only
+    as output rows."""
+    mapping, usets = _shingle_classes(spark, sf_dir)
+    members = mapping.groupBy("cls").agg(F.count("*").alias("m"))
+    posting = usets.select("cls", F.explode("shingles").alias("shingle"))
+    dfreq = (
+        posting.join(members.hint("shuffle_hash"), "cls")
+        .groupBy("shingle")
+        .agg(F.sum("m").alias("df"))
+    )
+    capped = posting.join(dfreq.hint("shuffle_hash"), "shingle").filter(
+        F.col("df") <= _MAX_SHINGLE_DF
+    )
     sized = capped.select(
-        "doc_id",
+        "cls",
         "shingle",
-        F.count("*").over(Window.partitionBy("doc_id")).alias("sz"),
+        F.count("*").over(Window.partitionBy("cls")).alias("sz"),
     )
     a = sized.alias("a").hint("shuffle_hash")
     b = sized.alias("b").hint("shuffle_hash")
@@ -1052,11 +1071,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.cls") < F.col("b.cls")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
+            F.col("a.cls").alias("c1"),
+            F.col("b.cls").alias("c2"),
             F.col("a.sz").alias("sz1"),
             F.col("b.sz").alias("sz2"),
         )
@@ -1066,16 +1085,45 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("n_common")
     )
-    return (
-        inter.filter(contain >= _CONTAIN_T)
-        .select(
-            "doc1",
-            "doc2",
-            rounded(contain, 6).alias("containment"),
-            rounded(jac, 6).alias("jaccard"),
-        )
-        .orderBy("doc1", "doc2")
+    cpairs = inter.filter(contain >= _CONTAIN_T).select(
+        "c1",
+        "c2",
+        rounded(contain, 6).alias("containment"),
+        rounded(jac, 6).alias("jaccard"),
     )
+    m1 = mapping.select(F.col("cls").alias("c1"), F.col("doc_id").alias("d1"))
+    m2 = mapping.select(F.col("cls").alias("c2"), F.col("doc_id").alias("d2"))
+    cross = (
+        cpairs.join(m1.hint("shuffle_hash"), "c1")
+        .join(m2.hint("shuffle_hash"), "c2")
+        .select(
+            F.least("d1", "d2").alias("doc1"),
+            F.greatest("d1", "d2").alias("doc2"),
+            "containment",
+            "jaccard",
+        )
+    )
+    surviving = sized.select(F.col("cls").alias("s_cls")).distinct()
+    ma, mb = mapping.alias("ma"), mapping.alias("mb")
+    within = (
+        ma.join(
+            mb.hint("shuffle_hash"),
+            (F.col("ma.cls") == F.col("mb.cls"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .join(
+            surviving.hint("shuffle_hash"),
+            F.col("ma.cls") == F.col("s_cls"),
+            "leftsemi",
+        )
+        .select(
+            F.col("ma.doc_id").alias("doc1"),
+            F.col("mb.doc_id").alias("doc2"),
+            rounded(F.lit(1.0), 6).alias("containment"),
+            rounded(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within).orderBy("doc1", "doc2")
 
 
 # ---------------------------------------------------------------------------
