@@ -739,21 +739,6 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PF_T = 0.5
 
 
-@register(
-    "dedup_prefix_filter_pairs",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL.replace("shingles", "s")}),
-    nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
-    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
-             AS jaccard
-    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {_PF_T}
-    ORDER BY doc1, doc2
-    """,
-)
 def _shingle_classes(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -790,6 +775,21 @@ def _shingle_classes(
     return mapping, usets
 
 
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL.replace("shingles", "s")}),
+    nz AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+    FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {_PF_T}
+    ORDER BY doc1, doc2
+    """,
+)
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless prefix-filtered similarity join, run over exact-dup
     CLASSES rather than raw documents.

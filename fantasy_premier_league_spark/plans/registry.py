@@ -72,6 +72,14 @@ NEW_THIS_ROUND: list[str] = [
     "c14_corrupt_record_audit",
 ]
 
+# NOTE round 8: the r7 head is exactly full (3 changed + 21 new + 25
+# r2-stale + 1 r4 fill), so these r7 decisions are QUEUED for the r8
+# head: (a) apply the exact-dup class collapse (_shingle_classes,
+# operators/dedup.py) to the remaining posting-join family --
+# dedup_ngram_jaccard (sf10 exp 0.91), dedup_winnowing_pairs,
+# dedup_minhash_lsh_candidates -- whose r4/r6 driver rows left no
+# change budget this round; (b) rotate the r4-stale tail (43 entries
+# after fpl_req1_win_prediction rides this head) per rule 3.
 SAMPLE_PRIORITY: list[str] = [
     # --- implementation changed since last driver check (rule 1) ---
     "s9_python_stream_feed",  # row-group-bounded stream read (r6 weak fix)
