@@ -928,10 +928,12 @@ def _register_pipeline_roundtrip() -> None:
         profile_root = os.path.join(out_dir, "profile")
         events_dir = os.path.join(out_dir, "events")
 
-        # K2 + event feed: one micro-batch per match file, idempotent
-        # batch_id partitions (T8)
+        # K2 + event feed: idempotent batch_id partitions (T8). The
+        # ingest sink needs no per-match cadence, so the whole fixture
+        # drains in one batch; the stateful query below keeps the
+        # multi-batch ladder.
         run_ingest_sinks(
-            stream_source(spark, stream_dir),
+            stream_source(spark, stream_dir, max_files_per_trigger=64),
             out_dir,
             os.path.join(out_dir, "_ckpt_ingest"),
         ).awaitTermination()
@@ -970,9 +972,16 @@ def _register_pipeline_roundtrip() -> None:
                 os.path.join(profile_root, f"v{batch_id:05d}")
             )
 
+        # 3 match files per micro-batch: still a genuine multi-batch
+        # incremental run (4 batches, 4 profile snapshot versions) at a
+        # third of the per-batch fixed cost; file order is path order,
+        # so matches still arrive chronologically and the state fold's
+        # per-batch matchId sort preserves the recurrence order
         with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
             (
-                streaming_player_state(stream_source(spark, stream_dir))
+                streaming_player_state(
+                    stream_source(spark, stream_dir, max_files_per_trigger=3)
+                )
                 .writeStream.foreachBatch(sink)
                 .option(
                     "checkpointLocation", os.path.join(out_dir, "_ckpt_state")
