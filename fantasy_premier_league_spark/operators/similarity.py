@@ -1353,6 +1353,9 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     assigned, cent = _emb_lloyd(_emb_feats_df(spark, sf_dir))
+    # assigned feeds BOTH the centroid-distance ranking and the cluster
+    # sizes; materialize the 2-iteration Lloyd's chain once
+    assigned = assigned.localCheckpoint(eager=False)
     cdist = assigned.join(F.broadcast(cent), "cid").select(
         "vec_id", "cid", "xs", _emb_dist2().alias("cdist")
     )
