@@ -1300,12 +1300,27 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 
 # ---------------------------------------------------------------------------
 # W7: the tie-sensitive rank family -- rank, dense_rank, percent_rank,
-# cume_dist in ONE window pass per event type (Spark fuses same-spec
-# windows). The ordering is cents ALONE, so ties are real and each
-# function's tie semantics is what the gate pins: rank gaps, dense
-# ranks, (rank-1)/(n-1), and count(<=x)/n are all exact integer
-# rationals -- correctly-rounded doubles on both engines.
+# cume_dist per event type. The ordering is cents ALONE, so ties are
+# real and each function's tie semantics is what the gate pins: rank
+# gaps, dense ranks, (rank-1)/(n-1), and count(<=x)/n are all exact
+# integer rationals -- correctly-rounded doubles on both engines.
+#
+# Scale shape (r7): PARTITION BY a fixed-cardinality key funnels each
+# type through ONE task -- the hot-partition the sf10 sweep surfaced
+# (exp 0.60 with parallelism capped at |types|). Ranking is therefore
+# HIERARCHICAL, the docs_pack_sequences / part_skyline recipe: the
+# value domain splits into _W7_BANDS range bands per type (a tie group
+# of equal cents lies wholly in one band, so in-band tie semantics are
+# exact), rows rank inside their bounded (type, band) window, and tiny
+# broadcast per-band offsets (rows-before, distinct-values-before,
+# type total) lift in-band ranks to global ones:
+#   rank     = rows_before_band + in-band rank
+#   dense    = distinct_before_band + in-band dense_rank
+#   pct_rank = (rank - 1) / (n_type - 1)
+#   cume     = (rows_before_band + in-band count(<= x)) / n_type
 # ---------------------------------------------------------------------------
+
+_W7_BANDS = 64
 
 
 @register(
@@ -1325,17 +1340,56 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cents = fixed_units(F.col("value"))
-    w = Window.partitionBy("event_type").orderBy("cents")
+    base = ev.select("event_id", "event_type", cents.alias("cents"))
+    bounds = base.groupBy("event_type").agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    banded = base.join(F.broadcast(bounds), "event_type").withColumn(
+        "band",
+        F.floor(
+            (F.col("cents") - F.col("mn"))
+            * _W7_BANDS
+            / (F.col("mx") - F.col("mn") + 1)
+        ).cast("long"),
+    )
+    stats = banded.groupBy("event_type", "band").agg(
+        F.count("*").alias("n_rows"), F.countDistinct("cents").alias("n_vals")
+    )
+    wt = Window.partitionBy("event_type").orderBy("band")
+    offs = stats.select(
+        "event_type",
+        "band",
+        (F.sum("n_rows").over(wt) - F.col("n_rows")).alias("row_off"),
+        (F.sum("n_vals").over(wt) - F.col("n_vals")).alias("val_off"),
+        F.sum("n_rows").over(Window.partitionBy("event_type")).alias("n_tot"),
+    )
+    wb = Window.partitionBy("event_type", "band").orderBy("cents")
+    wble = (
+        Window.partitionBy("event_type", "band")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    rnk = F.col("row_off") + F.rank().over(wb)
     return (
-        ev.select("event_id", "event_type", cents.alias("cents"))
+        banded.join(F.broadcast(offs), ["event_type", "band"])
         .select(
             "event_id",
             "event_type",
             "cents",
-            F.rank().over(w).cast("long").alias("rnk"),
-            F.dense_rank().over(w).cast("long").alias("drnk"),
-            rounded(F.percent_rank().over(w), 6).alias("prank"),
-            rounded(F.cume_dist().over(w), 6).alias("cdist"),
+            rnk.cast("long").alias("rnk"),
+            (F.col("val_off") + F.dense_rank().over(wb)).cast("long").alias("drnk"),
+            rounded(
+                F.when(
+                    F.col("n_tot") > 1,
+                    (rnk - 1).cast("double") / (F.col("n_tot") - 1),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("prank"),
+            rounded(
+                (F.col("row_off") + F.count("*").over(wble)).cast("double")
+                / F.col("n_tot"),
+                6,
+            ).alias("cdist"),
         )
         .orderBy("event_type", "cents", "event_id")
     )
