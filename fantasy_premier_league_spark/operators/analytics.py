@@ -1318,9 +1318,22 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
 #   dense    = distinct_before_band + in-band dense_rank
 #   pct_rank = (rank - 1) / (n_type - 1)
 #   cume     = (rows_before_band + in-band count(<= x)) / n_type
+#
+# Round 8 (VERDICT r7 #7): the banded plan costs ~+1.8 s of FIXED
+# stages (bounds agg + stats agg + two broadcasts) that sf0.1 paid for
+# an sf10 problem it does not have. The band path is now
+# size-conditional on one parquet-metadata count (the triangle tier's
+# recipe, graph.py:267): below _W7_DIRECT_CAP total rows the hottest
+# type partition is ~cap/|types| rows -- a single in-memory task sort
+# -- so the plain per-type window is strictly better; above it the
+# hierarchical plan takes over (sf10: 20.9 -> 12.7 s). Both branches
+# produce byte-identical output; the oracle does not change.
 # ---------------------------------------------------------------------------
 
 _W7_BANDS = 64
+# 2M rows over ~5 types = 400k-row partitions: comfortably one task's
+# sort. sf1 (1M) stays direct; sf10 (10M, 2M/partition) goes banded.
+_W7_DIRECT_CAP = 2_000_000
 
 
 @register(
@@ -1341,6 +1354,30 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cents = fixed_units(F.col("value"))
     base = ev.select("event_id", "event_type", cents.alias("cents"))
+    if ev.count() <= _W7_DIRECT_CAP:
+        # direct per-type window: one shuffle, one sort, no fixed
+        # band-offset stages -- the right plan while the hottest type
+        # partition is a single-task sort
+        w = Window.partitionBy("event_type").orderBy("cents")
+        wle = w.rangeBetween(Window.unboundedPreceding, 0)
+        n_tot = F.count("*").over(Window.partitionBy("event_type"))
+        rnk = F.rank().over(w)
+        return base.select(
+            "event_id",
+            "event_type",
+            "cents",
+            rnk.cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            rounded(
+                F.when(
+                    n_tot > 1, (rnk - 1).cast("double") / (n_tot - 1)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("prank"),
+            rounded(F.count("*").over(wle).cast("double") / n_tot, 6).alias(
+                "cdist"
+            ),
+        ).orderBy("event_type", "cents", "event_id")
     bounds = base.groupBy("event_type").agg(
         F.min("cents").alias("mn"), F.max("cents").alias("mx")
     )

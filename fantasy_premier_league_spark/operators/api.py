@@ -283,7 +283,10 @@ from fantasy_premier_league_spark.sources.fpl_fixtures import (  # noqa: E402
     ensure_invalid_req1,
 )
 
-REQ1_INVALID = ensure_invalid_req1(FIXTURES)
+# path only -- ensure_fixtures() (the FIXTURES import) already wrote the
+# file on both of its branches, so importing this module must not add a
+# second write call (ADVICE r7); the operator body re-ensures lazily.
+REQ1_INVALID = os.path.join(FIXTURES, "requests", "req1_invalid_team1.json")
 
 _REQ1_INVALID_ORACLE = f"""
     WITH roster AS ({_req1_roster_sql(REQ1_INVALID)}),
@@ -349,7 +352,7 @@ def fpl_req1_invalid_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Next round #7)."""
     from pyspark.sql import Window
 
-    with open(REQ1_INVALID) as f:
+    with open(ensure_invalid_req1(FIXTURES)) as f:
         request = json.load(f)
     roster = spark.createDataFrame(
         _team_rosters(request), "team string, team_name string, player_name string"

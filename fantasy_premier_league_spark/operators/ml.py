@@ -462,3 +462,184 @@ def ml_quadratic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounded(pred_norm, 6).alias("pred_norm"),
         (pred_norm < _RETIRE_THRESHOLD).alias("retired"),
     )
+
+
+# --- KMeans rating imputation (Specs.pdf "Solution: Clustering") -------
+#
+# The spec's stated PURPOSE for clustering: players with too few matches
+# have unreliable ratings; impute them from their profile cluster. No
+# reference code exists (SURVEY 2.9) -- the rebuild composes the
+# deterministic Lloyd's helpers above with the FPL rating recurrence
+# (operators/pipeline.py): cluster ALL rostered players on exact-integer
+# profile features (attack = 100*goals + shots_on_target, discipline =
+# 100*fouls + own_goals, zero for players with no events), then
+#   - dense players (>= _MIN_MATCHES matches with events, rating exists)
+#     keep their own final rating;
+#   - sparse players take their cluster's dense-member mean rating,
+#     falling back to the global dense mean if the cluster has none.
+# 100 TB shape: one groupBy(playerId) for features, Lloyd's iterations
+# each broadcast k centroids + groupBy(k), cluster means are a k-row
+# broadcast -- the corpus never self-joins.
+
+_MIN_MATCHES = 5
+
+
+def _impute_oracle() -> str:
+    from fantasy_premier_league_spark.operators.pipeline import (
+        _CTRS_SQL,
+        _PLAYERS_CSV_SQL,
+        _RATING_SQL,
+    )
+
+    sql = f"""
+    WITH f0 AS (
+      SELECT playerId, count(*) AS n_matches,
+             100 * sum(goals) + sum(shots_on_target) AS fx,
+             100 * sum(fouls) + sum(own_goals) AS fy
+      FROM ({_CTRS_SQL}) GROUP BY playerId
+    ),
+    f AS (
+      SELECT CAST(p.Id AS INT) AS user_id,
+             CAST(coalesce(f0.fx, 0) AS BIGINT) AS x,
+             CAST(coalesce(f0.fy, 0) AS BIGINT) AS y,
+             CAST(coalesce(f0.n_matches, 0) AS BIGINT) AS n_matches
+      FROM {_PLAYERS_CSV_SQL} p LEFT JOIN f0 ON f0.playerId = p.Id
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY user_id) AS cid,
+             CAST(x AS DOUBLE) AS cx, CAST(y AS DOUBLE) AS cy
+      FROM (SELECT * FROM f ORDER BY user_id LIMIT {_K})
+    )"""
+    prev = "c0"
+    for i in range(1, _ITERS + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT user_id, x, y, cid FROM (
+        SELECT f.user_id, f.x, f.y, c.cid,
+               row_number() OVER (
+                 PARTITION BY f.user_id
+                 ORDER BY (CAST(f.x AS DOUBLE) - c.cx) * (CAST(f.x AS DOUBLE) - c.cx)
+                        + (CAST(f.y AS DOUBLE) - c.cy) * (CAST(f.y AS DOUBLE) - c.cy) ASC,
+                        c.cid ASC) AS rn
+        FROM f, {prev} c
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT cid, CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+             CAST(sum(y) AS DOUBLE) / count(*) AS cy
+      FROM a{i} GROUP BY cid
+    )"""
+        prev = f"c{i}"
+    sql += f""",
+    rat AS (
+      SELECT playerId, rating FROM (
+        SELECT playerId, rating,
+               row_number() OVER (PARTITION BY playerId ORDER BY matchId DESC) AS rn
+        FROM ({_RATING_SQL})
+      ) WHERE rn = 1
+    ),
+    dense AS (
+      SELECT a.cid, r.rating
+      FROM a{_ITERS} a
+      JOIN f ON f.user_id = a.user_id
+      JOIN rat r ON r.playerId = a.user_id
+      WHERE f.n_matches >= {_MIN_MATCHES}
+    ),
+    cmean AS (SELECT cid, sum(rating) / count(*) AS crating FROM dense GROUP BY cid),
+    gmean AS (SELECT sum(rating) / count(*) AS grating FROM dense)
+    SELECT a.user_id AS playerId, CAST(a.cid AS INT) AS cluster, f.n_matches,
+           round(CASE WHEN f.n_matches >= {_MIN_MATCHES} AND r.rating IS NOT NULL
+                      THEN r.rating ELSE coalesce(cm.crating, g.grating) END,
+                 6) AS rating,
+           NOT (f.n_matches >= {_MIN_MATCHES} AND r.rating IS NOT NULL) AS imputed
+    FROM a{_ITERS} a
+    JOIN f ON f.user_id = a.user_id
+    LEFT JOIN rat r ON r.playerId = a.user_id
+    LEFT JOIN cmean cm ON cm.cid = a.cid
+    CROSS JOIN gmean g
+    ORDER BY playerId
+    """
+    return sql
+
+
+@register("ml_kmeans_rating_impute", oracle=_impute_oracle())
+def ml_kmeans_rating_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-mean rating imputation for sparse players (spec'd use of
+    the KMeans clustering; composes Lloyd's with the rating pipeline)."""
+    from fantasy_premier_league_spark.operators.pipeline import (
+        events_df,
+        load_players,
+        match_counters,
+        metric_vectors,
+        performance_df,
+        rating_trace_df,
+    )
+
+    ctrs = match_counters(metric_vectors(events_df(spark)))
+    f0 = ctrs.groupBy("playerId").agg(
+        F.count("*").alias("n_matches"),
+        (100 * F.sum("goals") + F.sum("shots_on_target")).alias("fx"),
+        (100 * F.sum("fouls") + F.sum("own_goals")).alias("fy"),
+    )
+    feats = (
+        load_players(spark)
+        .select(F.col("Id").cast("int").alias("user_id"))
+        .join(f0.withColumnRenamed("playerId", "user_id"), "user_id", "left")
+        .select(
+            "user_id",
+            F.coalesce("fx", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("fy", F.lit(0)).cast("long").alias("y"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        )
+        .localCheckpoint(eager=False)  # feeds every Lloyd's round + output
+    )
+    cent = (
+        feats.orderBy("user_id")
+        .limit(_K)
+        .select(
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy("user_id"))
+            .alias("cid"),
+            F.col("x").cast("double").alias("cx"),
+            F.col("y").cast("double").alias("cy"),
+        )
+    )
+    assigned = None
+    for _ in range(_ITERS):
+        assigned = _assign(feats.select("user_id", "x", "y"), cent)
+        cent = _recenter(assigned)
+    lab = assigned.select("user_id", "cid").join(
+        feats.select("user_id", "n_matches"), "user_id"
+    )
+    trace = rating_trace_df(performance_df(spark))
+    w = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
+    rat = (
+        trace.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("playerId").alias("user_id"), "rating")
+        .localCheckpoint(eager=False)  # rating recurrence feeds 2 joins
+    )
+    dense = lab.filter(F.col("n_matches") >= _MIN_MATCHES).join(rat, "user_id")
+    cmean = dense.groupBy("cid").agg(
+        (F.sum("rating") / F.count("*")).alias("crating")
+    )
+    gmean = dense.agg((F.sum("rating") / F.count("*")).alias("grating"))
+    is_dense = (F.col("n_matches") >= _MIN_MATCHES) & F.col("rating").isNotNull()
+    return (
+        lab.join(rat, "user_id", "left")
+        .join(F.broadcast(cmean), "cid", "left")
+        .crossJoin(F.broadcast(gmean))
+        .select(
+            F.col("user_id").alias("playerId"),
+            F.col("cid").cast("int").alias("cluster"),
+            "n_matches",
+            rounded(
+                F.when(is_dense, F.col("rating")).otherwise(
+                    F.coalesce("crating", "grating")
+                ),
+                6,
+            ).alias("rating"),
+            (~is_dense).alias("imputed"),
+        )
+        .orderBy("playerId")
+    )

@@ -435,6 +435,22 @@ _POS_BITS = 1 << 20
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    keyed = _winnow_selected(docs)
+    return (
+        keyed.select(
+            "doc_id",
+            F.pmod(F.col("k"), F.lit(_POS_BITS)).alias("pos"),
+            (F.col("k") / _POS_BITS).cast("long").alias("fp"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """Distinct selected (doc_id, k) winnowing keys of a documents
+    frame, k = hash32 * 2^20 + pos. Factored out so the pairs operator
+    can winnow class REPRESENTATIVES only (round-8 exact-dup collapse).
+    """
     # shingle construction stays inside codegen: split ONCE into a
     # token array, then transform() -- no self-join, no Python. The
     # size guard matters: Spark's sequence(0, -1) DESCENDS instead of
@@ -484,16 +500,7 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.currentRow, _WINNOW_W - 1)
     )
-    return (
-        keyed.select("doc_id", F.min("k").over(win).alias("k"))
-        .distinct()
-        .select(
-            "doc_id",
-            F.pmod(F.col("k"), F.lit(_POS_BITS)).alias("pos"),
-            (F.col("k") / _POS_BITS).cast("long").alias("fp"),
-        )
-        .orderBy("doc_id", "pos")
-    )
+    return keyed.select("doc_id", F.min("k").over(win).alias("k")).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -550,29 +557,88 @@ _WINNOW_MAXDF = 50  # fingerprints in more docs than this are stop-patterns
     """,
 )
 def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing posting join over exact-dup CLASSES (round-8 collapse,
+    the r7 lesson applied to the third posting-join sibling): identical
+    texts share identical fingerprint sets, so winnowing, the df count,
+    and the pair self-join all run once per DISTINCT text; class pairs
+    expand back through the membership mapping at the end. The df cap
+    counts DOCUMENTS in the raw form, so class postings are weighted by
+    member count before the df sum; within-class (identical-doc) pairs
+    share exactly the class's live-fingerprint count, emitted only when
+    that count clears _WINNOW_SHARED -- byte-identical semantics to the
+    raw doc-level join the oracle encodes.
+
+    Classes use the text digest (not the shingle-list digest of the
+    jaccard tier) because winnowing keys depend on token POSITIONS, not
+    just the shingle set."""
+    from fantasy_premier_league_spark.operators.dedup import _expand_class_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    classed = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+    )
+    classes = classed.groupBy("digest").agg(F.min("doc_id").alias("cls"))
+    mapping = (
+        classed.join(classes.hint("shuffle_hash"), "digest")
+        .select("doc_id", "cls")
+        .localCheckpoint(eager=False)  # feeds reps, members, expansion
+    )
+    reps = docs.join(
+        mapping.filter(F.col("doc_id") == F.col("cls")).select("doc_id"),
+        "doc_id",
+        "leftsemi",
+    )
     # the fingerprint set feeds three consumers (df filter + both sides
     # of the self-join); materialize it once instead of re-running the
     # shingle+window pipeline per consumer
     fps = (
-        text_winnowing(spark, sf_dir)
-        .select("doc_id", "fp")
+        _winnow_selected(reps)
+        .select(
+            F.col("doc_id").alias("cls"),
+            (F.col("k") / _POS_BITS).cast("long").alias("fp"),
+        )
         .distinct()
         .localCheckpoint()
     )
-    live = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _WINNOW_MAXDF
+    members = mapping.groupBy("cls").agg(F.count("*").alias("m"))
+    live = (
+        fps.join(members.hint("shuffle_hash"), "cls")
+        .groupBy("fp")
+        .agg(F.sum("m").alias("df"))
+        .filter(F.col("df") <= _WINNOW_MAXDF)
     )
     posting = fps.join(F.broadcast(live.select("fp")), "fp")
-    left = posting.select(F.col("fp"), F.col("doc_id").alias("doc1"))
-    right = posting.select(F.col("fp"), F.col("doc_id").alias("doc2"))
-    return (
+    left = posting.select(F.col("fp"), F.col("cls").alias("c1"))
+    right = posting.select(F.col("fp"), F.col("cls").alias("c2"))
+    cpairs = (
         left.join(right, "fp")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .groupBy("doc1", "doc2")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _WINNOW_SHARED)
-        .orderBy("doc1", "doc2")
     )
+    cross = _expand_class_pairs(mapping, cpairs, ["n_shared"])
+    within_counts = (
+        posting.groupBy("cls")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_SHARED)
+        .withColumnRenamed("cls", "wc_cls")
+    )
+    ma, mb = mapping.alias("ma"), mapping.alias("mb")
+    within = (
+        ma.join(
+            mb.hint("shuffle_hash"),
+            (F.col("ma.cls") == F.col("mb.cls"))
+            & (F.col("ma.doc_id") < F.col("mb.doc_id")),
+        )
+        .join(within_counts.hint("shuffle_hash"), F.col("ma.cls") == F.col("wc_cls"))
+        .select(
+            F.col("ma.doc_id").alias("doc1"),
+            F.col("mb.doc_id").alias("doc2"),
+            "n_shared",
+        )
+    )
+    return cross.unionByName(within).orderBy("doc1", "doc2")
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,11 @@ Convention (driver compares by column NAME, sorted, then value-hash):
 
 from __future__ import annotations
 
+import glob
+import json
+import math
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,125 +30,104 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
-# The driver's correctness gate checks the FIRST 50 registered queries
-# (CORRECTNESS_r01/r02 are exactly the head of the registry in insertion
-# order). With >50 registered, rotate: queries listed here are emitted
-# first so the least-recently-driver-verified ones get checked each
-# round; everything else follows in module-import order.
-#
-# The rotation rule (enforced by tests/test_sample_rotation.py against
-# the CORRECTNESS_r*.json artifacts):
-#   1. any query whose implementation changed since its last driver row
-#      (CHANGED_THIS_ROUND, hand-maintained per round) goes first;
-#   2. any NEW query (no driver row yet) goes in the head;
-#   3. any query whose last green driver row is more than two rounds
-#      old goes in the head;
-#   4. remaining slots fill with the least-recently-verified tail.
+# The driver's correctness gate checks the FIRST 50 registered queries.
+# With >50 registered, rotate. Since round 8 the head is DERIVED from
+# the committed CORRECTNESS_r*.json artifacts (the hand-maintained list
+# twice miscounted -- VERDICT r7 "what's wrong" #4):
+#   1. every CHANGED_THIS_ROUND query leads (implementation or oracle
+#      changed after its last driver row -- only this list stays
+#      hand-maintained, because no artifact records code changes);
+#   2. every query with NO driver row yet follows (new registrations);
+#   3. the remaining slots fill oldest-driver-row-first, ties broken by
+#      registration order, so a full re-verification cycle completes in
+#      ceil(N/50) rounds and nothing can age out past that bound.
+# tests/test_sample_rotation.py enforces the same rules against the
+# artifacts, with the staleness threshold ceil(N/50) rounds (the old
+# fixed ">2 rounds" bound is unsatisfiable at steady state once
+# N > 150: a full cycle takes 4 rounds -- VERDICT r7 #2).
 
 # Queries whose implementing code changed this round AFTER their last
-# driver check -- update this list whenever a registered query's
-# implementation or oracle changes. Round 7: the s9 stream reader now
-# reads only the row groups overlapping the partition's row range
-# (VERDICT r6 #5, the round's one `weak` mark), and the embedding
-# kmeans was refactored into shared Lloyd's helpers so the semantic
-# dedup gate verifies the identical clustering. (ann_pq_recall's
-# codebook training was refactored too, but it has no driver row yet,
-# so its head slot comes from the never-sampled rule.)
+# driver check -- update whenever a registered query's implementation
+# or oracle changes. Round 8: the exact-dup class collapse proven on
+# containment/prefix-filter in r7 lands on the remaining posting-join
+# family (ngram-jaccard was the round's one `weak`, sf10 exp 0.91);
+# the _shingle_classes digest closes a U+001E separator-collision
+# (ADVICE r7) which touches every class-collapsed query; w7's
+# hierarchical banding becomes size-conditional (VERDICT r7 #7); t16's
+# sink dir is now per-session (ADVICE r7 race); req1's invalid-team
+# fixture write moved out of import time (ADVICE r7).
 CHANGED_THIS_ROUND: list[str] = [
-    "s9_python_stream_feed",
-    "ml_kmeans_embeddings",
-    "dedup_prefix_filter_pairs",  # exact-dup class collapse (sf10 disk fix)
+    "dedup_ngram_jaccard",  # exact-dup class collapse (r7 weak fix)
+    "dedup_winnowing_pairs",  # same collapse, second sibling
+    "dedup_minhash_lsh_candidates",  # same collapse, third sibling
+    "dedup_prefix_filter_pairs",  # digest separator-collision fix
+    "dedup_containment_pairs",  # digest separator-collision fix
+    "dedup_cluster_components",  # CC now runs on the class graph
+    "dedup_cluster_keep_best",  # consumes the class-graph CC
+    "dedup_minhash_accuracy",  # consumes collapsed candidate pairs
+    "text_winnowing",  # refactored to share _winnow_selected
+    "w7_rank_family",  # banding now size-conditional (sf0.1 cost back)
+    "t16_fpl_pipeline_roundtrip",  # per-session sink dir
+    "fpl_req1_invalid_team_quirk",  # lazy fixture materialization
 ]
 
 # Queries first registered this round (no driver row exists yet).
-# Round 7 registers FEW new queries by design: the head must first
-# drain the 13 r6-overflow queries (registered last round, never
-# driver-checked) and the 25 r2-stale rows. Registration is throttled
-# to the verification budget -- tests/test_sample_rotation.py now FAILS
-# (no grace branch) when changed + never-sampled > 50.
+# Registration stays throttled to the verification budget:
+# tests/test_sample_rotation.py fails when changed + never-sampled > 50.
 NEW_THIS_ROUND: list[str] = [
-    "ann_ivfpq_recall",
-    "fpl_req1_invalid_team_quirk",
-    "t16_fpl_pipeline_roundtrip",
-    "dedup_semantic_clusters",
-    "dedup_simhash_accuracy",
-    "sample_reservoir_per_key",
-    "corpus_source_overlap",
-    "c14_corrupt_record_audit",
+    "ml_kmeans_rating_impute",
 ]
 
-# NOTE round 8: the r7 head is exactly full (3 changed + 21 new + 25
-# r2-stale + 1 r4 fill), so these r7 decisions are QUEUED for the r8
-# head: (a) apply the exact-dup class collapse (_shingle_classes,
-# operators/dedup.py) to the remaining posting-join family --
-# dedup_ngram_jaccard (sf10 exp 0.91), dedup_winnowing_pairs,
-# dedup_minhash_lsh_candidates -- whose r4/r6 driver rows left no
-# change budget this round; (b) rotate the r4-stale tail (43 entries
-# after fpl_req1_win_prediction rides this head) per rule 3.
-SAMPLE_PRIORITY: list[str] = [
-    # --- implementation changed since last driver check (rule 1) ---
-    "s9_python_stream_feed",  # row-group-bounded stream read (r6 weak fix)
-    "ml_kmeans_embeddings",  # Lloyd's helpers shared with semantic dedup
-    "dedup_prefix_filter_pairs",  # exact-dup class collapse (sf10 disk fix)
-    # --- registered r6, never driver-sampled: the 13-query overflow
-    # --- the r6 verdict ordered drained FIRST this round (rule 2) ---
-    "orders_revenue_concentration",
-    "events_trailing_distinct_users",
-    "fuzzy_name_search",
-    "w7_rank_family",
-    "sql_frontend_lateral_topn",
-    "mm_shot_boundaries",
-    "dedup_containment_pairs",
-    "dedup_cluster_keep_best",
-    "part_skyline",
-    "zorder_layout_buckets",
-    "ann_pq_recall",
-    "docs_dsir_weights",
-    "stats_chi2_independence",
-    # --- new this round (rule 2) ---
-    "ann_ivfpq_recall",
-    "fpl_req1_invalid_team_quirk",
-    "t16_fpl_pipeline_roundtrip",
-    "dedup_semantic_clusters",
-    "dedup_simhash_accuracy",
-    "sample_reservoir_per_key",
-    "corpus_source_overlap",
-    "c14_corrupt_record_audit",
-    # --- last driver row is r2: five rounds stale (rule 3) ---
-    "fpl_a7_final_rating",
-    "fpl_a4_profile",
-    "fpl_a6_chemistry",
-    "fpl_req2_player_profile",
-    "fpl_req3_match_details",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "a1_metric_vector",
-    "a2_keyed_counters",
-    "a3_final_metrics",
-    "a4_profile",
-    "a6_chemistry_pairs",
-    "ml_kmeans_profiles",
-    "ml_quadratic_fit",
-    "mm_binary_metadata",
-    "mm_decode_stats",
-    "mm_frame_sample",
-    "a5_rating_recurrence",
-    "a2a3_pricing_summary",
-    "f3_point_lookup",
-    "f4_predicate_search",
-    "f5_key_filter",
-    "j1_broadcast_dim_join",
-    "j2_stream_static_join",
-    "j4_pair_generation",
-    # --- fill: least-recently-verified r4 tail (rule 3/4; 44 r4 rows
-    # --- exist, more than the 3 remaining slots -- the stale-overflow
-    # --- branch of the rotation test applies; the rest lead round 8) ---
-    "fpl_req1_win_prediction",
-]
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def driver_history() -> tuple[int, dict[str, int]]:
+    """(current_round, last-sampled-round per query) from the committed
+    CORRECTNESS_r*.json artifacts. Queries never sampled are absent."""
+    last: dict[str, int] = {}
+    max_round = 0
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        max_round = max(max_round, rnd)
+        try:
+            with open(path) as fh:
+                names = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in names:
+            last[name] = max(last.get(name, 0), rnd)
+    return max_round + 1, last
+
+
+def staleness_threshold(n_registered: int, head_size: int = 50) -> int:
+    """Rounds after which a driver row counts as stale: one full
+    rotation cycle. max(2, ...) keeps the old bound when N <= 100."""
+    return max(2, math.ceil(n_registered / head_size))
+
+
+def sample_priority(registered: list[str]) -> list[str]:
+    """Derive the full sample ordering from the driver artifacts:
+    changed first, then never-sampled, then oldest-evidence-first."""
+    _, last = driver_history()
+    order = {n: i for i, n in enumerate(registered)}
+    changed = [n for n in CHANGED_THIS_ROUND if n in order]
+    seen = set(changed)
+    never = [n for n in registered if n not in last and n not in seen]
+    seen.update(never)
+    rest = sorted(
+        (n for n in registered if n not in seen),
+        key=lambda n: (last.get(n, 0), order[n]),
+    )
+    return changed + never + rest
 
 
 def _prioritized(d: dict) -> dict:
-    head = {n: d[n] for n in SAMPLE_PRIORITY if n in d}
+    head = {n: d[n] for n in sample_priority(list(QUERIES)) if n in d}
     return head | {n: v for n, v in d.items() if n not in head}
 
 

@@ -919,10 +919,14 @@ def _register_pipeline_roundtrip() -> None:
         )
 
         stream_dir = os.path.join(fpl_fixtures.ensure_fixtures(), "stream")
-        # deterministic dir, cleaned at entry and left on disk afterwards
-        # (the returned DataFrame lazily reads the sink parquet; the
-        # next invocation resets it)
-        out_dir = os.path.join(tempfile.gettempdir(), "t16_roundtrip")
+        # per-session dir (app id), cleaned at entry and left on disk
+        # afterwards: the returned DataFrame lazily reads the sink
+        # parquet, and concurrent sessions (parallel pytest workers,
+        # bench + tests) must never race on a shared sink path
+        out_dir = os.path.join(
+            tempfile.gettempdir(),
+            f"t16_roundtrip_{spark.sparkContext.applicationId}",
+        )
         shutil.rmtree(out_dir, ignore_errors=True)
         rating_dir = os.path.join(out_dir, "rating")
         profile_root = os.path.join(out_dir, "profile")

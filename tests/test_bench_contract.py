@@ -21,10 +21,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_bench_exits_zero_and_prints_one_json_line():
     # one repeat keeps the contract test inside its timeout; the
     # driver's real runs use the default 3-repeat median
+    detail_out = os.path.join(REPO, "BENCH_DETAIL.test.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_BENCH_REPEATS="1",
+        BENCH_DETAIL_OUT=detail_out,
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -78,6 +80,19 @@ def test_bench_exits_zero_and_prints_one_json_line():
         assert key in summary, f"compact summary missing key {key}"
     assert summary["value"] == payload["value"]
     assert summary["n_errors"] == 0
+
+    # The full spread must ALSO land in a committed file (the driver
+    # keeps only a stdout tail, so per-query round-over-round diffs
+    # need an on-disk artifact -- VERDICT r7 #3), covering every query
+    # the run timed.
+    try:
+        with open(detail_out) as fh:
+            detail = json.load(fh)
+        assert detail["queries"] == payload["queries"]
+        assert set(detail["spread"]) == set(payload["queries"])
+    finally:
+        if os.path.exists(detail_out):
+            os.remove(detail_out)
     assert summary["baseline_comparable_24_total"] is not None
     # per-query medians for the comparable prefix ride along (24 names
     # at ~30 chars each stays far under the length cap)

@@ -1,0 +1,32 @@
+"""Behavioral tests for round-8 work that oracle parity alone cannot
+pin: the w7 size-conditional band gate (parity at sf0.01 exercises only
+the direct branch once the gate exists, so the banded branch needs an
+explicit equivalence check), and the bench summary-line fallback.
+"""
+
+from __future__ import annotations
+
+from fantasy_premier_league_spark.operators import analytics
+from tests.conftest import SF_SMOKE
+
+
+def test_w7_banded_branch_matches_direct(spark, monkeypatch):
+    """Force the banded plan (cap = 0) and require byte-identical rows
+    to the direct per-type window plan (cap = inf). The two branches
+    must stay interchangeable or the size gate silently changes
+    results at scale."""
+    monkeypatch.setattr(analytics, "_W7_DIRECT_CAP", float("inf"))
+    direct = analytics.w7_rank_family(spark, SF_SMOKE).collect()
+    monkeypatch.setattr(analytics, "_W7_DIRECT_CAP", -1)
+    banded = analytics.w7_rank_family(spark, SF_SMOKE).collect()
+    assert len(direct) > 0
+    assert direct == banded
+
+
+def test_w7_small_input_takes_direct_plan(spark):
+    """At gate scale the plan must NOT contain the band-offset join
+    stages (the ~+1.8 s fixed cost VERDICT r7 #7 ordered removed):
+    one window over event_type, no `band` column anywhere."""
+    df = analytics.w7_rank_family(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "band" not in plan, "small input took the banded plan"

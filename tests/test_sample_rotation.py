@@ -4,54 +4,34 @@ CORRECTNESS_r*.json artifacts, so a round can no longer ship changed or
 stale queries outside the sampled window (the round-4 and round-5
 process defect both VERDICTs flagged).
 
-Rules checked (see plans/registry.py SAMPLE_PRIORITY):
-  1. every CHANGED_THIS_ROUND query is in the sampled head;
-  2. every registered query with NO driver row yet is in the head;
-  3. every query whose last driver row is more than two rounds old is
-     in the head (so nothing's evidence can silently age out);
-  4. the head contains no dangling names (typos in SAMPLE_PRIORITY
-     would silently shrink the sampled window).
+Since round 8 the head is DERIVED from the artifacts by
+``registry.sample_priority`` (changed -> never-sampled -> oldest-first)
+rather than hand-listed, and the staleness threshold is
+``ceil(N/50)`` rounds -- one full rotation cycle -- instead of the
+fixed ">2 rounds" bound that is unsatisfiable at steady state once
+N > 150 (VERDICT r7 "what's wrong" #1). These tests verify the derived
+head actually honours the rules, so a regression in the derivation
+(or a stale-overflow caused by over-registration) still fails red.
 """
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import re
-
 import __spark_entry__ as entry_mod
 from fantasy_premier_league_spark.plans import registry
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HEAD_SIZE = 50
 
 
-def _driver_rows() -> tuple[int, dict[str, int]]:
-    """(current_round, last_sampled_round per query) from artifacts."""
-    last: dict[str, int] = {}
-    max_round = 0
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        max_round = max(max_round, rnd)
-        with open(path) as fh:
-            for name in json.load(fh):
-                last[name] = max(last.get(name, 0), rnd)
-    return max_round + 1, last
-
-
 def test_sampled_head_covers_changed_new_and_stale():
-    current_round, last = _driver_rows()
+    current_round, last = registry.driver_history()
     queries = entry_mod.queries()
     head = list(queries)[:HEAD_SIZE]
+    threshold = registry.staleness_threshold(len(queries), HEAD_SIZE)
 
     missing = [n for n in registry.CHANGED_THIS_ROUND if n not in head]
     assert not missing, (
         f"CHANGED_THIS_ROUND queries outside the sampled first {HEAD_SIZE}: "
-        f"{missing} -- move them to the top of SAMPLE_PRIORITY"
+        f"{missing}"
     )
 
     never_sampled = [n for n in queries if n not in last]
@@ -69,20 +49,22 @@ def test_sampled_head_covers_changed_new_and_stale():
     missing = [n for n in never_sampled if n not in head]
     assert not missing, (
         f"queries with no driver row yet are outside the sampled head: "
-        f"{missing} -- new queries must enter SAMPLE_PRIORITY"
+        f"{missing}"
     )
 
-    stale = [n for n, rnd in last.items() if n in queries and current_round - rnd > 2]
+    stale = [
+        n for n, rnd in last.items() if n in queries and current_round - rnd > threshold
+    ]
     missing = [n for n in stale if n not in head]
-    # if more stale queries exist than head slots, require every slot
-    # spent on them (minus changed/new, which outrank staleness)
     must_fit = len(registry.CHANGED_THIS_ROUND) + len(never_sampled) + len(stale)
     if must_fit <= HEAD_SIZE:
         assert not missing, (
-            f"driver evidence older than 2 rounds and outside the sampled "
-            f"head: {missing} -- rotate them into SAMPLE_PRIORITY"
+            f"driver evidence older than {threshold} rounds and outside the "
+            f"sampled head: {missing}"
         )
     else:
+        # more stale queries than head slots: every slot must be spent
+        # on changed/new/stale (nothing fresh may ride the head)
         non_priority = [
             n
             for n in head
@@ -96,14 +78,23 @@ def test_sampled_head_covers_changed_new_and_stale():
         )
 
 
-def test_sample_priority_has_no_dangling_names():
+def test_head_fill_is_oldest_evidence_first():
+    """The fill portion (after changed+new) must be sorted by last
+    driver round ascending -- the property that makes a full
+    re-verification cycle complete in ceil(N/50) rounds."""
+    _, last = registry.driver_history()
+    queries = list(entry_mod.queries())
+    skip = set(registry.CHANGED_THIS_ROUND) | {n for n in queries if n not in last}
+    fill_rounds = [last[n] for n in queries if n not in skip]
+    assert fill_rounds == sorted(fill_rounds), (
+        "sample ordering is not oldest-driver-evidence-first"
+    )
+
+
+def test_changed_and_new_names_are_registered():
     queries = entry_mod.queries()
-    dangling = [
-        n
-        for n in registry.SAMPLE_PRIORITY
-        if n not in queries and n not in registry.NEW_THIS_ROUND
-    ]
-    assert not dangling, f"SAMPLE_PRIORITY names unregistered queries: {dangling}"
+    dangling = [n for n in registry.CHANGED_THIS_ROUND if n not in queries]
+    assert not dangling, f"CHANGED_THIS_ROUND names unregistered queries: {dangling}"
     # NEW_THIS_ROUND entries must become real registrations before the
     # round ships (they hold head slots)
     unregistered_new = [n for n in registry.NEW_THIS_ROUND if n not in queries]
@@ -113,8 +104,7 @@ def test_sample_priority_has_no_dangling_names():
 
 
 def test_changed_queries_listed_before_everything_else():
-    head = list(entry_mod.queries())[: len(registry.CHANGED_THIS_ROUND) + 8]
-    for n in registry.CHANGED_THIS_ROUND:
-        assert n in head, (
-            f"changed query {n} should sit at the very front of the sample"
-        )
+    head = list(entry_mod.queries())[: len(registry.CHANGED_THIS_ROUND)]
+    assert set(head) == {
+        n for n in registry.CHANGED_THIS_ROUND if n in entry_mod.queries()
+    }, "changed queries must sit at the very front of the sample"
