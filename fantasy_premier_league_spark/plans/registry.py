@@ -48,34 +48,16 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update whenever a registered query's implementation
-# or oracle changes. Round 8: the exact-dup class collapse proven on
-# containment/prefix-filter in r7 lands on the remaining posting-join
-# family (ngram-jaccard was the round's one `weak`, sf10 exp 0.91);
-# the _shingle_classes digest closes a U+001E separator-collision
-# (ADVICE r7) which touches every class-collapsed query; w7's
-# hierarchical banding becomes size-conditional (VERDICT r7 #7); t16's
-# sink dir is now per-session (ADVICE r7 race); req1's invalid-team
-# fixture write moved out of import time (ADVICE r7).
-CHANGED_THIS_ROUND: list[str] = [
-    "dedup_ngram_jaccard",  # exact-dup class collapse (r7 weak fix)
-    "dedup_winnowing_pairs",  # same collapse, second sibling
-    "dedup_minhash_lsh_candidates",  # same collapse, third sibling
-    "dedup_prefix_filter_pairs",  # digest separator-collision fix
-    "dedup_containment_pairs",  # digest separator-collision fix
-    "dedup_cluster_components",  # CC now runs on the class graph
-    "dedup_cluster_keep_best",  # consumes the class-graph CC
-    "dedup_minhash_accuracy",  # consumes collapsed candidate pairs
-    "text_winnowing",  # refactored to share _winnow_selected
-    "w7_rank_family",  # banding now size-conditional (sf0.1 cost back)
-    "t16_fpl_pipeline_roundtrip",  # per-session sink dir
-    "fpl_req1_invalid_team_quirk",  # lazy fixture materialization
-]
+# or oracle changes. Round 9: no registered implementation has changed
+# yet (the ml_kmeans_rating_impute fence fix touched only the
+# plan-quality allowlists, not the query).
+CHANGED_THIS_ROUND: list[str] = []
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:
 # tests/test_sample_rotation.py fails when changed + never-sampled > 50.
 NEW_THIS_ROUND: list[str] = [
-    "ml_kmeans_rating_impute",
+    "ml_kmeans_chemistry_impute",  # Specs.pdf clustering purpose, 2nd half
 ]
 
 _REPO_ROOT = os.path.dirname(
@@ -83,9 +65,30 @@ _REPO_ROOT = os.path.dirname(
 )
 
 
+def _row_is_green(row: object) -> bool:
+    """A driver row counts as verification evidence only if it PASSED:
+    either the full oracle gate (rows+schema+hash, no err) or the
+    rows-only fallback for no-oracle queries (err == "no_oracle" with a
+    recorded non-negative row count). A failed check must NOT refresh
+    the query's evidence age -- it should rotate straight back into the
+    sampled head next round."""
+    if not isinstance(row, dict):
+        return True  # legacy list-shaped artifact: presence only
+    err = row.get("err")
+    if err == "no_oracle":
+        return (row.get("spark_rows") or 0) >= 0 and row.get("spark_rows") is not None
+    return (
+        err is None
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and bool(row.get("hash_match"))
+    )
+
+
 def driver_history() -> tuple[int, dict[str, int]]:
-    """(current_round, last-sampled-round per query) from the committed
-    CORRECTNESS_r*.json artifacts. Queries never sampled are absent."""
+    """(current_round, last-GREEN-sampled-round per query) from the
+    committed CORRECTNESS_r*.json artifacts. Queries never sampled --
+    or sampled but never green -- are absent."""
     last: dict[str, int] = {}
     max_round = 0
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
@@ -96,11 +99,13 @@ def driver_history() -> tuple[int, dict[str, int]]:
         max_round = max(max_round, rnd)
         try:
             with open(path) as fh:
-                names = json.load(fh)
+                rows = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        for name in names:
-            last[name] = max(last.get(name, 0), rnd)
+        items = rows.items() if isinstance(rows, dict) else ((n, None) for n in rows)
+        for name, row in items:
+            if _row_is_green(row):
+                last[name] = max(last.get(name, 0), rnd)
     return max_round + 1, last
 
 

@@ -17,9 +17,11 @@ so 100 TB of history never accumulates in the state store.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -927,7 +929,24 @@ def _register_pipeline_roundtrip() -> None:
             tempfile.gettempdir(),
             f"t16_roundtrip_{spark.sparkContext.applicationId}",
         )
+        # ADVICE r8: per-app-id dirs otherwise accumulate unboundedly
+        # across sessions. Own dir: removed at interpreter exit (the
+        # returned DataFrame lazily reads the sink parquet, so removal
+        # must wait past the session's last action). Crashed sessions'
+        # leftovers: age-gated best-effort prune -- a LIVE concurrent
+        # session (parallel pytest workers) is younger than the gate,
+        # so its sink is never yanked from under it.
+        one_hour_ago = time.time() - 3600
+        for stale in _glob.glob(
+            os.path.join(tempfile.gettempdir(), "t16_roundtrip_*")
+        ):
+            try:
+                if stale != out_dir and os.path.getmtime(stale) < one_hour_ago:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
         shutil.rmtree(out_dir, ignore_errors=True)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
         rating_dir = os.path.join(out_dir, "rating")
         profile_root = os.path.join(out_dir, "profile")
         events_dir = os.path.join(out_dir, "events")

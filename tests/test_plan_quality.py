@@ -211,6 +211,9 @@ CARTESIAN_OK = {
     "stats_chi2_independence",  # scalar fan-in of the 1-row grand-total aggregate
     "ann_ivfpq_recall",       # coarse-centroid (_NLIST rows) + query-set fan-out
     "dedup_semantic_clusters",  # Lloyd's centroid fan-out (k rows broadcast)
+    "ml_kmeans_rating_impute",  # centroid fan-out (_K rows) + scalar fan-in
+    #   of the 1-row global-mean fallback (ml.py gmean crossJoin)
+    "ml_kmeans_chemistry_impute",  # same: _K centroids + 1-row global mean
 }
 
 
@@ -438,6 +441,8 @@ GLOBAL_WINDOW_OK = {
     "text_bm25_rank",            # rank over the top-20 AFTER TakeOrdered
     "w3_cumulative_users",       # |days| pre-aggregate
     "part_skyline",              # |price-bands| (~100-row) boundary table
+    "ml_kmeans_rating_impute",   # k centroid rows (seed window post-limit(_K))
+    "ml_kmeans_chemistry_impute",  # same shared _fpl_cluster_labels seed
 }
 
 

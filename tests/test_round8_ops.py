@@ -25,8 +25,25 @@ def test_w7_banded_branch_matches_direct(spark, monkeypatch):
 
 def test_w7_small_input_takes_direct_plan(spark):
     """At gate scale the plan must NOT contain the band-offset join
-    stages (the ~+1.8 s fixed cost VERDICT r7 #7 ordered removed):
-    one window over event_type, no `band` column anywhere."""
+    stages (the ~+1.8 s fixed cost VERDICT r7 #7 ordered removed).
+    ADVICE r8: assert structurally, not on a 'band' substring -- the
+    banded plan's signature is its broadcast offset join carrying the
+    row_off/val_off lift columns and a second Window over (event_type,
+    band); the direct plan has exactly one Window and zero joins."""
     df = analytics.w7_rank_family(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "band" not in plan, "small input took the banded plan"
+    assert "row_off" not in plan and "val_off" not in plan, (
+        "small input took the banded plan (offset-lift columns present)"
+    )
+    assert "Join" not in plan, (
+        "small input took the banded plan (offset broadcast join present)"
+    )
+    # direct shape: the rank window + the unordered per-type count
+    # window (Catalyst splits ordered/unordered specs), both over
+    # event_type only -- the banded path adds a third over (event_type,
+    # band) plus the offset windows over band order
+    n_windows = plan.count("Window [")
+    assert n_windows <= 2, (
+        f"direct plan must carry at most the two event_type Windows, "
+        f"found {n_windows}:\n{plan}"
+    )
