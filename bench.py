@@ -127,6 +127,11 @@ HEADLINE = [
     "sample_reservoir_per_key",
     "corpus_source_overlap",
     "c14_corrupt_record_audit",
+    # round 9 additions: the remaining class-collapsed posting joins
+    # (now scale-measured) + the chemistry-imputation twin
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh_candidates",
+    "ml_kmeans_chemistry_impute",
 ]
 
 
@@ -220,16 +225,23 @@ def main() -> None:
     # so round-over-round per-query regression diffs need a committed
     # artifact carrying the whole spread (VERDICT r7 #3). Default path
     # BENCH_DETAIL.json beside this script; BENCH_DETAIL_OUT overrides.
-    detail_path = os.environ.get(
-        "BENCH_DETAIL_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-    )
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError as exc:  # read-only checkout must not kill the bench
-        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    # Subset (BENCH_ONLY) or off-default-SF runs -- scale studies --
+    # must NOT clobber the committed full-headline spread that the
+    # round-over-round regression gate (tools/bench_regression.py)
+    # diffs against; they get the detail file only via an explicit
+    # BENCH_DETAIL_OUT.
+    detail_path = os.environ.get("BENCH_DETAIL_OUT")
+    if detail_path is None and not only and sf_dir == "/root/testdata/sf0.1":
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+    if detail_path is not None:
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError as exc:  # read-only checkout must not kill the bench
+            print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
     # ...then a COMPACT summary as the LAST line. The driver captures
     # only the tail of stdout (~2000 chars) and parses the last JSON
     # line it sees; round 6's single 8 kB line was truncated to

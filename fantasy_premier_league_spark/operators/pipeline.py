@@ -62,7 +62,11 @@ from fantasy_premier_league_spark.sources.fpl_fixtures import ensure_fixtures
 
 # Fixtures are generated at import time so the DuckDB oracle (which the
 # driver may run before/after the Spark side) always sees the files.
-FIXTURES = ensure_fixtures()
+# SPARK_GRAFT_FPL_FIXTURES points the WHOLE chain (Spark readers + the
+# baked oracle paths, which stay consistent because both derive from
+# this constant) at a scaled fixture dir for the stream-volume study
+# (tools/stream_scale_study.py).
+FIXTURES = os.environ.get("SPARK_GRAFT_FPL_FIXTURES") or ensure_fixtures()
 STREAM_GLOB = os.path.join(FIXTURES, "stream", "*.jsonl")
 
 INIT_RATING = 0.5  # master.py:229

@@ -48,10 +48,13 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update whenever a registered query's implementation
-# or oracle changes. Round 9: no registered implementation has changed
-# yet (the ml_kmeans_rating_impute fence fix touched only the
-# plan-quality allowlists, not the query).
-CHANGED_THIS_ROUND: list[str] = []
+# or oracle changes. Round 9: t16's K3/K4 sink moved to the shared
+# make_state_sink factory (committed-snapshot MERGE rule) and its
+# stream dir / trigger sizes became scale-aware; the fixture generator
+# grew the scale axis (scale=1 bytes proven identical).
+CHANGED_THIS_ROUND: list[str] = [
+    "t16_fpl_pipeline_roundtrip",  # shared sink + scale-aware triggers
+]
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:

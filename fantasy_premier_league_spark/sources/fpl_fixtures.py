@@ -22,6 +22,7 @@ substitution-span shapes (`master.py:280-291`).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import random
@@ -113,8 +114,10 @@ def make_match(rng: random.Random, match_no: int) -> tuple[dict, list[dict]]:
     if away == home:
         away = (home + 1) % N_TEAMS
     match_id = 5000 + match_no
-    day = 1 + match_no  # one match per day => (player, match) horizon == day
-    date = f"2018-04-{day:02d}"
+    # one match per day => (player, match) horizon == day; real calendar
+    # arithmetic so SCALED fixture dirs (ensure_fixtures(scale>1), 120+
+    # matches) roll past April -- identical strings for matches 0..11
+    date = str(datetime.date(2018, 4, 1) + datetime.timedelta(days=match_no))
 
     teams_data = {}
     fielded: list[tuple[int, int]] = []  # (playerId, teamId)
@@ -203,21 +206,27 @@ def _event(eid, event_id, sub_id, tags, pid, match_id, team_id, rng) -> dict:
     }
 
 
-def fixtures_dir() -> str:
-    return os.path.join(tempfile.gettempdir(), VERSION)
+def fixtures_dir(scale: int = 1) -> str:
+    suffix = "" if scale == 1 else f"_x{scale}"
+    return os.path.join(tempfile.gettempdir(), VERSION + suffix)
 
 
-def ensure_fixtures() -> str:
+def ensure_fixtures(scale: int = 1) -> str:
     """Generate (idempotently) and return the fixture directory.
+
+    ``scale`` multiplies the match count (N_MATCHES * scale, same
+    players/teams/request fixtures) into a SEPARATE content-versioned
+    dir -- the stream-volume axis for the t16 / request-chain scaling
+    study (VERDICT r8 #3). scale=1 bytes are unchanged.
 
     Layout:
       players.csv, teams.csv            -- dimension tables (S2/S3)
-      stream/match_<nn>.jsonl           -- 1 match record then its events,
+      stream/match_<nnnn>.jsonl         -- 1 match record then its events,
                                            one file per match (stream replay
                                            order, master.py stream contract)
       requests/req{1,2,3}*.json         -- request fixtures (S4)
     """
-    root = fixtures_dir()
+    root = fixtures_dir(scale)
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
         ensure_invalid_req1(root)
@@ -240,11 +249,17 @@ def ensure_fixtures() -> str:
 
     rng = random.Random(42)
     first_match = None
-    for m in range(N_MATCHES):
+    n_matches = N_MATCHES * scale
+    # zero-pad to the widest name so path order == chronological order
+    # at any scale; scale=1 keeps the original match_NN names
+    width = max(2, len(str(n_matches - 1)))
+    for m in range(n_matches):
         match, events = make_match(rng, m)
         if first_match is None:
             first_match = match
-        with open(os.path.join(root, "stream", f"match_{m:02d}.jsonl"), "w") as f:
+        with open(
+            os.path.join(root, "stream", f"match_{m:0{width}d}.jsonl"), "w"
+        ) as f:
             f.write(json.dumps(match, separators=(",", ":")) + "\n")
             for ev in events:
                 f.write(json.dumps(ev, separators=(",", ":")) + "\n")

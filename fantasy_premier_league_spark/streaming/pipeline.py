@@ -154,6 +154,71 @@ def run_ingest_sinks(
     )
 
 
+def make_state_sink(rating_dir: str, profile_root: str):
+    """K3 + K4 foreachBatch sink over the streaming player state
+    (shared by t16_fpl_pipeline_roundtrip and the restart-idempotency
+    test, so the test exercises the REAL sink).
+
+    K4: each batch's rating rows land in their own batch_id partition
+    (dynamic partition overwrite) -- a replayed batch rewrites the same
+    partition, never duplicates.
+
+    K3: profile snapshot v{batch_id} = previous COMMITTED snapshot
+    MERGE this batch's latest per-player state. "Committed" means a
+    _SUCCESS marker AND version < batch_id: after a crash mid-write,
+    the replayed batch must not read its own partial v{batch_id} dir as
+    the merge base (players absent from the partial write would be
+    silently dropped) -- it re-reads v{batch_id-1} and reproduces the
+    identical snapshot.
+    """
+    import glob as _glob
+    import re as _re
+
+    from pyspark.sql import Window
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(rating_dir)
+        wlast = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(wlast))
+            .filter(F.col("rn") == 1)
+            .select(
+                "playerId",
+                "matchId",
+                F.col("pass_accuracy_mean").alias("pass_accuracy"),
+                F.col("fouls_total").alias("fouls"),
+                F.col("goals_total").alias("goals"),
+                F.col("own_goals_total").alias("own_goals"),
+                F.col("shots_on_target_total").alias("shots_on_target"),
+            )
+        )
+        prevs = []
+        for d in sorted(_glob.glob(os.path.join(profile_root, "v*"))):
+            m = _re.search(r"v(\d+)$", d)
+            if (
+                m is not None
+                and int(m.group(1)) < batch_id
+                and os.path.exists(os.path.join(d, "_SUCCESS"))
+            ):
+                prevs.append(d)
+        if prevs:
+            prev = sp.read.parquet(prevs[-1])
+            merged = prev.join(latest, "playerId", "left_anti").unionByName(
+                latest
+            )
+        else:
+            merged = latest
+        merged.write.mode("overwrite").parquet(
+            os.path.join(profile_root, f"v{batch_id:05d}")
+        )
+
+    return sink
+
+
 def streaming_match_counters(parsed: DataFrame) -> DataFrame:
     """A2 as an incremental streaming aggregation: state keyed by
     (playerId, matchId); update mode emits only changed keys."""

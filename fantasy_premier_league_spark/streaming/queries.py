@@ -920,7 +920,17 @@ def _register_pipeline_roundtrip() -> None:
             streaming_player_state,
         )
 
-        stream_dir = os.path.join(fpl_fixtures.ensure_fixtures(), "stream")
+        # honors SPARK_GRAFT_FPL_FIXTURES (scaled fixture dirs) like the
+        # batch pipeline; triggers below size to the file count so the
+        # BATCH COUNT stays constant under stream-volume scaling -- the
+        # study then measures data scaling, not batch-count overhead
+        from fantasy_premier_league_spark.operators.pipeline import (
+            FIXTURES as _fixtures_root,
+        )
+
+        stream_dir = os.path.join(_fixtures_root, "stream")
+        n_stream_files = len(_glob.glob(os.path.join(stream_dir, "*.jsonl")))
+        state_fpt = max(3, -(-n_stream_files // 4))  # ceil: 4-batch ladder
         # per-session dir (app id), cleaned at entry and left on disk
         # afterwards: the returned DataFrame lazily reads the sink
         # parquet, and concurrent sessions (parallel pytest workers,
@@ -956,44 +966,21 @@ def _register_pipeline_roundtrip() -> None:
         # drains in one batch; the stateful query below keeps the
         # multi-batch ladder.
         run_ingest_sinks(
-            stream_source(spark, stream_dir, max_files_per_trigger=64),
+            stream_source(
+                spark, stream_dir, max_files_per_trigger=max(64, n_stream_files)
+            ),
             out_dir,
             os.path.join(out_dir, "_ckpt_ingest"),
         ).awaitTermination()
 
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            sp = batch_df.sparkSession
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            # K4: this batch's rating rows land in their own partition
-            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "overwrite"
-            ).partitionBy("batch_id").parquet(rating_dir)
-            # K3: profile snapshot = previous snapshot MERGE this batch's
-            # latest per-player state (reference rmtree+rewrite, made
-            # incremental: reads ONLY the previous snapshot)
-            wlast = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
-            latest = (
-                batch_df.withColumn("rn", F.row_number().over(wlast))
-                .filter(F.col("rn") == 1)
-                .select(
-                    "playerId",
-                    "matchId",
-                    F.col("pass_accuracy_mean").alias("pass_accuracy"),
-                    F.col("fouls_total").alias("fouls"),
-                    F.col("goals_total").alias("goals"),
-                    F.col("own_goals_total").alias("own_goals"),
-                    F.col("shots_on_target_total").alias("shots_on_target"),
-                )
-            )
-            prevs = sorted(_glob.glob(os.path.join(profile_root, "v*")))
-            if prevs:
-                prev = sp.read.parquet(prevs[-1])
-                merged = prev.join(latest, "playerId", "left_anti").unionByName(latest)
-            else:
-                merged = latest
-            merged.write.mode("overwrite").parquet(
-                os.path.join(profile_root, f"v{batch_id:05d}")
-            )
+        # K3 + K4 sink (shared with the restart-idempotency test --
+        # streaming/pipeline.py make_state_sink documents the
+        # committed-snapshot MERGE rule)
+        from fantasy_premier_league_spark.streaming.pipeline import (
+            make_state_sink,
+        )
+
+        sink = make_state_sink(rating_dir, profile_root)
 
         # 3 match files per micro-batch: still a genuine multi-batch
         # incremental run (4 batches, 4 profile snapshot versions) at a
@@ -1003,7 +990,7 @@ def _register_pipeline_roundtrip() -> None:
         with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
             (
                 streaming_player_state(
-                    stream_source(spark, stream_dir, max_files_per_trigger=3)
+                    stream_source(spark, stream_dir, max_files_per_trigger=state_fpt)
                 )
                 .writeStream.foreachBatch(sink)
                 .option(
