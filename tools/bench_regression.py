@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Per-query bench regression gate (VERDICT r8 #8).
+
+Diffs the current full-headline spread (working-tree BENCH_DETAIL.json,
+written by a full `python bench.py` run at the default sf0.1) against
+the newest COMMITTED version of the same file whose content differs --
+i.e. the previous round's recorded spread -- and flags any query whose
+median grew past the threshold. Turns the judge's by-hand round-over-
+round diff into a standing tripwire.
+
+Exit status: 1 if any unwaived regression is flagged, else 0.
+
+Usage:
+    python tools/bench_regression.py [--threshold 1.5] [--base PATH] [--cur PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+# Queries whose slowdown is a DELIBERATE trade, with the one-line
+# waiver the round record carries (precedent: r7's containment +1.6 s
+# at sf0.1 bought the 27x -> 4.1x sf10 collapse). Prune entries when
+# the comparison base moves past the trade.
+WAIVERS: dict[str, str] = {}
+
+# below this absolute growth (seconds) a ratio is VM jitter, not signal
+MIN_ABS_GROWTH = 0.15
+
+
+def _committed_base(cur_text: str) -> tuple[str, dict] | None:
+    """Newest committed BENCH_DETAIL.json whose content differs from
+    the current file (the previous round's spread)."""
+    revs = subprocess.run(
+        ["git", "rev-list", "HEAD", "--", "BENCH_DETAIL.json"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=False,
+    ).stdout.split()
+    for rev in revs:
+        out = subprocess.run(
+            ["git", "show", f"{rev}:BENCH_DETAIL.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        if out.returncode != 0:
+            continue
+        if out.stdout != cur_text:
+            return rev[:9], json.loads(out.stdout)
+    return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--base", help="explicit baseline JSON path")
+    ap.add_argument("--cur", default=DETAIL)
+    args = ap.parse_args()
+
+    with open(args.cur) as fh:
+        cur_text = fh.read()
+    cur = json.loads(cur_text)
+    if args.base:
+        with open(args.base) as fh:
+            base = json.load(fh)
+        base_label = args.base
+    else:
+        found = _committed_base(cur_text)
+        if found is None:
+            print("bench_regression: no differing committed baseline; nothing to diff")
+            return 0
+        base_label, base = found
+
+    cq, bq = cur["queries"], base["queries"]
+    flagged, waived, improved, new = [], [], [], []
+    for name, med in sorted(cq.items()):
+        if name not in bq:
+            new.append(name)
+            continue
+        prev = bq[name]
+        if prev <= 0:
+            continue
+        ratio = med / prev
+        if ratio > args.threshold and (med - prev) > MIN_ABS_GROWTH:
+            row = f"{name}: {prev:.2f}s -> {med:.2f}s ({ratio:.2f}x)"
+            if name in WAIVERS:
+                waived.append(f"{row} [waived: {WAIVERS[name]}]")
+            else:
+                flagged.append(row)
+        elif ratio < 1 / args.threshold and (prev - med) > MIN_ABS_GROWTH:
+            improved.append(f"{name}: {prev:.2f}s -> {med:.2f}s ({ratio:.2f}x)")
+
+    print(f"# bench regression gate: cur={args.cur} base={base_label}")
+    print(
+        f"# {len(cq)} queries vs {len(bq)} baseline; threshold "
+        f">{args.threshold}x and >{MIN_ABS_GROWTH}s growth"
+    )
+    for row in flagged:
+        print(f"REGRESSION {row}")
+    for row in waived:
+        print(f"WAIVED {row}")
+    for row in improved:
+        print(f"improved {row}")
+    if new:
+        print(f"new (no baseline): {', '.join(new)}")
+    if not flagged:
+        print("OK: no unwaived per-query regression")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
