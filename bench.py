@@ -168,11 +168,16 @@ def main() -> None:
     # only the named heavies run, and the comparable-24 subtotal is
     # nulled below because the baseline prefix did not all run.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    selected = (
-        [n for n in HEADLINE if n in {s.strip() for s in only.split(",")}]
-        if only
-        else HEADLINE
-    )
+    if only:
+        only_set = {s.strip() for s in only.split(",")}
+        # scale studies may name ANY registered query, not just the
+        # headline surface (e.g. the fpl_req1 chain); headline order
+        # first, then the extras in name order
+        selected = [n for n in HEADLINE if n in only_set] + sorted(
+            n for n in only_set if n not in HEADLINE and n in queries
+        )
+    else:
+        selected = HEADLINE
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}

@@ -108,3 +108,65 @@ def test_changed_queries_listed_before_everything_else():
     assert set(head) == {
         n for n in registry.CHANGED_THIS_ROUND if n in entry_mod.queries()
     }, "changed queries must sit at the very front of the sample"
+
+
+def test_driver_artifacts_are_git_tracked():
+    """VERDICT r8 #5: the head derivation reads CORRECTNESS_r*.json
+    from disk; an untracked artifact means a clean checkout silently
+    shifts the derived sample head. Every artifact the derivation sees
+    must be committed."""
+    import glob
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tracked = set(
+        subprocess.run(
+            ["git", "ls-files"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+    )
+    on_disk = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    )
+    assert on_disk, "no driver artifacts on disk?"
+    untracked = [p for p in on_disk if p not in tracked]
+    assert not untracked, (
+        f"driver artifacts feeding sample_priority() are not committed: "
+        f"{untracked} -- commit them (VERDICT r8 #5)"
+    )
+
+
+def test_failed_driver_rows_do_not_refresh_evidence(tmp_path, monkeypatch):
+    """ADVICE r8: a query that FAILED its driver check must rotate back
+    into the head, i.e. driver_history must skip non-green rows."""
+    import json
+
+    green = {
+        "rows_match": True, "schema_match": True, "hash_match": True,
+        "spark_rows": 5, "oracle_rows": 5, "err": None,
+    }
+    red_hash = dict(green, hash_match=False)
+    errored = dict(green, rows_match=None, schema_match=None,
+                   hash_match=None, err="AnalysisException: boom")
+    no_oracle = {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": 5, "oracle_rows": None, "err": "no_oracle",
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_green": green, "q_red": green, "q_err": green, "q_weak": no_oracle,
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_red": red_hash, "q_err": errored, "q_weak": no_oracle,
+    }))
+    monkeypatch.setattr(registry, "_REPO_ROOT", str(tmp_path))
+    current, last = registry.driver_history()
+    assert current == 3
+    assert last["q_green"] == 1
+    assert last["q_red"] == 1, "red hash row must not refresh evidence"
+    assert last["q_err"] == 1, "errored row must not refresh evidence"
+    assert last["q_weak"] == 2, "rows-only pass IS evidence for no-oracle queries"
