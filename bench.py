@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh_candidates",
     "ml_kmeans_chemistry_impute",
+    "docs_bigram_logprob",
 ]
 
 

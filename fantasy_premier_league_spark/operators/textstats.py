@@ -902,6 +902,120 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM surprisal: the step up from the unigram proxy toward the
+# CCNet/KenLM perplexity filter -- score each document by the mean
+# -ln P(w2|w1) of its ADJACENT token pairs under the corpus's own
+# add-1-smoothed bigram model (P = (c(w1,w2)+1) / (c(w1)+V)). Context
+# order is what the unigram score cannot see: a document of common
+# words in implausible order now scores high.
+#
+# Determinism: identical recipe to docs_unigram_logprob -- ln() runs
+# once per DISTINCT bigram (bigram-vocab-sized), snaps to the 1e-9
+# grid, and every per-doc aggregate is an exact BIGINT unit sum; the
+# final mean is one correctly-rounded division.
+#
+# Scale: adjacency comes from one lag window partitioned by doc_id
+# (bounded by document length -- never global); the model tables are
+# bigram-vocab-sized aggregates joined back token-pair-keyed AFTER
+# per-doc pre-aggregation (fan-in per hot bigram = |docs containing
+# it|). At 100 TB the bigram vocab outgrows broadcast AND memory:
+# production caps it to the top-V bigrams by count with unigram
+# backoff for the tail (the df-cap recipe, dedup.py) -- the smoothing
+# floor already defines the OOV probability, so the cap only coarsens
+# rare-pair scores. shuffle_hash keeps both model joins hash builds
+# without sorting the corpus side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_bigram_logprob",
+    oracle="""
+    WITH ts AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    big AS (
+      SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        SELECT doc_id,
+               unnest([{'w1': ts[i], 'w2': ts[i + 1]}
+                       for i in range(1, len(ts))]) AS b
+        FROM ts
+      )
+    ),
+    tokc AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    ),
+    doc_big AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      FROM big GROUP BY doc_id, w1, w2
+    ),
+    bg AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c12
+           FROM doc_big GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    units AS (
+      SELECT b.w1, b.w2,
+             CAST(round((ln(CAST(c.c1 + (SELECT v FROM tokc) AS DOUBLE))
+                         - ln(CAST(b.c12 + 1 AS DOUBLE)))
+                        * 1000000000) AS BIGINT) AS u
+      FROM bg b JOIN ctx c USING (w1)
+    )
+    SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(d.cnt * u.u) AS DOUBLE) / sum(d.cnt) / 1000000000
+                 * 1000000) / 1000000 AS mean_surprisal_nats
+    FROM doc_big d JOIN units u USING (w1, w2)
+    GROUP BY d.doc_id ORDER BY doc_id
+    """,
+)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_tok(F.col("text"))).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    doc_big = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bg = doc_big.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    ctx = bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab_n = (
+        docs.select(F.explode(_tok(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    units = (
+        bg.join(ctx.hint("shuffle_hash"), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                (
+                    F.log((F.col("c1") + F.col("v")).cast("double"))
+                    - F.log((F.col("c12") + 1).cast("double"))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    return (
+        doc_big.join(units.hint("shuffle_hash"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            rounded(
+                F.sum(F.col("cnt") * F.col("u")).cast("double")
+                / F.sum("cnt")
+                / 1_000_000_000,
+                6,
+            ).alias("mean_surprisal_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled source mixing weights: given per-source token
 # shares p_s, the sampling weights w_s = p_s^alpha / sum(p^alpha)
 # (alpha < 1 upsamples small high-quality sources -- the multilingual/

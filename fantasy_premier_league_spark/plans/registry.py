@@ -61,6 +61,7 @@ CHANGED_THIS_ROUND: list[str] = [
 # tests/test_sample_rotation.py fails when changed + never-sampled > 50.
 NEW_THIS_ROUND: list[str] = [
     "ml_kmeans_chemistry_impute",  # Specs.pdf clustering purpose, 2nd half
+    "docs_bigram_logprob",  # CCNet-style bigram-LM perplexity filter
 ]
 
 _REPO_ROOT = os.path.dirname(

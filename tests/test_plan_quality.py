@@ -214,6 +214,7 @@ CARTESIAN_OK = {
     "ml_kmeans_rating_impute",  # centroid fan-out (_K rows) + scalar fan-in
     #   of the 1-row global-mean fallback (ml.py gmean crossJoin)
     "ml_kmeans_chemistry_impute",  # same: _K centroids + 1-row global mean
+    "docs_bigram_logprob",    # scalar fan-in of the 1-row vocab-size count
 }
 
 
