@@ -133,6 +133,7 @@ HEADLINE = [
     "dedup_minhash_lsh_candidates",
     "ml_kmeans_chemistry_impute",
     "docs_bigram_logprob",
+    "quality_perceptron_train",
 ]
 
 

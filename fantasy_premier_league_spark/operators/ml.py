@@ -827,3 +827,195 @@ def ml_kmeans_chemistry_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out_dense.unionByName(out_sparse).orderBy("p1", "p2")
+
+# --- In-engine trained quality classifier (pocket perceptron) ----------
+#
+# The GPT-3-recipe quality filter is a TRAINED linear classifier over
+# document features, not a hand rule. This trains one INSIDE the
+# engine: a cost-balanced batch pocket perceptron over three integer
+# margin features (token count, distinct-ratio, stop-ratio margins),
+# labeled by the text_quality_filter rule -- a distillation setup whose
+# accuracy readout is honest (the AND-of-halfspaces rule is not
+# linearly separable, so the pocket row beats the 89.8% majority class
+# without reaching 100%).
+#
+# Why a perceptron: every update is sum(class_weight * y * x) over the
+# misclassified set -- EXACT BIGINT sums, so the unrolled training run
+# is bit-identical across engines with no float snapping at all
+# (weights, margins, and misclassification counts are all integers;
+# the one division, acc_ppm, is integer div). Logistic regression's
+# sigmoid/exp would break that; Lloyd's-style exactness is the point.
+#
+# 100 TB shape: per iteration ONE aggregate over the (checkpointed)
+# feature table with the 4-weight row broadcast -- the corpus never
+# shuffles at all (partial aggregation only); 8 iterations = 8 scans,
+# the classic full-batch subgradient schedule. The pocket selection is
+# a window over the 8-row iteration table.
+
+_P_ITERS = 8
+
+
+def _perceptron_oracle() -> str:
+    from fantasy_premier_league_spark.operators.textstats import _STOPWORDS
+
+    stop = "(" + ", ".join(f"'{s}'" for s in _STOPWORDS) + ")"
+    sql = f"""
+    WITH f0 AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  t -> t IN {stop})) AS BIGINT) AS ns
+      FROM documents
+    ),
+    fl AS (
+      SELECT nt - 20 AS x1,
+             CAST(floor(CAST(10 * nd - 3 * nt AS DOUBLE) / 4) AS BIGINT) AS x2,
+             nt - 2 * ns AS x3,
+             CASE WHEN nt >= 20 AND 10 * nd >= 3 * nt AND 2 * ns <= nt
+                  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+      FROM f0
+    ),
+    cls AS (SELECT CAST(count(*) FILTER (y = 1) AS BIGINT) AS n_pos,
+                   CAST(count(*) FILTER (y = -1) AS BIGINT) AS n_neg FROM fl),
+    f AS (
+      SELECT x1, x2, x3, y,
+             CASE WHEN y = 1 THEN c.n_neg ELSE c.n_pos END AS cw
+      FROM fl, cls c
+    ),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"""
+    prev = "w0"
+    marg = "y * (w.wb + w.w1*x1 + w.w2*x2 + w.w3*x3)"
+    for t in range(1, _P_ITERS + 1):
+        sql += f""",
+    w{t} AS (
+      SELECT w.wb + coalesce(sum(cw*y)    FILTER ({marg} <= 0), 0) AS wb,
+             w.w1 + coalesce(sum(cw*y*x1) FILTER ({marg} <= 0), 0) AS w1,
+             w.w2 + coalesce(sum(cw*y*x2) FILTER ({marg} <= 0), 0) AS w2,
+             w.w3 + coalesce(sum(cw*y*x3) FILTER ({marg} <= 0), 0) AS w3
+      FROM f, {prev} w GROUP BY w.wb, w.w1, w.w2, w.w3
+    ),
+    m{t} AS (
+      SELECT {t} AS iter, w.wb, w.w1, w.w2, w.w3,
+             CAST(count(*) FILTER ({marg} <= 0) AS BIGINT) AS n_mis,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM f, w{t} w GROUP BY w.wb, w.w1, w.w2, w.w3
+    )"""
+        prev = f"w{t}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{t}" for t in range(1, _P_ITERS + 1)
+    )
+    sql += f"""
+    SELECT CAST(iter AS INT) AS iter, wb, w1, w2, w3, n_mis,
+           (1000000 * (n_docs - n_mis)) // n_docs AS acc_ppm,
+           row_number() OVER (ORDER BY n_mis ASC, iter ASC) = 1 AS is_pocket
+    FROM ({union})
+    ORDER BY iter
+    """
+    return sql
+
+
+@register("quality_perceptron_train", oracle=_perceptron_oracle())
+def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + evaluate the quality classifier in-engine; one row per
+    iteration (weights, misclassifications, accuracy), pocket row
+    flagged."""
+    from fantasy_premier_league_spark.operators.textstats import (
+        _STOPWORDS,
+        _tok,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok(F.col("text"))
+    nt = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    ns = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("long")
+    fl = docs.select(
+        (nt - 20).alias("x1"),
+        F.floor((10 * nd - 3 * nt).cast("double") / 4).cast("long").alias("x2"),
+        (nt - 2 * ns).alias("x3"),
+        F.when(
+            (nt >= 20) & (10 * nd >= 3 * nt) & (2 * ns <= nt), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    cls = fl.agg(
+        F.count(F.when(F.col("y") == 1, 1)).cast("long").alias("n_pos"),
+        F.count(F.when(F.col("y") == -1, 1)).cast("long").alias("n_neg"),
+    )
+    f = (
+        fl.crossJoin(F.broadcast(cls))
+        .select(
+            "x1",
+            "x2",
+            "x3",
+            "y",
+            F.when(F.col("y") == 1, F.col("n_neg"))
+            .otherwise(F.col("n_pos"))
+            .alias("cw"),
+        )
+        .localCheckpoint(eager=False)  # scanned twice per iteration
+    )
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("wb"),
+        F.lit(0).cast("long").alias("w1"),
+        F.lit(0).cast("long").alias("w2"),
+        F.lit(0).cast("long").alias("w3"),
+    )
+    margin = F.col("y") * (
+        F.col("wb")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    mis = margin <= 0
+
+    def upd(x) -> Column:
+        return F.coalesce(
+            F.sum(F.when(mis, F.col("cw") * F.col("y") * x)), F.lit(0)
+        )
+
+    m_rows = []
+    for t in range(1, _P_ITERS + 1):
+        j = f.crossJoin(F.broadcast(w))
+        w = j.groupBy("wb", "w1", "w2", "w3").agg(
+            upd(F.lit(1)).alias("dwb"),
+            upd(F.col("x1")).alias("dw1"),
+            upd(F.col("x2")).alias("dw2"),
+            upd(F.col("x3")).alias("dw3"),
+        ).select(
+            (F.col("wb") + F.col("dwb")).alias("wb"),
+            (F.col("w1") + F.col("dw1")).alias("w1"),
+            (F.col("w2") + F.col("dw2")).alias("w2"),
+            (F.col("w3") + F.col("dw3")).alias("w3"),
+        )
+        m_rows.append(
+            f.crossJoin(F.broadcast(w))
+            .groupBy("wb", "w1", "w2", "w3")
+            .agg(
+                F.count(F.when(mis, 1)).cast("long").alias("n_mis"),
+                F.count("*").cast("long").alias("n_docs"),
+            )
+            .select(F.lit(t).cast("int").alias("iter"), "*")
+        )
+    hist = m_rows[0]
+    for m in m_rows[1:]:
+        hist = hist.unionByName(m)
+    pocket = F.row_number().over(
+        Window.orderBy(F.col("n_mis").asc(), F.col("iter").asc())
+    )
+    return (
+        hist.select(
+            "iter",
+            "wb",
+            "w1",
+            "w2",
+            "w3",
+            "n_mis",
+            F.expr("(1000000 * (n_docs - n_mis)) div n_docs").alias("acc_ppm"),
+            (pocket == 1).alias("is_pocket"),
+        )
+        .orderBy("iter")
+    )

@@ -62,6 +62,7 @@ CHANGED_THIS_ROUND: list[str] = [
 NEW_THIS_ROUND: list[str] = [
     "ml_kmeans_chemistry_impute",  # Specs.pdf clustering purpose, 2nd half
     "docs_bigram_logprob",  # CCNet-style bigram-LM perplexity filter
+    "quality_perceptron_train",  # in-engine trained quality classifier
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -215,6 +215,8 @@ CARTESIAN_OK = {
     #   of the 1-row global-mean fallback (ml.py gmean crossJoin)
     "ml_kmeans_chemistry_impute",  # same: _K centroids + 1-row global mean
     "docs_bigram_logprob",    # scalar fan-in of the 1-row vocab-size count
+    "quality_perceptron_train",  # 1-row class-weight + per-iteration 1-row
+    #   weight broadcasts (the batch-subgradient schedule)
 }
 
 
@@ -444,6 +446,7 @@ GLOBAL_WINDOW_OK = {
     "part_skyline",              # |price-bands| (~100-row) boundary table
     "ml_kmeans_rating_impute",   # k centroid rows (seed window post-limit(_K))
     "ml_kmeans_chemistry_impute",  # same shared _fpl_cluster_labels seed
+    "quality_perceptron_train",  # pocket pick over the 8-row iteration table
 }
 
 
