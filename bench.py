@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -138,7 +140,7 @@ HEADLINE = [
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     from fantasy_premier_league_spark.plans.registry import all_queries
     from fantasy_premier_league_spark.session import get_spark
 
@@ -172,11 +174,18 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         only_set = {s.strip() for s in only.split(",")}
+        unknown = only_set - set(queries)
+        if unknown:  # a typo'd name must not become a silent gap
+            print(
+                f"bench: unknown BENCH_ONLY queries: {sorted(unknown)}",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         # scale studies may name ANY registered query, not just the
         # headline surface (e.g. the fpl_req1 chain); headline order
         # first, then the extras in name order
         selected = [n for n in HEADLINE if n in only_set] + sorted(
-            n for n in only_set if n not in HEADLINE and n in queries
+            n for n in only_set if n not in HEADLINE
         )
     else:
         selected = HEADLINE
@@ -238,7 +247,11 @@ def main() -> None:
     # diffs against; they get the detail file only via an explicit
     # BENCH_DETAIL_OUT.
     detail_path = os.environ.get("BENCH_DETAIL_OUT")
-    if detail_path is None and not only and sf_dir == "/root/testdata/sf0.1":
+    if (
+        detail_path is None
+        and not only
+        and os.path.realpath(sf_dir) == os.path.realpath(DEFAULT_SF_DIR)
+    ):
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )

@@ -15,6 +15,8 @@ natural key so state stays partition-local.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1342,7 +1344,7 @@ _W7_DIRECT_CAP = 2_000_000
 # distribution (~5 types) cap/|types| bounds the partition, and a
 # pathological single-type skew merely takes the banded plan early,
 # which is correct on both branches (byte-identical output).
-_w7_count_cache: dict[str, int] = {}
+_w7_count_cache: dict[tuple[str, float], int] = {}
 
 
 @register(
@@ -1363,9 +1365,16 @@ def w7_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cents = fixed_units(F.col("value"))
     base = ev.select("event_id", "event_type", cents.alias("cents"))
-    if sf_dir not in _w7_count_cache:
-        _w7_count_cache[sf_dir] = ev.count()
-    if _w7_count_cache[sf_dir] <= _W7_DIRECT_CAP:
+    # cache key includes the data's mtime so a regenerated/overwritten
+    # source dir invalidates the gate count (review finding r9)
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        mtime = 0.0
+    cache_key = (sf_dir, mtime)
+    if cache_key not in _w7_count_cache:
+        _w7_count_cache[cache_key] = ev.count()
+    if _w7_count_cache[cache_key] <= _W7_DIRECT_CAP:
         # direct per-type window: one shuffle, one sort, no fixed
         # band-offset stages -- the right plan while the hottest type
         # partition is a single-task sort

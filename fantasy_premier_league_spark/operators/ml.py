@@ -990,7 +990,10 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w1") + F.col("dw1")).alias("w1"),
             (F.col("w2") + F.col("dw2")).alias("w2"),
             (F.col("w3") + F.col("dw3")).alias("w3"),
-        )
+        ).localCheckpoint(
+            eager=False
+        )  # truncate the weight lineage: without this each m_t branch
+        #    re-derives the whole w_1..w_t chain (O(T^2) scans of f)
         m_rows.append(
             f.crossJoin(F.broadcast(w))
             .groupBy("wb", "w1", "w2", "w3")

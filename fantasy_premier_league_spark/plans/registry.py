@@ -54,6 +54,8 @@ ORACLES: dict[str, str] = {}
 # grew the scale axis (scale=1 bytes proven identical).
 CHANGED_THIS_ROUND: list[str] = [
     "t16_fpl_pipeline_roundtrip",  # shared sink + scale-aware triggers
+    "w7_rank_family",  # gate count cached per (sf_dir, data mtime)
+    "ml_kmeans_rating_impute",  # body extracted into _fpl_cluster_labels
 ]
 
 # Queries first registered this round (no driver row exists yet).

@@ -943,18 +943,35 @@ def _register_pipeline_roundtrip() -> None:
         # across sessions. Own dir: removed at interpreter exit (the
         # returned DataFrame lazily reads the sink parquet, so removal
         # must wait past the session's last action). Crashed sessions'
-        # leftovers: age-gated best-effort prune -- a LIVE concurrent
-        # session (parallel pytest workers) is younger than the gate,
-        # so its sink is never yanked from under it.
+        # leftovers: age-gated best-effort prune. The age is the
+        # NEWEST mtime anywhere under the dir -- sink writes land in
+        # subdirectories without touching the top-level mtime, so a
+        # top-level stat would misjudge a live >1h-old session as
+        # stale and yank its sink (review finding r9).
         one_hour_ago = time.time() - 3600
+
+        def _newest_mtime(root: str) -> float:
+            newest = 0.0
+            try:
+                newest = os.path.getmtime(root)
+                for dirpath, _dirs, files in os.walk(root):
+                    for name in files:
+                        try:
+                            newest = max(
+                                newest,
+                                os.path.getmtime(os.path.join(dirpath, name)),
+                            )
+                        except OSError:
+                            pass
+            except OSError:
+                pass
+            return newest
+
         for stale in _glob.glob(
             os.path.join(tempfile.gettempdir(), "t16_roundtrip_*")
         ):
-            try:
-                if stale != out_dir and os.path.getmtime(stale) < one_hour_ago:
-                    shutil.rmtree(stale, ignore_errors=True)
-            except OSError:
-                pass
+            if stale != out_dir and _newest_mtime(stale) < one_hour_ago:
+                shutil.rmtree(stale, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
         atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
         rating_dir = os.path.join(out_dir, "rating")

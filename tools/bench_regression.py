@@ -84,6 +84,15 @@ def main() -> int:
 
     cq, bq = cur["queries"], base["queries"]
     flagged, waived, improved, new = [], [], [], []
+    # a baseline query MISSING from the current run is the worst
+    # regression there is (it errored or was dropped) -- bench.py
+    # records failures in 'errors' and omits them from 'queries', so
+    # iterating cur alone would let a total failure sail through
+    for name in sorted(set(bq) - set(cq)):
+        flagged.append(
+            f"{name}: {bq[name]:.2f}s -> MISSING from current run "
+            f"(errored or deregistered)"
+        )
     for name, med in sorted(cq.items()):
         if name not in bq:
             new.append(name)

@@ -89,10 +89,12 @@ def main() -> None:
         r = meds[-1] / meds[0]
         factor = scales[-1] / base
         cells = " | ".join(f"{m:.2f} s" for m in meds)
-        print(
-            f"| `{n}` | {cells} | {r:.2f}x "
-            f"| {math.log10(r) / math.log10(factor):.2f} |"
+        exp = (
+            f"{math.log10(r) / math.log10(factor):.2f}"
+            if factor > 1
+            else "n/a (single scale)"
         )
+        print(f"| `{n}` | {cells} | {r:.2f}x | {exp} |")
 
 
 if __name__ == "__main__":
