@@ -136,6 +136,7 @@ HEADLINE = [
     "ml_kmeans_chemistry_impute",
     "docs_bigram_logprob",
     "quality_perceptron_train",
+    "t18_stream_dedup_history",
 ]
 
 

@@ -65,6 +65,7 @@ NEW_THIS_ROUND: list[str] = [
     "ml_kmeans_chemistry_impute",  # Specs.pdf clustering purpose, 2nd half
     "docs_bigram_logprob",  # CCNet-style bigram-LM perplexity filter
     "quality_perceptron_train",  # in-engine trained quality classifier
+    "t18_stream_dedup_history",  # ingest dedup vs unbounded crawl history
 ]
 
 _REPO_ROOT = os.path.dirname(

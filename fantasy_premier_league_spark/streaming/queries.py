@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -1105,3 +1106,142 @@ def _register_pipeline_roundtrip() -> None:
 
 
 _register_pipeline_roundtrip()
+
+
+# ---------------------------------------------------------------------------
+# T18: ingest-time dedup against UNBOUNDED persistent history -- the
+# production pattern t6/t14 cannot express: those hold dedup keys in
+# the engine's state store (bounded by watermark/run lifetime), while a
+# training-data crawler must reject content seen in ANY previous crawl.
+# Here the history is a digest TABLE maintained by foreachBatch with
+# the same committed-snapshot MERGE discipline as make_state_sink
+# (_SUCCESS + version < batch_id), so a replayed batch after a crash
+# re-reads the last committed history and reproduces its decisions --
+# T8 for the dedup state itself.
+#
+# The stream models a RE-CRAWL: the corpus arrives once (4 batches,
+# bucketed by doc_id % 4), then arrives again with new doc_ids
+# (+10000) and ~1/7 of the texts modified ('<text> v2') -- so the
+# accept branch (first occurrences + genuinely changed re-crawl docs)
+# and the reject branch (unchanged re-crawl mass) are BOTH exercised,
+# and the batch oracle derives the identical logical stream from the
+# documents table alone.
+#
+# 100 TB shape: per batch one in-batch digest groupBy + one anti-join
+# of the batch against the history table on digest; production buckets
+# the history by digest so the anti-join co-locates without shuffling
+# the history side each batch, and the history append stays
+# partition-local. Accepted docs land in batch_id partitions (dynamic
+# overwrite = idempotent replay, as t13/K4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t18_stream_dedup_history",
+    oracle="""
+    WITH stream AS (
+      SELECT doc_id, text, doc_id % 4 AS b FROM documents
+      UNION ALL
+      SELECT doc_id + 100000000,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END,
+             4 + doc_id % 4
+      FROM documents
+    ),
+    d AS (SELECT doc_id, md5(text) AS digest, b FROM stream),
+    f AS (SELECT digest, min(b) AS first_b FROM d GROUP BY digest),
+    acc AS (
+      SELECT d.digest, CAST(min(d.doc_id) AS BIGINT) AS doc_id, f.first_b
+      FROM d JOIN f ON f.digest = d.digest AND d.b = f.first_b
+      GROUP BY d.digest, f.first_b
+    )
+    SELECT doc_id, digest, CAST(first_b AS INT) AS batch_id
+    FROM acc ORDER BY doc_id
+    """,
+)
+def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _g
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    root = os.path.join(tempfile.gettempdir(), f"dedup_history_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    hist_root = os.path.join(root, "history")
+    accepted = os.path.join(root, "accepted")
+
+    recrawl = docs.select(
+        (F.col("doc_id") + 100000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    # one single-file parquet per logical batch, names + mtimes strictly
+    # ascending so the file source replays crawl 1 then crawl 2 in
+    # bucket order (batch_id == file index)
+    now = time.time()
+    for i, (crawl, bucket) in enumerate(
+        [(c, b) for c in (docs, recrawl) for b in range(4)]
+    ):
+        part_dir = os.path.join(root, f"_stage{i:02d}")
+        crawl.filter(
+            (F.col("doc_id") % 100000000) % 4 == bucket
+        ).coalesce(1).write.parquet(part_dir)
+        part = _g.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"crawl_{i:02d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(part_dir, ignore_errors=True)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        bd = batch_df.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
+        )
+        in_batch_first = bd.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+        prevs = []
+        for dpath in sorted(_g.glob(os.path.join(hist_root, "v*"))):
+            m = re.search(r"v(\d+)$", dpath)
+            if (
+                m is not None
+                and int(m.group(1)) < batch_id
+                and os.path.exists(os.path.join(dpath, "_SUCCESS"))
+            ):
+                prevs.append(dpath)
+        if prevs:
+            hist = sp.read.parquet(prevs[-1])
+            new = in_batch_first.join(hist, "digest", "left_anti")
+            merged_hist = hist.unionByName(new.select("digest")).distinct()
+        else:
+            new = in_batch_first
+            merged_hist = new.select("digest")
+        new.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(accepted)
+        merged_hist.write.mode("overwrite").parquet(
+            os.path.join(hist_root, f"v{batch_id:05d}")
+        )
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    return (
+        spark.read.parquet(accepted)
+        .select("doc_id", "digest", F.col("batch_id").cast("int").alias("batch_id"))
+        .orderBy("doc_id")
+    )
