@@ -174,7 +174,9 @@ def main() -> None:
     # nulled below because the baseline prefix did not all run.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
-        only_set = {s.strip() for s in only.split(",")}
+        # drop falsy tokens so a trailing/double comma is harmless
+        # rather than a confusing "unknown query: ['']" abort
+        only_set = {s.strip() for s in only.split(",") if s.strip()}
         unknown = only_set - set(queries)
         if unknown:  # a typo'd name must not become a silent gap
             print(

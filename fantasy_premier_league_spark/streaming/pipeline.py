@@ -154,6 +154,28 @@ def run_ingest_sinks(
     )
 
 
+def latest_committed_version(root: str, batch_id: int) -> "str | None":
+    """Newest COMMITTED snapshot dir ``root/vNNNNN`` strictly older than
+    ``batch_id``: the shared replay rule for versioned MERGE sinks
+    (K3 profile snapshots and the t18 dedup-history table). Committed =
+    the ``_SUCCESS`` marker exists AND the version is below the current
+    batch -- so a replayed batch after a crash ignores its own partial
+    write and re-reads the state its original attempt read (T8)."""
+    import glob as _glob
+    import re as _re
+
+    prevs = []
+    for d in sorted(_glob.glob(os.path.join(root, "v*"))):
+        m = _re.search(r"v(\d+)$", d)
+        if (
+            m is not None
+            and int(m.group(1)) < batch_id
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
+        ):
+            prevs.append(d)
+    return prevs[-1] if prevs else None
+
+
 def make_state_sink(rating_dir: str, profile_root: str):
     """K3 + K4 foreachBatch sink over the streaming player state
     (shared by t16_fpl_pipeline_roundtrip and the restart-idempotency
@@ -171,9 +193,6 @@ def make_state_sink(rating_dir: str, profile_root: str):
     silently dropped) -- it re-reads v{batch_id-1} and reproduces the
     identical snapshot.
     """
-    import glob as _glob
-    import re as _re
-
     from pyspark.sql import Window
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -196,17 +215,9 @@ def make_state_sink(rating_dir: str, profile_root: str):
                 F.col("shots_on_target_total").alias("shots_on_target"),
             )
         )
-        prevs = []
-        for d in sorted(_glob.glob(os.path.join(profile_root, "v*"))):
-            m = _re.search(r"v(\d+)$", d)
-            if (
-                m is not None
-                and int(m.group(1)) < batch_id
-                and os.path.exists(os.path.join(d, "_SUCCESS"))
-            ):
-                prevs.append(d)
-        if prevs:
-            prev = sp.read.parquet(prevs[-1])
+        prev_dir = latest_committed_version(profile_root, batch_id)
+        if prev_dir is not None:
+            prev = sp.read.parquet(prev_dir)
             merged = prev.join(latest, "playerId", "left_anti").unionByName(
                 latest
             )

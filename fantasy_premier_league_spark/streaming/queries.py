@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import atexit
 import os
-import re
 import shutil
 import tempfile
 import time
@@ -34,6 +33,51 @@ from fantasy_premier_league_spark.sources.testdata import canonicalize_ts, load_
 
 
 from contextlib import contextmanager
+
+
+def _claim_session_tmpdir(prefix: str, app_id: str) -> str:
+    """Per-session temp dir ``<tmp>/<prefix>_<appId>`` for streaming
+    sinks. Concurrent sessions (parallel pytest workers, bench + tests)
+    must never race on a shared sink path, so each session owns a dir
+    keyed by its Spark applicationId. Lifecycle (ADVICE r8, review r9):
+
+    - own dir: wiped at entry, removed at interpreter exit -- removal
+      must wait past the session's last action because returned
+      DataFrames lazily read the sink parquet;
+    - crashed sessions' leftovers: age-gated best-effort prune, where
+      age = the NEWEST mtime anywhere under the dir (sink writes land
+      in subdirectories without touching the top-level mtime, so a
+      top-level stat would misjudge a live >1h-old session as stale
+      and yank its sink).
+    """
+    import glob as _g
+
+    own = os.path.join(tempfile.gettempdir(), f"{prefix}_{app_id}")
+    one_hour_ago = time.time() - 3600
+
+    def _newest_mtime(root: str) -> float:
+        newest = 0.0
+        try:
+            newest = os.path.getmtime(root)
+            for dirpath, _dirs, files in os.walk(root):
+                for name in files:
+                    try:
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(dirpath, name)),
+                        )
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        return newest
+
+    for stale in _g.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+        if stale != own and _newest_mtime(stale) < one_hour_ago:
+            shutil.rmtree(stale, ignore_errors=True)
+    shutil.rmtree(own, ignore_errors=True)
+    atexit.register(shutil.rmtree, own, ignore_errors=True)
+    return own
 
 
 @contextmanager
@@ -932,49 +976,11 @@ def _register_pipeline_roundtrip() -> None:
         stream_dir = os.path.join(_fixtures_root, "stream")
         n_stream_files = len(_glob.glob(os.path.join(stream_dir, "*.jsonl")))
         state_fpt = max(3, -(-n_stream_files // 4))  # ceil: 4-batch ladder
-        # per-session dir (app id), cleaned at entry and left on disk
-        # afterwards: the returned DataFrame lazily reads the sink
-        # parquet, and concurrent sessions (parallel pytest workers,
-        # bench + tests) must never race on a shared sink path
-        out_dir = os.path.join(
-            tempfile.gettempdir(),
-            f"t16_roundtrip_{spark.sparkContext.applicationId}",
+        # per-session sink dir + stale-sibling prune + atexit removal:
+        # the shared lifecycle contract lives in _claim_session_tmpdir
+        out_dir = _claim_session_tmpdir(
+            "t16_roundtrip", spark.sparkContext.applicationId
         )
-        # ADVICE r8: per-app-id dirs otherwise accumulate unboundedly
-        # across sessions. Own dir: removed at interpreter exit (the
-        # returned DataFrame lazily reads the sink parquet, so removal
-        # must wait past the session's last action). Crashed sessions'
-        # leftovers: age-gated best-effort prune. The age is the
-        # NEWEST mtime anywhere under the dir -- sink writes land in
-        # subdirectories without touching the top-level mtime, so a
-        # top-level stat would misjudge a live >1h-old session as
-        # stale and yank its sink (review finding r9).
-        one_hour_ago = time.time() - 3600
-
-        def _newest_mtime(root: str) -> float:
-            newest = 0.0
-            try:
-                newest = os.path.getmtime(root)
-                for dirpath, _dirs, files in os.walk(root):
-                    for name in files:
-                        try:
-                            newest = max(
-                                newest,
-                                os.path.getmtime(os.path.join(dirpath, name)),
-                            )
-                        except OSError:
-                            pass
-            except OSError:
-                pass
-            return newest
-
-        for stale in _glob.glob(
-            os.path.join(tempfile.gettempdir(), "t16_roundtrip_*")
-        ):
-            if stale != out_dir and _newest_mtime(stale) < one_hour_ago:
-                shutil.rmtree(stale, ignore_errors=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
-        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
         rating_dir = os.path.join(out_dir, "rating")
         profile_root = os.path.join(out_dir, "profile")
         events_dir = os.path.join(out_dir, "events")
@@ -1121,7 +1127,7 @@ _register_pipeline_roundtrip()
 #
 # The stream models a RE-CRAWL: the corpus arrives once (4 batches,
 # bucketed by doc_id % 4), then arrives again with new doc_ids
-# (+10000) and ~1/7 of the texts modified ('<text> v2') -- so the
+# (+100000000) and ~1/7 of the texts modified ('<text> v2') -- so the
 # accept branch (first occurrences + genuinely changed re-crawl docs)
 # and the reject branch (unchanged re-crawl mass) are BOTH exercised,
 # and the batch oracle derives the identical logical stream from the
@@ -1161,10 +1167,18 @@ _register_pipeline_roundtrip()
 def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _g
 
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        latest_committed_version,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), f"dedup_history_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    # per-session dir (review r9: a dir keyed only by sf_dir races
+    # concurrent sessions -- one session's entry rmtree deletes the
+    # other's live src/checkpoint/history mid-stream; same contract
+    # as t16, including the stale-sibling prune and atexit cleanup)
+    root = _claim_session_tmpdir(
+        "t18_dedup_history", spark.sparkContext.applicationId
+    )
     src = os.path.join(root, "src")
     os.makedirs(src)
     hist_root = os.path.join(root, "history")
@@ -1202,25 +1216,25 @@ def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
         )
         in_batch_first = bd.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
-        prevs = []
-        for dpath in sorted(_g.glob(os.path.join(hist_root, "v*"))):
-            m = re.search(r"v(\d+)$", dpath)
-            if (
-                m is not None
-                and int(m.group(1)) < batch_id
-                and os.path.exists(os.path.join(dpath, "_SUCCESS"))
-            ):
-                prevs.append(dpath)
-        if prevs:
-            hist = sp.read.parquet(prevs[-1])
+        prev_dir = latest_committed_version(hist_root, batch_id)
+        if prev_dir is not None:
+            hist = sp.read.parquet(prev_dir)
             new = in_batch_first.join(hist, "digest", "left_anti")
-            merged_hist = hist.unionByName(new.select("digest")).distinct()
         else:
+            hist = None
             new = in_batch_first
-            merged_hist = new.select("digest")
         new.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
         ).partitionBy("batch_id").parquet(accepted)
+        # merge the history from the batch partition just COMMITTED
+        # above: `new` is lazy, so unioning it directly would recompute
+        # the scan + anti-join a second time (review r9). No distinct()
+        # needed -- hist is duplicate-free by induction and `new` is
+        # anti-joined against it, so the union cannot introduce dups.
+        written = sp.read.parquet(
+            os.path.join(accepted, f"batch_id={batch_id}")
+        ).select("digest")
+        merged_hist = written if hist is None else hist.unionByName(written)
         merged_hist.write.mode("overwrite").parquet(
             os.path.join(hist_root, f"v{batch_id:05d}")
         )
