@@ -1142,48 +1142,18 @@ _register_pipeline_roundtrip()
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "t18_stream_dedup_history",
-    oracle="""
-    WITH stream AS (
-      SELECT doc_id, text, doc_id % 4 AS b FROM documents
-      UNION ALL
-      SELECT doc_id + 100000000,
-             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END,
-             4 + doc_id % 4
-      FROM documents
-    ),
-    d AS (SELECT doc_id, md5(text) AS digest, b FROM stream),
-    f AS (SELECT digest, min(b) AS first_b FROM d GROUP BY digest),
-    acc AS (
-      SELECT d.digest, CAST(min(d.doc_id) AS BIGINT) AS doc_id, f.first_b
-      FROM d JOIN f ON f.digest = d.digest AND d.b = f.first_b
-      GROUP BY d.digest, f.first_b
-    )
-    SELECT doc_id, digest, CAST(first_b AS INT) AS batch_id
-    FROM acc ORDER BY doc_id
-    """,
-)
-def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stage_crawl_stream(spark: SparkSession, sf_dir: str, root: str) -> str:
+    """Stage the t18 re-crawl fixture under ``root/src``: 8 single-file
+    parquets (crawl 1 buckets 0-3, then crawl 2 with +100000000 doc_ids
+    and ~1/7 texts modified), names + mtimes strictly ascending so the
+    file source with maxFilesPerTrigger=1 replays them in order
+    (batch_id == file index). Returns the src dir. Shared by the
+    registered query and the restart-idempotency test."""
     import glob as _g
 
-    from fantasy_premier_league_spark.streaming.pipeline import (
-        latest_committed_version,
-    )
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # per-session dir (review r9: a dir keyed only by sf_dir races
-    # concurrent sessions -- one session's entry rmtree deletes the
-    # other's live src/checkpoint/history mid-stream; same contract
-    # as t16, including the stale-sibling prune and atexit cleanup)
-    root = _claim_session_tmpdir(
-        "t18_dedup_history", spark.sparkContext.applicationId
-    )
     src = os.path.join(root, "src")
     os.makedirs(src)
-    hist_root = os.path.join(root, "history")
-    accepted = os.path.join(root, "accepted")
-
     recrawl = docs.select(
         (F.col("doc_id") + 100000000).alias("doc_id"),
         F.when(
@@ -1192,9 +1162,6 @@ def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    # one single-file parquet per logical batch, names + mtimes strictly
-    # ascending so the file source replays crawl 1 then crawl 2 in
-    # bucket order (batch_id == file index)
     now = time.time()
     for i, (crawl, bucket) in enumerate(
         [(c, b) for c in (docs, recrawl) for b in range(4)]
@@ -1208,6 +1175,20 @@ def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.move(part, dst)
         os.utime(dst, (now + i, now + i))
         shutil.rmtree(part_dir, ignore_errors=True)
+    return src
+
+
+def make_dedup_history_sink(hist_root: str, accepted: str):
+    """foreachBatch sink holding the t18 ingest-dedup discipline:
+    anti-join the batch's first-per-digest rows against the newest
+    COMMITTED history snapshot, land accepted docs in an idempotent
+    batch_id partition, then append the new digests as history
+    version v{batch_id} (T8 for the dedup state: a replayed batch
+    re-reads the same committed base and reproduces its decisions).
+    Shared by the registered query and the restart test."""
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        latest_committed_version,
+    )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -1238,6 +1219,44 @@ def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged_hist.write.mode("overwrite").parquet(
             os.path.join(hist_root, f"v{batch_id:05d}")
         )
+
+    return ingest
+
+
+@register(
+    "t18_stream_dedup_history",
+    oracle="""
+    WITH stream AS (
+      SELECT doc_id, text, doc_id % 4 AS b FROM documents
+      UNION ALL
+      SELECT doc_id + 100000000,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END,
+             4 + doc_id % 4
+      FROM documents
+    ),
+    d AS (SELECT doc_id, md5(text) AS digest, b FROM stream),
+    f AS (SELECT digest, min(b) AS first_b FROM d GROUP BY digest),
+    acc AS (
+      SELECT d.digest, CAST(min(d.doc_id) AS BIGINT) AS doc_id, f.first_b
+      FROM d JOIN f ON f.digest = d.digest AND d.b = f.first_b
+      GROUP BY d.digest, f.first_b
+    )
+    SELECT doc_id, digest, CAST(first_b AS INT) AS batch_id
+    FROM acc ORDER BY doc_id
+    """,
+)
+def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-session dir (review r9: a dir keyed only by sf_dir races
+    # concurrent sessions -- one session's entry rmtree deletes the
+    # other's live src/checkpoint/history mid-stream; same contract
+    # as t16, including the stale-sibling prune and atexit cleanup)
+    root = _claim_session_tmpdir(
+        "t18_dedup_history", spark.sparkContext.applicationId
+    )
+    src = stage_crawl_stream(spark, sf_dir, root)
+    hist_root = os.path.join(root, "history")
+    accepted = os.path.join(root, "accepted")
+    ingest = make_dedup_history_sink(hist_root, accepted)
 
     schema = spark.read.parquet(src).schema
     stream = (

@@ -340,3 +340,91 @@ def test_state_sink_restart_idempotent(spark, tmp_path):
     assert bids == [0, 1, 2, 3]
     keys = [(r[0], r[1]) for r in got_rating]
     assert len(keys) == len(set(keys))
+
+
+def test_dedup_history_restart_idempotent(spark, tmp_path):
+    """T8 for the t18 dedup-history state under a REAL restart: crash
+    the ingest mid-ladder AFTER batch 3's sink wrote its accepted
+    partition and a PARTIAL history snapshot (no _SUCCESS), before
+    Structured Streaming committed its offsets. On restart the replayed
+    batch must ignore its own partial v00003 snapshot, re-read the
+    committed v00002 base, reproduce the identical accept/reject
+    decisions, and the final accepted table + history must equal a
+    clean uninterrupted run."""
+    from pyspark.errors import StreamingQueryException
+
+    from fantasy_premier_league_spark.streaming.queries import (
+        make_dedup_history_sink,
+        stage_crawl_stream,
+        scoped_conf,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    src = stage_crawl_stream(spark, SF, str(tmp_path))
+    schema = spark.read.parquet(src).schema
+
+    def run(ckpt: str, sink) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+            (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+    def snapshot(hist_root: str, accepted: str):
+        import glob
+
+        acc = sorted(
+            tuple(r)
+            for r in spark.read.parquet(accepted)
+            .select("doc_id", "digest", "batch_id")
+            .collect()
+        )
+        latest = sorted(glob.glob(os.path.join(hist_root, "v*")))[-1]
+        hist = sorted(r[0] for r in spark.read.parquet(latest).collect())
+        return acc, hist
+
+    # clean reference run
+    ref_hist = str(tmp_path / "ref" / "history")
+    ref_acc = str(tmp_path / "ref" / "accepted")
+    run(str(tmp_path / "ref" / "ckpt"), make_dedup_history_sink(ref_hist, ref_acc))
+
+    # crashed run: batch 3's sink work completes (accepted partition +
+    # history v00003), then the snapshot's _SUCCESS marker is removed to
+    # model a partial history write, then the "process" dies pre-commit
+    hist_root = str(tmp_path / "crash" / "history")
+    accepted = str(tmp_path / "crash" / "accepted")
+    ckpt = str(tmp_path / "crash" / "ckpt")
+    real_sink = make_dedup_history_sink(hist_root, accepted)
+    crashed = {"done": False}
+
+    def crashing_sink(batch_df, batch_id):
+        real_sink(batch_df, batch_id)
+        if batch_id == 3 and not crashed["done"]:
+            crashed["done"] = True
+            os.remove(os.path.join(hist_root, "v00003", "_SUCCESS"))
+            raise RuntimeError("injected crash after sink write, before commit")
+
+    with pytest.raises(StreamingQueryException):
+        run(ckpt, crashing_sink)
+    assert crashed["done"], "crash was never injected; ladder shape changed?"
+
+    # restart from the SAME checkpoint: batch 3 replays (same batch_id,
+    # same committed v00002 base -> identical decisions), then 4..7 run
+    run(ckpt, real_sink)
+
+    got_acc, got_hist = snapshot(hist_root, accepted)
+    ref_acc_rows, ref_hist_rows = snapshot(ref_hist, ref_acc)
+    assert got_acc == ref_acc_rows
+    assert got_hist == ref_hist_rows
+    # the replayed batch did not duplicate: every digest accepted once
+    digests = [r[1] for r in got_acc]
+    assert len(digests) == len(set(digests))
+    assert sorted({r[2] for r in got_acc}) == list(range(8))
