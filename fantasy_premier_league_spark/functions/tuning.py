@@ -2,6 +2,11 @@
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -42,3 +47,51 @@ def sized_loop_partitions(spark: SparkSession, n_rows: int):
     parts = max(_MIN_PARTITIONS, min(session_parts, (n_rows // _ROWS_PER_PARTITION) + 1))
     with scoped_conf(spark, "spark.sql.shuffle.partitions", str(parts)):
         yield parts
+
+
+def claim_session_tmpdir(prefix: str, app_id: str) -> str:
+    """Per-session scratch dir ``<tmp>/<prefix>_<appId>`` for on-disk
+    state (streaming sinks, bucketed catalog tables). Concurrent
+    sessions (parallel pytest workers, bench + tests) must never race
+    on a shared scratch path -- a dir keyed only by input path lets one
+    session's entry wipe delete another's live files mid-query -- so
+    each session owns a dir keyed by its Spark applicationId.
+    Lifecycle (ADVICE r8, review r9):
+
+    - own dir: wiped at claim, removed at interpreter exit -- removal
+      must wait past the session's last action because returned
+      DataFrames lazily read the scratch parquet;
+    - crashed sessions' leftovers: age-gated best-effort prune, where
+      age = the NEWEST mtime anywhere under the dir (writes land in
+      subdirectories without touching the top-level mtime, so a
+      top-level stat would misjudge a live >1h-old session as stale
+      and yank its files).
+    """
+    import glob as _g
+
+    own = os.path.join(tempfile.gettempdir(), f"{prefix}_{app_id}")
+    one_hour_ago = time.time() - 3600
+
+    def _newest_mtime(root: str) -> float:
+        newest = 0.0
+        try:
+            newest = os.path.getmtime(root)
+            for dirpath, _dirs, files in os.walk(root):
+                for name in files:
+                    try:
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(dirpath, name)),
+                        )
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        return newest
+
+    for stale in _g.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
+        if stale != own and _newest_mtime(stale) < one_hour_ago:
+            shutil.rmtree(stale, ignore_errors=True)
+    shutil.rmtree(own, ignore_errors=True)
+    atexit.register(shutil.rmtree, own, ignore_errors=True)
+    return own

@@ -635,6 +635,21 @@ def w5_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_BUCKETS = 8
 _BUCKETED: set[str] = set()
+# scratch root per Spark application, claimed lazily on first use
+# (claim wipes the dir, so claiming per bucketed_tables() call would
+# delete tables the session's catalog still points at)
+_BUCKET_ROOTS: dict[str, str] = {}
+
+
+def _session_bucket_root(spark: SparkSession) -> str:
+    from fantasy_premier_league_spark.functions.tuning import (
+        claim_session_tmpdir,
+    )
+
+    app = spark.sparkContext.applicationId
+    if app not in _BUCKET_ROOTS:
+        _BUCKET_ROOTS[app] = claim_session_tmpdir("fpl_spark_buckets", app)
+    return _BUCKET_ROOTS[app]
 
 
 def _bucket_tag(sf_dir: str) -> str:
@@ -652,11 +667,16 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     cwd — an explicit tempdir location makes the layout independent of
     session config."""
     import shutil
-    import tempfile
 
     tag = _bucket_tag(sf_dir)
     lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
-    root = os.path.join(tempfile.gettempdir(), "fpl_spark_buckets")
+    # per-session scratch (review r9): the old shared fpl_spark_buckets
+    # path let a second session DROP+rmtree the tables a concurrent
+    # session's bucketed scan was reading. A fresh session's in-memory
+    # catalog is empty, so the shared path never saved a rebuild anyway;
+    # per-application dirs cost nothing and the claim helper prunes
+    # stale leftovers (sf10 study copies are ~GB).
+    root = _session_bucket_root(spark)
     if tag not in _BUCKETED or not spark.catalog.tableExists(lt):
         specs = [
             (lt, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey"),

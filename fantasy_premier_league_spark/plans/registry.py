@@ -56,6 +56,8 @@ CHANGED_THIS_ROUND: list[str] = [
     "t16_fpl_pipeline_roundtrip",  # shared sink + scale-aware triggers
     "w7_rank_family",  # gate count cached per (sf_dir, data mtime)
     "ml_kmeans_rating_impute",  # body extracted into _fpl_cluster_labels
+    "t13_stream_cdc_upsert",  # per-session scratch dir (race fix)
+    "bucketed_colocated_join",  # per-session bucket scratch (race fix)
 ]
 
 # Queries first registered this round (no driver row exists yet).

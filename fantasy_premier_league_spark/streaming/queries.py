@@ -17,7 +17,6 @@ so 100 TB of history never accumulates in the state store.
 
 from __future__ import annotations
 
-import atexit
 import os
 import shutil
 import tempfile
@@ -35,49 +34,11 @@ from fantasy_premier_league_spark.sources.testdata import canonicalize_ts, load_
 from contextlib import contextmanager
 
 
-def _claim_session_tmpdir(prefix: str, app_id: str) -> str:
-    """Per-session temp dir ``<tmp>/<prefix>_<appId>`` for streaming
-    sinks. Concurrent sessions (parallel pytest workers, bench + tests)
-    must never race on a shared sink path, so each session owns a dir
-    keyed by its Spark applicationId. Lifecycle (ADVICE r8, review r9):
-
-    - own dir: wiped at entry, removed at interpreter exit -- removal
-      must wait past the session's last action because returned
-      DataFrames lazily read the sink parquet;
-    - crashed sessions' leftovers: age-gated best-effort prune, where
-      age = the NEWEST mtime anywhere under the dir (sink writes land
-      in subdirectories without touching the top-level mtime, so a
-      top-level stat would misjudge a live >1h-old session as stale
-      and yank its sink).
-    """
-    import glob as _g
-
-    own = os.path.join(tempfile.gettempdir(), f"{prefix}_{app_id}")
-    one_hour_ago = time.time() - 3600
-
-    def _newest_mtime(root: str) -> float:
-        newest = 0.0
-        try:
-            newest = os.path.getmtime(root)
-            for dirpath, _dirs, files in os.walk(root):
-                for name in files:
-                    try:
-                        newest = max(
-                            newest,
-                            os.path.getmtime(os.path.join(dirpath, name)),
-                        )
-                    except OSError:
-                        pass
-        except OSError:
-            pass
-        return newest
-
-    for stale in _g.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
-        if stale != own and _newest_mtime(stale) < one_hour_ago:
-            shutil.rmtree(stale, ignore_errors=True)
-    shutil.rmtree(own, ignore_errors=True)
-    atexit.register(shutil.rmtree, own, ignore_errors=True)
-    return own
+# per-session scratch-dir lifecycle (wipe-at-claim, stale-sibling
+# prune, atexit removal) shared with the bucketed-table scratch path
+from fantasy_premier_league_spark.functions.tuning import (
+    claim_session_tmpdir as _claim_session_tmpdir,
+)
 
 
 @contextmanager
@@ -701,9 +662,11 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         epoch_us(F.col("ts")).alias("ts_us"),
     )
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
-    root = os.path.join(tempfile.gettempdir(), f"cdc_upsert_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    # per-session dir (same race class as t18, review r9: keyed only by
+    # sf_dir, two concurrent sessions wipe each other's live src/state)
+    root = _claim_session_tmpdir(
+        "t13_cdc_upsert", spark.sparkContext.applicationId
+    )
     src = os.path.join(root, "src")
     state_root = os.path.join(root, "state")
     ev.repartition(4).write.parquet(src)
