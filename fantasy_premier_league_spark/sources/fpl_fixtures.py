@@ -26,6 +26,7 @@ import datetime
 import json
 import os
 import random
+import shutil
 import tempfile
 
 VERSION = "fpl_fixtures_v1"
@@ -232,8 +233,38 @@ def ensure_fixtures(scale: int = 1) -> str:
         ensure_invalid_req1(root)
         ensure_corrupt_feed(root)
         return root
+    # Stage-then-atomic-rename publication (review r9, same race class
+    # as the scratch-dir fixes): generating directly into the shared
+    # content-versioned dir let a second session's regeneration
+    # truncate stream files a live session was already reading in the
+    # pre-marker window. Each generator builds its own stage dir and
+    # publishes with one rename, so `root` either doesn't exist or is
+    # complete-with-marker; root-without-marker can only be a crashed
+    # pre-fix leftover (no reader can have seen it past the marker
+    # check above), safe to clear.
+    stage = f"{root}.stage{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    _generate_into(stage, scale)
+    try:
+        os.rename(stage, root)
+    except OSError:
+        if not os.path.exists(marker):
+            shutil.rmtree(root, ignore_errors=True)
+            try:
+                os.rename(stage, root)
+            except OSError:  # a concurrent generator won the rename
+                shutil.rmtree(stage, ignore_errors=True)
+        else:  # a concurrent generator won; use its output
+            shutil.rmtree(stage, ignore_errors=True)
+    ensure_invalid_req1(root)
+    ensure_corrupt_feed(root)
+    return root
+
+
+def _generate_into(root: str, scale: int) -> None:
     os.makedirs(os.path.join(root, "stream"), exist_ok=True)
     os.makedirs(os.path.join(root, "requests"), exist_ok=True)
+    marker = os.path.join(root, "_COMPLETE")
 
     players = make_players()
     with open(os.path.join(root, "players.csv"), "w") as f:
@@ -288,9 +319,6 @@ def ensure_fixtures(scale: int = 1) -> str:
 
     with open(marker, "w") as f:
         f.write(VERSION + "\n")
-    ensure_invalid_req1(root)
-    ensure_corrupt_feed(root)
-    return root
 
 
 def ensure_corrupt_feed(root: str) -> str:
