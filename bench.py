@@ -177,6 +177,9 @@ def main() -> None:
         # drop falsy tokens so a trailing/double comma is harmless
         # rather than a confusing "unknown query: ['']" abort
         only_set = {s.strip() for s in only.split(",") if s.strip()}
+        if not only_set:  # ',' or whitespace: a silent 0-query "pass"
+            print("bench: BENCH_ONLY set but names no queries", file=sys.stderr)
+            raise SystemExit(2)
         unknown = only_set - set(queries)
         if unknown:  # a typo'd name must not become a silent gap
             print(

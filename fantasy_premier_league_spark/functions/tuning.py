@@ -16,6 +16,11 @@ from pyspark.sql import SparkSession
 _ROWS_PER_PARTITION = 100_000
 _MIN_PARTITIONS = 4
 
+# claim_session_tmpdir bookkeeping: prune each prefix's stale siblings
+# once per process; register each dir's exit cleanup once
+_PRUNED_PREFIXES: set[str] = set()
+_CLAIMED_DIRS: set[str] = set()
+
 
 @contextmanager
 def scoped_conf(spark: SparkSession, key: str, value: str):
@@ -70,28 +75,38 @@ def claim_session_tmpdir(prefix: str, app_id: str) -> str:
     import glob as _g
 
     own = os.path.join(tempfile.gettempdir(), f"{prefix}_{app_id}")
-    one_hour_ago = time.time() - 3600
+    cutoff = time.time() - 3600
 
-    def _newest_mtime(root: str) -> float:
-        newest = 0.0
+    def _is_stale(root: str) -> bool:
+        # stale = NOTHING under the dir touched within the hour; stop
+        # walking at the first fresh mtime (review r9: a full walk of a
+        # live sibling's multi-GB tree per claim is pure waste)
         try:
-            newest = os.path.getmtime(root)
+            if os.path.getmtime(root) >= cutoff:
+                return False
             for dirpath, _dirs, files in os.walk(root):
                 for name in files:
                     try:
-                        newest = max(
-                            newest,
-                            os.path.getmtime(os.path.join(dirpath, name)),
-                        )
+                        if os.path.getmtime(os.path.join(dirpath, name)) >= cutoff:
+                            return False
                     except OSError:
                         pass
         except OSError:
             pass
-        return newest
+        return True
 
-    for stale in _g.glob(os.path.join(tempfile.gettempdir(), f"{prefix}_*")):
-        if stale != own and _newest_mtime(stale) < one_hour_ago:
-            shutil.rmtree(stale, ignore_errors=True)
+    # prune once per (process, prefix): repeated claims (bench repeats
+    # re-invoke t13/t18 each round) re-wipe OWN state by contract but
+    # need not re-sweep the siblings
+    if prefix not in _PRUNED_PREFIXES:
+        _PRUNED_PREFIXES.add(prefix)
+        for stale in _g.glob(
+            os.path.join(tempfile.gettempdir(), f"{prefix}_*")
+        ):
+            if stale != own and _is_stale(stale):
+                shutil.rmtree(stale, ignore_errors=True)
     shutil.rmtree(own, ignore_errors=True)
-    atexit.register(shutil.rmtree, own, ignore_errors=True)
+    if own not in _CLAIMED_DIRS:
+        _CLAIMED_DIRS.add(own)
+        atexit.register(shutil.rmtree, own, ignore_errors=True)
     return own

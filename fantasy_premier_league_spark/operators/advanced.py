@@ -649,7 +649,16 @@ def _session_bucket_root(spark: SparkSession) -> str:
     app = spark.sparkContext.applicationId
     if app not in _BUCKET_ROOTS:
         _BUCKET_ROOTS[app] = claim_session_tmpdir("fpl_spark_buckets", app)
-    return _BUCKET_ROOTS[app]
+    root = _BUCKET_ROOTS[app]
+    # bucket tables are written once then only READ, and reads never
+    # update mtimes -- without a liveness touch, a sibling session's
+    # hour-stale prune would delete a live session's tables after an
+    # hour of other queries (review r9). Touch on every call.
+    try:
+        os.utime(root)
+    except OSError:
+        pass
+    return root
 
 
 def _bucket_tag(sf_dir: str) -> str:
@@ -677,7 +686,13 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     # per-application dirs cost nothing and the claim helper prunes
     # stale leftovers (sf10 study copies are ~GB).
     root = _session_bucket_root(spark)
-    if tag not in _BUCKETED or not spark.catalog.tableExists(lt):
+    # rebuild when the files vanished under a live catalog entry (a
+    # sibling prune that raced the liveness touch) -- reading a catalog
+    # table whose parquet is gone fails mid-scan otherwise
+    files_ok = os.path.isdir(os.path.join(root, lt)) and os.path.isdir(
+        os.path.join(root, ot)
+    )
+    if tag not in _BUCKETED or not spark.catalog.tableExists(lt) or not files_ok:
         specs = [
             (lt, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"], "l_orderkey"),
             (ot, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey"),

@@ -242,20 +242,54 @@ def ensure_fixtures(scale: int = 1) -> str:
     # complete-with-marker; root-without-marker can only be a crashed
     # pre-fix leftover (no reader can have seen it past the marker
     # check above), safe to clear.
+    import glob as _glob
+    import time as _time
+
     stage = f"{root}.stage{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
-    _generate_into(stage, scale)
-    try:
-        os.rename(stage, root)
-    except OSError:
-        if not os.path.exists(marker):
-            shutil.rmtree(root, ignore_errors=True)
+    # a crashed generator leaks its stage tree (nothing else matches
+    # the *.stage* names); clear hour-stale ones -- generation takes
+    # seconds, so an hour-old stage can only be dead (review r9)
+    for leftover in _glob.glob(f"{root}.stage*"):
+        if leftover != stage:
             try:
-                os.rename(stage, root)
-            except OSError:  # a concurrent generator won the rename
+                if os.path.getmtime(leftover) < _time.time() - 3600:
+                    shutil.rmtree(leftover, ignore_errors=True)
+            except OSError:
+                pass
+    try:
+        _generate_into(stage, scale)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    for _ in range(3):
+        try:
+            os.rename(stage, root)
+            break
+        except OSError:
+            if os.path.exists(marker):  # a concurrent generator won
                 shutil.rmtree(stage, ignore_errors=True)
-        else:  # a concurrent generator won; use its output
-            shutil.rmtree(stage, ignore_errors=True)
+                break
+            # root without marker = crashed pre-fix partial. Claim it
+            # ATOMICALLY by renaming it aside before deleting: a bare
+            # marker-check-then-rmtree would race a concurrent
+            # publisher and delete its complete, possibly in-use output
+            # (review r9 TOCTOU). If the rename-aside grabs a root that
+            # a winner published in the interim, our own stage holds
+            # byte-identical content (deterministic generator, same
+            # VERSION), so the subsequent publish restores it.
+            aside = f"{root}.old{os.getpid()}"
+            try:
+                os.rename(root, aside)
+            except OSError:
+                pass  # another session claimed or published; retry
+            else:
+                shutil.rmtree(aside, ignore_errors=True)
+    else:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(f"could not publish fixtures at {root}")
+    if not os.path.exists(marker):
+        raise RuntimeError(f"fixture dir incomplete after publish: {root}")
     ensure_invalid_req1(root)
     ensure_corrupt_feed(root)
     return root

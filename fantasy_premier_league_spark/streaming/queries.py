@@ -662,10 +662,13 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         epoch_us(F.col("ts")).alias("ts_us"),
     )
-    # per-session dir (same race class as t18, review r9: keyed only by
-    # sf_dir, two concurrent sessions wipe each other's live src/state)
+    # per-(session, sf_dir) dir: appId alone would let a second
+    # invocation at a DIFFERENT scale wipe scratch a previously
+    # returned DataFrame still lazily reads; sf_dir alone (the old
+    # scheme) raced concurrent sessions (review r9)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
     root = _claim_session_tmpdir(
-        "t13_cdc_upsert", spark.sparkContext.applicationId
+        f"t13_cdc_upsert_{tag}", spark.sparkContext.applicationId
     )
     src = os.path.join(root, "src")
     state_root = os.path.join(root, "state")
@@ -1175,9 +1178,15 @@ def make_dedup_history_sink(hist_root: str, accepted: str):
         # the scan + anti-join a second time (review r9). No distinct()
         # needed -- hist is duplicate-free by induction and `new` is
         # anti-joined against it, so the union cannot introduce dups.
-        written = sp.read.parquet(
-            os.path.join(accepted, f"batch_id={batch_id}")
-        ).select("digest")
+        # A batch that accepts ZERO rows (every digest already in the
+        # history) writes no partition dir at all, so guard the
+        # read-back -- the history chain tolerates version gaps
+        # (latest_committed_version takes the newest < batch_id), so
+        # an all-duplicate batch simply writes no snapshot either.
+        part_dir = os.path.join(accepted, f"batch_id={batch_id}")
+        if not os.path.isdir(part_dir):
+            return
+        written = sp.read.parquet(part_dir).select("digest")
         merged_hist = written if hist is None else hist.unionByName(written)
         merged_hist.write.mode("overwrite").parquet(
             os.path.join(hist_root, f"v{batch_id:05d}")
@@ -1209,12 +1218,14 @@ def make_dedup_history_sink(hist_root: str, accepted: str):
     """,
 )
 def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-session dir (review r9: a dir keyed only by sf_dir races
-    # concurrent sessions -- one session's entry rmtree deletes the
-    # other's live src/checkpoint/history mid-stream; same contract
-    # as t16, including the stale-sibling prune and atexit cleanup)
+    # per-(session, sf_dir) dir (review r9: keyed only by sf_dir it
+    # races concurrent sessions -- one session's entry rmtree deletes
+    # the other's live src/checkpoint/history mid-stream; keyed only by
+    # appId, a second invocation at a different scale wipes scratch a
+    # previously returned DataFrame still lazily reads)
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
     root = _claim_session_tmpdir(
-        "t18_dedup_history", spark.sparkContext.applicationId
+        f"t18_dedup_history_{tag}", spark.sparkContext.applicationId
     )
     src = stage_crawl_stream(spark, sf_dir, root)
     hist_root = os.path.join(root, "history")

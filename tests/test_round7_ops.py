@@ -154,7 +154,14 @@ def test_t16_writes_versioned_profile_snapshots_and_batch_partitions(spark):
     import tempfile
 
     all_queries()["t16_fpl_pipeline_roundtrip"](spark, SF_SMOKE).collect()
-    out = os.path.join(tempfile.gettempdir(), "t16_roundtrip")
+    # the sink dir is per-application (review r9: the old shared
+    # t16_roundtrip path left this test asserting against stale
+    # leftovers from previous sessions, never the run above)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"t16_roundtrip_{spark.sparkContext.applicationId}",
+    )
+    assert os.path.isdir(out), f"t16 session sink dir missing: {out}"
     batches = glob.glob(os.path.join(out, "rating", "batch_id=*"))
     versions = sorted(glob.glob(os.path.join(out, "profile", "v*")))
     assert len(batches) >= 2, f"expected per-batch rating partitions, got {batches}"
