@@ -22,10 +22,15 @@ def test_cdc_upsert_really_runs_multiple_batches(spark):
     batch — a single v0 would mean the upsert never exercised the
     prev-snapshot union path."""
     all_queries()["t13_stream_cdc_upsert"](spark, SF_SMOKE).collect()
+    # scratch moved to per-(session, sf_dir) dirs (review r9) -- the
+    # old shared cdc_upsert_<tag> glob would assert on stale leftovers
     tag = "".join(c if c.isalnum() else "_" for c in SF_SMOKE.rstrip("/"))
-    versions = glob.glob(
-        os.path.join(tempfile.gettempdir(), f"cdc_upsert_{tag}", "state", "v*")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"t13_cdc_upsert_{tag}_{spark.sparkContext.applicationId}",
     )
+    assert os.path.isdir(root), f"t13 session scratch dir missing: {root}"
+    versions = glob.glob(os.path.join(root, "state", "v*"))
     assert len(versions) >= 2, (
         f"expected multiple per-batch snapshots, found {versions}"
     )
