@@ -83,6 +83,19 @@ def main() -> int:
         base_label, base = found
 
     cq, bq = cur["queries"], base["queries"]
+    # The bench VM's load varies run-to-run (BASELINE.md documents ~3x
+    # wall jitter; a concurrent process slowed one full 104-query run
+    # ~18% uniformly and tripped six unrelated queries past 1.5x). A
+    # UNIFORM slowdown carries no per-query signal, so flag each query
+    # against the run-wide median ratio, not against 1.0: real
+    # regressions move a query relative to its peers either way.
+    ratios = sorted(
+        cq[n] / bq[n] for n in cq if n in bq and bq[n] > 0
+    )
+    run_drift = ratios[len(ratios) // 2] if ratios else 1.0
+    # only correct for drift, never tighten the gate below its stated
+    # threshold when the machine happened to run FASTER
+    drift = max(1.0, run_drift)
     flagged, waived, improved, new = [], [], [], []
     # a baseline query MISSING from the current run is the worst
     # regression there is (it errored or was dropped) -- bench.py
@@ -101,8 +114,11 @@ def main() -> int:
         if prev <= 0:
             continue
         ratio = med / prev
-        if ratio > args.threshold and (med - prev) > MIN_ABS_GROWTH:
-            row = f"{name}: {prev:.2f}s -> {med:.2f}s ({ratio:.2f}x)"
+        if ratio / drift > args.threshold and (med - prev) > MIN_ABS_GROWTH:
+            row = (
+                f"{name}: {prev:.2f}s -> {med:.2f}s ({ratio:.2f}x raw, "
+                f"{ratio / drift:.2f}x drift-adjusted)"
+            )
             if name in WAIVERS:
                 waived.append(f"{row} [waived: {WAIVERS[name]}]")
             else:
@@ -113,7 +129,9 @@ def main() -> int:
     print(f"# bench regression gate: cur={args.cur} base={base_label}")
     print(
         f"# {len(cq)} queries vs {len(bq)} baseline; threshold "
-        f">{args.threshold}x and >{MIN_ABS_GROWTH}s growth"
+        f">{args.threshold}x and >{MIN_ABS_GROWTH}s growth; "
+        f"run-wide median ratio {run_drift:.2f}x "
+        f"(drift correction {drift:.2f}x)"
     )
     for row in flagged:
         print(f"REGRESSION {row}")
