@@ -908,7 +908,8 @@ def _perceptron_oracle() -> str:
     sql += f"""
     SELECT CAST(iter AS INT) AS iter, wb, w1, w2, w3, n_mis,
            (1000000 * (n_docs - n_mis)) // n_docs AS acc_ppm,
-           row_number() OVER (ORDER BY n_mis ASC, iter ASC) = 1 AS is_pocket
+           CAST(row_number() OVER (ORDER BY n_mis ASC, iter ASC) = 1
+                AS INT) AS is_pocket
     FROM ({union})
     ORDER BY iter
     """
@@ -1018,7 +1019,13 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w3",
             "n_mis",
             F.expr("(1000000 * (n_docs - n_mis)) div n_docs").alias("acc_ppm"),
-            (pocket == 1).alias("is_pocket"),
+            # INT, not BOOLEAN: is_pocket was the only boolean result
+            # column across the whole query surface, and the one
+            # driver-side hash mismatch that never reproduced locally
+            # (CORRECTNESS_r09) -- a boolean-normalization difference
+            # between the engines' client types is the one remaining
+            # env-sensitive construct here, so remove the type.
+            (pocket == 1).cast("int").alias("is_pocket"),
         )
         .orderBy("iter")
     )

@@ -48,27 +48,19 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update whenever a registered query's implementation
-# or oracle changes. Round 9: t16's K3/K4 sink moved to the shared
-# make_state_sink factory (committed-snapshot MERGE rule) and its
-# stream dir / trigger sizes became scale-aware; the fixture generator
-# grew the scale axis (scale=1 bytes proven identical).
+# or oracle changes. Round 10: quality_perceptron_train's is_pocket
+# column became INT on both engines -- it was the only BOOLEAN result
+# column across the whole query surface and the only driver-side hash
+# mismatch that never reproduced locally (CORRECTNESS_r09), so the
+# env-sensitive type itself was removed.
 CHANGED_THIS_ROUND: list[str] = [
-    "t16_fpl_pipeline_roundtrip",  # shared sink + scale-aware triggers
-    "w7_rank_family",  # gate count cached per (sf_dir, data mtime)
-    "ml_kmeans_rating_impute",  # body extracted into _fpl_cluster_labels
-    "t13_stream_cdc_upsert",  # per-session scratch dir (race fix)
-    "bucketed_colocated_join",  # per-session bucket scratch (race fix)
+    "quality_perceptron_train",  # is_pocket BOOLEAN -> INT both engines
 ]
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:
 # tests/test_sample_rotation.py fails when changed + never-sampled > 50.
-NEW_THIS_ROUND: list[str] = [
-    "ml_kmeans_chemistry_impute",  # Specs.pdf clustering purpose, 2nd half
-    "docs_bigram_logprob",  # CCNet-style bigram-LM perplexity filter
-    "quality_perceptron_train",  # in-engine trained quality classifier
-    "t18_stream_dedup_history",  # ingest dedup vs unbounded crawl history
-]
+NEW_THIS_ROUND: list[str] = []
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
