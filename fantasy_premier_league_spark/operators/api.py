@@ -437,9 +437,9 @@ def player_profile(spark: SparkSession, name: str) -> dict | None:
     }
 
 
-@register(
-    "fpl_req2_player_profile",
-    oracle=f"""
+def _req2_oracle(include_goals: bool) -> str:
+    goals_col = "s.goals, " if include_goals else ""
+    return f"""
     WITH RECURSIVE req AS (
       SELECT name FROM read_json('{REQ2}', columns={{"name": "VARCHAR"}})
     ),
@@ -458,7 +458,7 @@ def player_profile(spark: SparkSession, name: str) -> dict | None:
       FROM fm f JOIN pa ON f.playerId = pa.playerId AND f.seq = pa.seq + 1
     )
     SELECT p.name, p.birthArea, p.birthDate, p.foot, p.role, p.height, p.weight,
-           s.fouls, s.goals, s.own_goals, round(lp.pa, 6) AS pass_accuracy,
+           s.fouls, {goals_col}s.own_goals, round(lp.pa, 6) AS pass_accuracy,
            s.shots_on_target
     FROM (
       SELECT playerId, CAST(sum(fouls) AS BIGINT) AS fouls,
@@ -472,32 +472,51 @@ def player_profile(spark: SparkSession, name: str) -> dict | None:
                                                     ORDER BY seq DESC) AS rn
             FROM pa) WHERE rn = 1) lp ON lp.playerId = s.playerId
     JOIN {_PLAYERS_CSV_SQL} p ON p.Id = s.playerId
-    """,
-)
-def fpl_req2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _req2_profile(spark: SparkSession, include_goals: bool) -> DataFrame:
     from fantasy_premier_league_spark.operators.pipeline import profile_df
 
     with open(REQ2) as f:
         name = json.load(f)["name"]
     players = load_players(spark)
+    cols = [
+        "name",
+        "birthArea",
+        "birthDate",
+        "foot",
+        "role",
+        "height",
+        "weight",
+        "fouls",
+        *(["goals"] if include_goals else []),
+        "own_goals",
+        rounded(F.col("pass_accuracy"), 6).alias("pass_accuracy"),
+        "shots_on_target",
+    ]
     return (
         F.broadcast(players.filter(F.col("name") == name))
         .join(profile_df(spark), players.Id == F.col("playerId"))
-        .select(
-            "name",
-            "birthArea",
-            "birthDate",
-            "foot",
-            "role",
-            "height",
-            "weight",
-            "fouls",
-            "goals",
-            "own_goals",
-            rounded(F.col("pass_accuracy"), 6).alias("pass_accuracy"),
-            "shots_on_target",
-        )
+        .select(*cols)
     )
+
+
+@register("fpl_req2_player_profile", oracle=_req2_oracle(include_goals=True))
+def fpl_req2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _req2_profile(spark, include_goals=True)
+
+
+@register("fpl_req2_dropped_goals_quirk", oracle=_req2_oracle(include_goals=False))
+def fpl_req2_dropped_goals_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful-mode twin of fpl_req2: the reference unpacks the
+    profile tuple into fouls/goals/own_goals/pass_acc/shots
+    (ui.py:101) but then never writes ``goals`` into the response dict
+    (ui.py:102-105), though docs/Specs.pdf requires it. Canonical
+    fpl_req2 fixes that; this twin reproduces the reference's actual
+    response surface -- same rows, ``goals`` absent -- completing the
+    compat-flag set SURVEY 3.3 promised (r9 verdict, Missing #1)."""
+    return _req2_profile(spark, include_goals=False)
 
 
 # ---------------------------------------------------------------------------
@@ -639,4 +658,68 @@ def fpl_req3(spark: SparkSession, sf_dir: str) -> DataFrame:
         request = json.load(f)
     return match_player_lines(spark, request["date"], request["label"]).orderBy(
         "team", "player_name"
+    )
+
+
+@register(
+    "fpl_req3_card_list_quirk",
+    oracle=f"""
+    WITH req AS (
+      SELECT date, label
+      FROM read_json('{REQ3}', columns={{"date": "VARCHAR", "label": "VARCHAR"}})
+    ),
+    m AS (
+      SELECT wyId, teamsData
+      FROM {_RAW_SQL} rj, req
+      WHERE rj.wyId IS NOT NULL AND substr(rj.dateutc, 1, 10) = req.date
+        AND rj.label = req.label
+    ),
+    lines AS (
+      SELECT wyId AS matchId, CAST(e.key AS INTEGER) AS teamId,
+             unnest(list_concat(e.value.formation.bench,
+                                e.value.formation.lineup)) AS p
+      FROM (SELECT wyId, unnest(map_entries(teamsData)) AS e FROM m)
+    )
+    SELECT l.matchId, colors.card_color, p.name AS player_name, t.name AS team,
+           CASE WHEN colors.card_color = 'yellow'
+                THEN CASE WHEN l.p.yellowCards = 'null' THEN 0
+                          ELSE CAST(l.p.yellowCards AS INTEGER) END
+                ELSE CASE WHEN l.p.redCards = 'null' THEN 0
+                          ELSE CAST(l.p.redCards AS INTEGER) END
+           END AS actual_cards
+    FROM lines l
+    CROSS JOIN (SELECT unnest(['yellow', 'red']) AS card_color) colors
+    JOIN {_PLAYERS_CSV_SQL} p ON p.Id = l.p.playerId
+    JOIN {_TEAMS_CSV_SQL} t ON t.Id = l.teamId
+    ORDER BY card_color, team, player_name
+    """,
+)
+def fpl_req3_card_list_quirk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faithful-mode twin of fpl_req3: the reference appends EVERY
+    rostered player's name to BOTH card lists unconditionally --
+    ``final_match['yellow_cards'].append(name)`` /
+    ``['red_cards'].append(name)`` run once per bench and lineup
+    player with no card check (ui.py:162-163,183-184) -- so the
+    "card lists" are just two copies of the roster. Canonical
+    fpl_req3 fixes that (actual per-player counts); this twin
+    materializes the reference's actual list semantics: one row per
+    (card color x rostered player), with the real card count carried
+    alongside to exhibit the discrepancy the quirk ignores."""
+    with open(REQ3) as f:
+        request = json.load(f)
+    lines = match_player_lines(spark, request["date"], request["label"])
+    colors = F.explode(F.array(F.lit("yellow"), F.lit("red"))).alias("card_color")
+    return (
+        lines.select("matchId", colors, "player_name", "team",
+                     "yellow_cards", "red_cards")
+        .select(
+            "matchId",
+            "card_color",
+            "player_name",
+            "team",
+            F.when(F.col("card_color") == "yellow", F.col("yellow_cards"))
+            .otherwise(F.col("red_cards"))
+            .alias("actual_cards"),
+        )
+        .orderBy("card_color", "team", "player_name")
     )

@@ -60,7 +60,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:
 # tests/test_sample_rotation.py fails when changed + never-sampled > 50.
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    "fpl_req2_dropped_goals_quirk",  # reference omits goals (ui.py:102-105)
+    "fpl_req3_card_list_quirk",  # card lists = full roster (ui.py:162-163)
+]
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

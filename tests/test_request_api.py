@@ -80,3 +80,40 @@ def test_match_details_found(spark):
 def test_match_details_not_found(spark):
     missing = _load(os.path.join(ensure_fixtures(), "requests", "req3_missing.json"))
     assert match_details(spark, missing) == {"status": "Not Found"}
+
+
+def test_req2_dropped_goals_quirk_twin(spark):
+    """Faithful twin omits exactly the goals column; rows otherwise
+    identical to the canonical profile (ui.py:102-105)."""
+    from fantasy_premier_league_spark.operators.api import (
+        fpl_req2,
+        fpl_req2_dropped_goals_quirk,
+    )
+
+    canon = fpl_req2(spark, "").collect()
+    quirk = fpl_req2_dropped_goals_quirk(spark, "").collect()
+    assert len(canon) == len(quirk) == 1
+    c, q = canon[0].asDict(), quirk[0].asDict()
+    assert "goals" in c and "goals" not in q
+    c.pop("goals")
+    assert c == q
+
+
+def test_req3_card_list_quirk_twin(spark):
+    """Faithful twin lists every rostered player under BOTH colors
+    regardless of actual card counts (ui.py:162-163,183-184)."""
+    from fantasy_premier_league_spark.operators.api import (
+        fpl_req3,
+        fpl_req3_card_list_quirk,
+    )
+
+    roster = fpl_req3(spark, "").collect()
+    quirk = fpl_req3_card_list_quirk(spark, "").collect()
+    assert len(quirk) == 2 * len(roster) == 60  # 30 players x 2 colors
+    names = {r["player_name"] for r in roster}
+    for color in ("yellow", "red"):
+        rows = [r for r in quirk if r["card_color"] == color]
+        assert {r["player_name"] for r in rows} == names
+    # fixtures carry no cards: the quirk lists players anyway, and the
+    # carried actual count exhibits the ignored discrepancy
+    assert all(r["actual_cards"] == 0 for r in quirk)
