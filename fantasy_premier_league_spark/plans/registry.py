@@ -55,6 +55,9 @@ ORACLES: dict[str, str] = {}
 # env-sensitive type itself was removed.
 CHANGED_THIS_ROUND: list[str] = [
     "quality_perceptron_train",  # is_pocket BOOLEAN -> INT both engines
+    "mm_decode_stats",  # real P6 PPM parse replaces the md5 stub
+    "mm_frame_sample",  # n_frames now from the real frame demux
+    "mm_image_resize",  # geometry now from the real header parse
 ]
 
 # Queries first registered this round (no driver row exists yet).
