@@ -205,3 +205,93 @@ def sql_frontend_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes through the SQL front-end (r9 verdict, Next #7): the
+# DataFrame tier pins q2-q22 against rewritten oracles; these gate the
+# SQL surface itself on the CLASSIC correlated forms -- Catalyst's
+# subquery decorrelation (EXISTS -> left semi, NOT EXISTS -> left
+# anti, correlated scalar agg -> aggregate + join) runs on the exact
+# text DuckDB also executes, so a rewrite bug in either engine's
+# decorrelator breaks the hash. Money stays in fixed-point BIGINT
+# units (no decimal-vs-double literal divergence: 0.2*avg is
+# double on both engines, see q17 notes in analytics.py).
+# ---------------------------------------------------------------------------
+
+_Q4_EXISTS_SQL = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register("sql_frontend_q4_exists", oracle=_Q4_EXISTS_SQL)
+def sql_frontend_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4's correlated EXISTS through spark.sql: Catalyst must
+    decorrelate the non-equi date predicate into the semi-join
+    condition itself."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q4_EXISTS_SQL)
+
+
+_Q17_CORRELATED_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_units
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+@register("sql_frontend_q17_correlated", oracle=_Q17_CORRELATED_SQL)
+def sql_frontend_q17_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17's correlated scalar aggregate subquery through
+    spark.sql (the DataFrame twin q17_small_quantity_revenue hand-
+    decorrelates it; here Catalyst's rewrite is what's under test)."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q17_CORRELATED_SQL)
+
+
+_Q21_MULTI_EXISTS_SQL = """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+@register("sql_frontend_q21_multi_exists", oracle=_Q21_MULTI_EXISTS_SQL)
+def sql_frontend_q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21's classic EXISTS + NOT EXISTS stack through
+    spark.sql: one semi and one anti join against the same fact
+    table, both with non-equi correlated predicates (the l3 branch
+    re-joins orders so correlation stays single-level -- the form
+    both engines' decorrelators accept)."""
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_MULTI_EXISTS_SQL)

@@ -66,6 +66,9 @@ CHANGED_THIS_ROUND: list[str] = [
 NEW_THIS_ROUND: list[str] = [
     "fpl_req2_dropped_goals_quirk",  # reference omits goals (ui.py:102-105)
     "fpl_req3_card_list_quirk",  # card lists = full roster (ui.py:162-163)
+    "sql_frontend_q4_exists",  # classic correlated EXISTS via spark.sql
+    "sql_frontend_q17_correlated",  # correlated scalar agg via spark.sql
+    "sql_frontend_q21_multi_exists",  # semi+anti stack via spark.sql
 ]
 
 _REPO_ROOT = os.path.dirname(
