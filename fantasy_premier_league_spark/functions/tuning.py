@@ -21,6 +21,43 @@ _MIN_PARTITIONS = 4
 _PRUNED_PREFIXES: set[str] = set()
 _CLAIMED_DIRS: set[str] = set()
 
+# liveness heartbeat (ADVICE r9): the stale-sibling prune judges
+# liveness by mtimes, but READS never update mtimes -- a session idle
+# >1h holding a lazily-evaluated DataFrame over its scratch would get
+# that scratch yanked by a sibling's first claim. A daemon thread
+# touching every claimed dir's top-level mtime keeps live sessions
+# visibly live (and keeps the sibling's _is_stale check at one stat,
+# no walk). Interval well under the 1h staleness cutoff.
+_HEARTBEAT_INTERVAL_S = 600
+_HEARTBEAT_STARTED = False
+
+
+def _heartbeat_tick() -> None:
+    """Touch every claimed dir that currently exists (one tick of the
+    liveness heartbeat; factored out so tests can drive it directly)."""
+    for d in list(_CLAIMED_DIRS):
+        try:
+            os.utime(d)
+        except OSError:
+            pass  # not recreated yet (claim wipes; the sink rewrites)
+
+
+def _ensure_heartbeat() -> None:
+    global _HEARTBEAT_STARTED
+    if _HEARTBEAT_STARTED:
+        return
+    _HEARTBEAT_STARTED = True
+    import threading
+
+    def _loop() -> None:
+        while True:
+            time.sleep(_HEARTBEAT_INTERVAL_S)
+            _heartbeat_tick()
+
+    threading.Thread(
+        target=_loop, name="scratch-dir-heartbeat", daemon=True
+    ).start()
+
 
 @contextmanager
 def scoped_conf(spark: SparkSession, key: str, value: str):
@@ -54,6 +91,28 @@ def sized_loop_partitions(spark: SparkSession, n_rows: int):
         yield parts
 
 
+def _nothing_fresh_under(root: str, cutoff: float) -> bool:
+    """True when NOTHING under ``root`` was touched since ``cutoff`` --
+    the staleness predicate of the sibling prune. Checks the top-level
+    mtime first (the heartbeat keeps it fresh for live sessions, so
+    the common case is one stat) and stops walking at the first fresh
+    file (review r9: a full walk of a live sibling's multi-GB tree per
+    claim is pure waste)."""
+    try:
+        if os.path.getmtime(root) >= cutoff:
+            return False
+        for dirpath, _dirs, files in os.walk(root):
+            for name in files:
+                try:
+                    if os.path.getmtime(os.path.join(dirpath, name)) >= cutoff:
+                        return False
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return True
+
+
 def claim_session_tmpdir(prefix: str, app_id: str) -> str:
     """Per-session scratch dir ``<tmp>/<prefix>_<appId>`` for on-disk
     state (streaming sinks, bucketed catalog tables). Concurrent
@@ -78,22 +137,7 @@ def claim_session_tmpdir(prefix: str, app_id: str) -> str:
     cutoff = time.time() - 3600
 
     def _is_stale(root: str) -> bool:
-        # stale = NOTHING under the dir touched within the hour; stop
-        # walking at the first fresh mtime (review r9: a full walk of a
-        # live sibling's multi-GB tree per claim is pure waste)
-        try:
-            if os.path.getmtime(root) >= cutoff:
-                return False
-            for dirpath, _dirs, files in os.walk(root):
-                for name in files:
-                    try:
-                        if os.path.getmtime(os.path.join(dirpath, name)) >= cutoff:
-                            return False
-                    except OSError:
-                        pass
-        except OSError:
-            pass
-        return True
+        return _nothing_fresh_under(root, cutoff)
 
     # prune once per (process, prefix): repeated claims (bench repeats
     # re-invoke t13/t18 each round) re-wipe OWN state by contract but
@@ -109,4 +153,5 @@ def claim_session_tmpdir(prefix: str, app_id: str) -> str:
     if own not in _CLAIMED_DIRS:
         _CLAIMED_DIRS.add(own)
         atexit.register(shutil.rmtree, own, ignore_errors=True)
+    _ensure_heartbeat()
     return own

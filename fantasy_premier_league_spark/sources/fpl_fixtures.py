@@ -284,6 +284,26 @@ def ensure_fixtures(scale: int = 1) -> str:
             except OSError:
                 pass  # another session claimed or published; retry
             else:
+                # Narrow TOCTOU (ADVICE r9): a concurrent winner may
+                # have published a COMPLETE root between our marker
+                # check and the rename-aside -- deleting it would
+                # open a FileNotFound window for a third session that
+                # already passed its own marker check, until our
+                # byte-identical republish lands. Re-check the marker
+                # INSIDE the claimed dir: complete -> put it straight
+                # back (rename is atomic; no window at all); partial
+                # -> it really was a crashed leftover, delete it.
+                if os.path.exists(os.path.join(aside, "_COMPLETE")):
+                    try:
+                        os.rename(aside, root)
+                        shutil.rmtree(stage, ignore_errors=True)
+                        break
+                    except OSError:
+                        # yet another publish landed meanwhile; ours
+                        # and theirs are byte-identical, drop the copy
+                        shutil.rmtree(aside, ignore_errors=True)
+                        shutil.rmtree(stage, ignore_errors=True)
+                        break
                 shutil.rmtree(aside, ignore_errors=True)
     else:
         shutil.rmtree(stage, ignore_errors=True)

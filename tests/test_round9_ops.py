@@ -85,3 +85,77 @@ def test_fixture_publication_is_atomic_and_idempotent(tmp_path, monkeypatch):
     root2 = fx.ensure_fixtures()
     assert root2 == root
     assert os.path.exists(marker)
+
+
+def test_heartbeat_tick_keeps_idle_claims_visibly_live(tmp_path, monkeypatch):
+    """ADVICE r9: reads never update mtimes, so an idle session's
+    scratch must be kept fresh by the heartbeat, or a sibling's prune
+    yanks it. One tick must refresh every claimed dir's TOP-LEVEL
+    mtime (the first stat _is_stale checks), and skip not-yet-rebuilt
+    dirs without raising."""
+    monkeypatch.setattr(tuning.tempfile, "gettempdir", lambda: str(tmp_path))
+    prefix = _fresh_prefix()
+    own = tuning.claim_session_tmpdir(prefix, "appHB")
+    os.makedirs(own)  # the sink normally recreates it
+    two_hours_ago = time.time() - 7200
+    os.utime(own, (two_hours_ago,) * 2)
+    # a claimed-but-not-rebuilt dir from another prefix must not break
+    # the tick
+    ghost = str(tmp_path / "never_recreated_xyz")
+    tuning._CLAIMED_DIRS.add(ghost)
+    try:
+        tuning._heartbeat_tick()
+    finally:
+        tuning._CLAIMED_DIRS.discard(ghost)
+    assert os.path.getmtime(own) >= time.time() - 60
+    # and the refreshed dir now survives a sibling's staleness check
+    assert not tuning._nothing_fresh_under(own, time.time() - 3600)
+
+
+def test_claim_starts_heartbeat_thread(tmp_path, monkeypatch):
+    import threading
+
+    monkeypatch.setattr(tuning.tempfile, "gettempdir", lambda: str(tmp_path))
+    tuning.claim_session_tmpdir(_fresh_prefix(), "appHB2")
+    names = [t.name for t in threading.enumerate()]
+    assert "scratch-dir-heartbeat" in names
+
+
+def test_publish_restores_winner_claimed_mid_retry(tmp_path, monkeypatch):
+    """ADVICE r9 TOCTOU: if a concurrent winner publishes a COMPLETE
+    root between our marker check and the rename-aside, the claimed
+    dir must be put straight back (atomic rename), never deleted --
+    otherwise a third session that already passed its marker check
+    sees FileNotFound until the republish lands."""
+    import fantasy_premier_league_spark.sources.fpl_fixtures as fx
+
+    monkeypatch.setattr(fx.tempfile, "gettempdir", lambda: str(tmp_path))
+    # a winner's complete root already on disk
+    root = fx.ensure_fixtures()
+    marker = os.path.join(root, "_COMPLETE")
+    winner_mtime = os.path.getmtime(os.path.join(root, "players.csv"))
+
+    # force the loser down the retry path: both the entry marker check
+    # AND the in-loop post-OSError check must miss (the winner
+    # publishes "between" them), so the loser reaches rename-aside
+    # with a complete root in hand
+    real_exists = os.path.exists
+    missed = {"n": 0}
+
+    def flaky_exists(path):
+        if path == marker and missed["n"] < 2:
+            missed["n"] += 1
+            return False
+        return real_exists(path)
+
+    monkeypatch.setattr(fx.os.path, "exists", flaky_exists)
+    root2 = fx.ensure_fixtures()
+    assert root2 == root
+    assert real_exists(marker)
+    # the winner's files came back via rename, not a regeneration
+    assert os.path.getmtime(os.path.join(root, "players.csv")) == winner_mtime
+    # and no aside/stage debris
+    import glob
+
+    assert not glob.glob(f"{root}.old*")
+    assert not glob.glob(f"{root}.stage*")
