@@ -137,6 +137,14 @@ HEADLINE = [
     "docs_bigram_logprob",
     "quality_perceptron_train",
     "t18_stream_dedup_history",
+    # round 10 additions: faithful-mode response-quirk twins + the
+    # classic correlated TPC-H shapes through the SQL front-end
+    "fpl_req2_dropped_goals_quirk",
+    "fpl_req3_card_list_quirk",
+    "sql_frontend_q4_exists",
+    "sql_frontend_q17_correlated",
+    "sql_frontend_q21_multi_exists",
+    "bpe_train_merges",
 ]
 
 

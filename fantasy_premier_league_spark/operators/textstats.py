@@ -1451,3 +1451,125 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "slot", "event_id", "user_id")
         .orderBy("event_type", "slot")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine BPE tokenizer training (bpe_train_merges): the classic
+# byte-pair-encoding merge loop (Sennrich et al. 2016) that every LLM
+# data pipeline runs to build its tokenizer, trained INSIDE the
+# engine. The 100 TB shape is the textbook one: the corpus is scanned
+# ONCE and collapsed to a word-frequency table (BPE trains on the
+# word-count dict, never the corpus), and each of the T merge
+# iterations is one aggregate over that vocab-sized table with the
+# chosen pair broadcast back as a literal -- zero corpus shuffles in
+# the loop, same scan discipline as quality_perceptron_train.
+#
+# Exactness: pair counts are integer sums; the argmax tie-breaks on
+# (count DESC, left ASC, right ASC); merge application is plain
+# left-to-right non-overlapping string replace, which Spark's
+# replace() and DuckDB's replace() implement identically (probed:
+# 'x a b a b' -> 'x ab ab' on both). The top-V word cap bounds loop
+# work and is the same vocab story as docs_bigram_logprob.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+_BPE_TOPWORDS = 1500
+
+
+def _bpe_oracle() -> str:
+    sql = f"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word ORDER BY cnt DESC, word LIMIT {_BPE_TOPWORDS}
+    ),
+    s0 AS (
+      SELECT array_to_string(string_split(word, ''), ' ') AS seq, cnt
+      FROM words
+    )"""
+    prev = "s0"
+    for t in range(1, _BPE_MERGES + 1):
+        sql += f""",
+    b{t} AS (
+      SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p, cnt
+        FROM (SELECT string_split(seq, ' ') AS a, cnt FROM {prev})
+      )
+      GROUP BY 1, 2 ORDER BY pair_count DESC, l, r LIMIT 1
+    ),
+    s{t} AS (
+      SELECT replace(seq, b.l || ' ' || b.r, b.l || b.r) AS seq, cnt
+      FROM {prev}, b{t} b
+    )"""
+        prev = f"s{t}"
+    union = " UNION ALL ".join(
+        f"SELECT {t} AS step, l AS left_sym, r AS right_sym, l || r AS merged,"
+        f" pair_count FROM b{t}"
+        for t in range(1, _BPE_MERGES + 1)
+    )
+    return f"{sql}\n    SELECT CAST(step AS INT) AS step, left_sym, right_sym, merged, pair_count FROM ({union}) ORDER BY step"
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first T BPE merges over the documents corpus; one row
+    per merge step (left, right, merged symbol, weighted pair count).
+
+    Loop mechanics mirror dedup's CC fixpoint: the vocab table is
+    localCheckpoint'ed per step to truncate lineage, and the argmax
+    pair comes back to the driver as ONE scalar row (the 4-value
+    analogue of the perceptron's weight broadcast; the corpus never
+    participates in the loop)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tok(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(_BPE_TOPWORDS)
+    )
+    seqs = words.select(
+        F.array_join(F.split("word", ""), " ").alias("seq"), "cnt"
+    ).localCheckpoint(eager=False)
+
+    out_rows = []
+    for t in range(1, _BPE_MERGES + 1):
+        arr = F.split("seq", " ")
+        n = F.size(arr)
+        pairs = (
+            seqs.select(
+                F.explode(
+                    F.arrays_zip(F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1))
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+        )
+        best = pairs.collect()[0]  # one scalar row per iteration
+        out_rows.append((t, best["l"], best["r"], best["l"] + best["r"],
+                         int(best["pair_count"])))
+        seqs = seqs.select(
+            F.expr(
+                "replace(seq, {} , {})".format(
+                    _sql_str(best["l"] + " " + best["r"]),
+                    _sql_str(best["l"] + best["r"]),
+                )
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        out_rows, "step int, left_sym string, right_sym string, merged string, pair_count long"
+    ).orderBy("step")
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted string literal (symbols come from corpus text,
+    so quoting must be correct, not assumed)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
