@@ -125,15 +125,22 @@ def ppm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     nf = (F.col("doc_id") % 3 + 1).cast("int")
     npx = 3 * w * h
 
+    # Pixel plane WITHOUT a per-byte transform (the naive
+    # transform+char build measured 26x at x100 data -- the builder,
+    # not the parser, dominated): since gcd(13, 95) = 1, the byte
+    # sequence j -> 32 + (a + 13j) % 95 is the fixed 95-char cycle
+    # C[k] = chr(32 + 13k % 95) read starting at offset
+    # j0 = 13^-1 * a = 22a (mod 95). So each frame's plane is
+    # substr(repeat(C, m), j0+1, npx) -- three string ops per frame.
+    cycle = "".join(chr(32 + (13 * k) % 95) for k in range(95))
+
     def frame(f):
-        pix = F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), npx - 1),
-                lambda j: F.char(
-                    (F.col("doc_id") * 7 + f * 11 + j * 13) % 95 + 32
-                ),
-            ),
-            "",
+        a = (F.col("doc_id") * 7 + f * 11) % 95
+        j0 = (a * 22) % 95
+        pix = F.substr(
+            F.repeat(F.lit(cycle), (npx / 95 + 2).cast("int")),
+            (j0 + 1).cast("int"),
+            npx,
         )
         return F.concat(
             F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
