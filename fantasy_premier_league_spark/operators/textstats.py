@@ -1573,3 +1573,112 @@ def _sql_str(s: str) -> str:
     """SQL single-quoted string literal (symbols come from corpus text,
     so quoting must be correct, not assumed)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule battery (docs_gopher_rules): the multi-rule
+# document filter of Rae et al. 2021 ("Scaling Language Models:
+# Gopher", repetition/format heuristics), reported as the PER-RULE
+# ablation table pipeline engineers actually read -- which rule kills
+# how many documents -- rather than one fused gate (that fused gate is
+# docs_clean_pipeline). Every threshold is a scaled-INTEGER comparison
+# (10*n_hash <= nt, 3*nt <= chars <= 10*nt, ...), the
+# quality_perceptron_train lesson: no float ratio ever crosses an
+# engine boundary, so the gate is bit-exact by construction.
+#
+# 100 TB shape: one corpus scan computes all rule booleans in a single
+# projection; the unpivot to (rule, flag) rows multiplies by a
+# CONSTANT 7 before a partial-aggregated groupBy over 7 keys -- the
+# shuffle carries ~7 rows per map partition.
+# ---------------------------------------------------------------------------
+
+
+def _gopher_oracle() -> str:
+    stop = "(" + ", ".join(f"'{s}'" for s in _STOPWORDS) + ")"
+    base = f"""
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS nc,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t LIKE '#%')) AS BIGINT) AS n_hash,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t LIKE '%...')) AS BIGINT) AS n_ell,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+                      t -> t IN {stop})) AS BIGINT) AS n_stop
+      FROM documents
+    """
+    rules = {
+        "word_count": "nt >= 50 AND nt <= 100000",
+        "mean_word_len": "3 * nt <= nc AND nc <= 10 * nt",
+        "hash_ratio": "10 * n_hash <= nt",
+        "ellipsis_ratio": "10 * n_ell <= nt",
+        "alpha_ratio": "5 * n_alpha >= 4 * nt",
+        "stopword_presence": "n_stop >= 2",
+    }
+    all_expr = " AND ".join(f"({e})" for e in rules.values())
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, CAST(count(*) FILTER ({expr}) AS BIGINT)"
+        f" AS n_pass, CAST(count(*) AS BIGINT) AS n_docs FROM f"
+        for name, expr in list(rules.items()) + [("all_rules", all_expr)]
+    )
+    return f"""
+    WITH f AS ({base})
+    SELECT rule, n_pass, n_docs - n_pass AS n_fail,
+           (1000000 * n_pass) // n_docs AS pass_ppm
+    FROM ({arms}) ORDER BY rule
+    """
+
+
+@register("docs_gopher_rules", oracle=_gopher_oracle())
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule pass/fail ablation for six Gopher-style quality rules
+    plus their conjunction; one corpus scan, constant-width unpivot."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tok(F.col("text"))
+    nt = F.size(toks).cast("long")
+    nc = F.length(F.regexp_replace("text", " ", "")).cast("long")
+    n_hash = F.size(F.filter(toks, lambda t: t.startswith("#"))).cast("long")
+    n_ell = F.size(F.filter(toks, lambda t: t.endswith("..."))).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(
+        F.filter(F.array_distinct(toks), lambda t: t.isin(*_STOPWORDS))
+    ).cast("long")
+
+    rules = {
+        "word_count": (nt >= 50) & (nt <= 100000),
+        "mean_word_len": (3 * nt <= nc) & (nc <= 10 * nt),
+        "hash_ratio": 10 * n_hash <= nt,
+        "ellipsis_ratio": 10 * n_ell <= nt,
+        "alpha_ratio": 5 * n_alpha >= 4 * nt,
+        "stopword_presence": n_stop >= 2,
+    }
+    rules["all_rules"] = None  # placeholder; built below
+    conj = None
+    for name, flag in list(rules.items()):
+        if flag is None:
+            continue
+        conj = flag if conj is None else (conj & flag)
+    rules["all_rules"] = conj
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                flag.cast("int").alias("pass_flag"),
+            )
+            for name, flag in rules.items()
+        ]
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.rule").alias("rule"))
+        .agg(
+            F.sum("p.pass_flag").cast("long").alias("n_pass"),
+            (F.count("*") - F.sum("p.pass_flag")).cast("long").alias("n_fail"),
+            F.expr(
+                "(1000000 * sum(p.pass_flag)) div count(*)"
+            ).alias("pass_ppm"),
+        )
+        .orderBy("rule")
+    )
