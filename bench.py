@@ -145,6 +145,7 @@ HEADLINE = [
     "sql_frontend_q17_correlated",
     "sql_frontend_q21_multi_exists",
     "bpe_train_merges",
+    "docs_gopher_rules",
 ]
 
 
