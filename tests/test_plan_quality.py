@@ -559,3 +559,94 @@ def test_pq_recall_no_sort_merge(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
         f"ann_pq_recall: bounded fan-outs must broadcast:\n{plan}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: the SQL front-end's classic correlated shapes
+# must decorrelate into joins (never nested-loop per-row subquery
+# execution), and the new loop operators must keep their iteration
+# work off the corpus.
+# ---------------------------------------------------------------------------
+
+
+def test_sql_frontend_q4_decorrelates_to_semi_join(spark):
+    plan = plan_of(build(spark, "sql_frontend_q4_exists"))
+    assert "LeftSemi" in plan, "correlated EXISTS did not become a semi join"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_frontend_q21_has_semi_and_anti(spark):
+    plan = plan_of(build(spark, "sql_frontend_q21_multi_exists"))
+    assert "LeftSemi" in plan, "EXISTS branch did not become a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS branch did not become an anti join"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_frontend_q17_correlated_agg_is_join(spark):
+    """Catalyst must rewrite the correlated scalar avg subquery into an
+    aggregate + join (per-row re-execution of the subquery is the
+    100 TB death shape)."""
+    plan = plan_of(build(spark, "sql_frontend_q17_correlated"))
+    assert "Join" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_count_plan_is_one_aggregate(spark):
+    """Each BPE iteration's argmax is a single partial-aggregated
+    groupBy over the vocab table + a 1-row TakeOrdered -- no join, no
+    window, no Python stage."""
+    from pyspark.sql import functions as F
+
+    from fantasy_premier_league_spark.operators.textstats import (
+        _BPE_TOPWORDS,
+        _tok,
+    )
+    from fantasy_premier_league_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF, "documents")
+    words = (
+        docs.select(F.explode(_tok(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(_BPE_TOPWORDS)
+    )
+    seqs = words.select(F.array_join(F.split("word", ""), " ").alias("seq"), "cnt")
+    arr = F.split("seq", " ")
+    n = F.size(arr)
+    pairs = (
+        seqs.select(
+            F.explode(
+                F.arrays_zip(F.slice(arr, 1, n - 1), F.slice(arr, 2, n - 1))
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "l", "r")
+        .limit(1)
+    )
+    plan = plan_of(pairs)
+    assert "TakeOrderedAndProject" in plan, "argmax should be top-1 pushdown"
+    assert "partial_sum" in plan or "partial" in plan.lower(), (
+        "pair counts must combine map-side"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_gopher_rules_single_scan_constant_unpivot(spark):
+    """All 7 rule flags come from ONE documents scan; the unpivot
+    multiplies rows by a constant 7 before a partial-aggregated
+    groupBy -- the shuffle carries ~7 rows per map partition."""
+    plan = plan_of(build(spark, "docs_gopher_rules"))
+    # formatted mode names each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "gopher rules must scan documents once"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
