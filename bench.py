@@ -146,6 +146,7 @@ HEADLINE = [
     "sql_frontend_q21_multi_exists",
     "bpe_train_merges",
     "docs_gopher_rules",
+    "quality_perceptron_apply",
 ]
 
 

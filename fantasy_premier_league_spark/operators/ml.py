@@ -855,7 +855,9 @@ def ml_kmeans_chemistry_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 _P_ITERS = 8
 
 
-def _perceptron_oracle() -> str:
+def _perceptron_ctes() -> tuple[str, str]:
+    """(WITH clause through w/m unrolled CTEs, m1..mT union) -- shared
+    by the training oracle and the apply/confusion oracle."""
     from fantasy_premier_league_spark.operators.textstats import _STOPWORDS
 
     stop = "(" + ", ".join(f"'{s}'" for s in _STOPWORDS) + ")"
@@ -905,7 +907,12 @@ def _perceptron_oracle() -> str:
     union = " UNION ALL ".join(
         f"SELECT * FROM m{t}" for t in range(1, _P_ITERS + 1)
     )
-    sql += f"""
+    return sql, union
+
+
+def _perceptron_oracle() -> str:
+    sql, union = _perceptron_ctes()
+    return sql + f"""
     SELECT CAST(iter AS INT) AS iter, wb, w1, w2, w3, n_mis,
            (1000000 * (n_docs - n_mis)) // n_docs AS acc_ppm,
            CAST(row_number() OVER (ORDER BY n_mis ASC, iter ASC) = 1
@@ -913,14 +920,11 @@ def _perceptron_oracle() -> str:
     FROM ({union})
     ORDER BY iter
     """
-    return sql
 
 
-@register("quality_perceptron_train", oracle=_perceptron_oracle())
-def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train + evaluate the quality classifier in-engine; one row per
-    iteration (weights, misclassifications, accuracy), pocket row
-    flagged."""
+def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (x1, x2, x3, y, cw) feature table both the training loop and
+    the apply/confusion query scan (checkpointed: scanned repeatedly)."""
     from fantasy_premier_league_spark.operators.textstats import (
         _STOPWORDS,
         _tok,
@@ -946,7 +950,7 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("y") == 1, 1)).cast("long").alias("n_pos"),
         F.count(F.when(F.col("y") == -1, 1)).cast("long").alias("n_neg"),
     )
-    f = (
+    return (
         fl.crossJoin(F.broadcast(cls))
         .select(
             "x1",
@@ -959,6 +963,14 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)  # scanned twice per iteration
     )
+
+
+@register("quality_perceptron_train", oracle=_perceptron_oracle())
+def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + evaluate the quality classifier in-engine; one row per
+    iteration (weights, misclassifications, accuracy), pocket row
+    flagged."""
+    f = _perceptron_features(spark, sf_dir)
     w = spark.range(1).select(
         F.lit(0).cast("long").alias("wb"),
         F.lit(0).cast("long").alias("w1"),
@@ -1028,4 +1040,103 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pocket == 1).cast("int").alias("is_pocket"),
         )
         .orderBy("iter")
+    )
+
+
+def _perceptron_apply_oracle() -> str:
+    sql, union = _perceptron_ctes()
+    marg = "y * (p.wb + p.w1*x1 + p.w2*x2 + p.w3*x3)"
+    return sql + f""",
+    pocket AS (
+      SELECT wb, w1, w2, w3 FROM ({union})
+      ORDER BY n_mis ASC, iter ASC LIMIT 1
+    )
+    SELECT y AS label,
+           CASE WHEN (p.wb + p.w1*x1 + p.w2*x2 + p.w3*x3) > 0
+                THEN CAST(1 AS INT) ELSE CAST(-1 AS INT) END AS pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER ({marg} <= 0) AS BIGINT) AS n_margin_viol
+    FROM f, pocket p
+    GROUP BY 1, 2 ORDER BY label, pred
+    """
+
+
+@register("quality_perceptron_apply", oracle=_perceptron_apply_oracle())
+def quality_perceptron_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-SERVE: re-run the pocket training loop, take the
+    pocket weights, and score the whole corpus -- the confusion matrix
+    (rule label x predicted sign) that closes the in-engine
+    train->inference loop.
+
+    Standalone-query contract (like dedup_cluster_keep_best): the
+    training loop re-runs rather than reading another query's output.
+    The pocket pick collects T tiny iteration rows driver-side (the
+    same 4-value scalar channel as training); scoring is ONE corpus
+    scan with the weights folded in as literals -- zero shuffles
+    besides the 4-row confusion aggregate. Ties in sign: margin 0
+    predicts -1 on both engines (> 0 is the positive test), and
+    n_margin_viol carries the training-rule margin check alongside."""
+    f = _perceptron_features(spark, sf_dir)
+    w = spark.range(1).select(
+        F.lit(0).cast("long").alias("wb"),
+        F.lit(0).cast("long").alias("w1"),
+        F.lit(0).cast("long").alias("w2"),
+        F.lit(0).cast("long").alias("w3"),
+    )
+    margin = F.col("y") * (
+        F.col("wb")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    mis = margin <= 0
+
+    def upd(x) -> Column:
+        return F.coalesce(
+            F.sum(F.when(mis, F.col("cw") * F.col("y") * x)), F.lit(0)
+        )
+
+    iters = []
+    for t in range(1, _P_ITERS + 1):
+        j = f.crossJoin(F.broadcast(w))
+        w = j.groupBy("wb", "w1", "w2", "w3").agg(
+            upd(F.lit(1)).alias("dwb"),
+            upd(F.col("x1")).alias("dw1"),
+            upd(F.col("x2")).alias("dw2"),
+            upd(F.col("x3")).alias("dw3"),
+        ).select(
+            (F.col("wb") + F.col("dwb")).alias("wb"),
+            (F.col("w1") + F.col("dw1")).alias("w1"),
+            (F.col("w2") + F.col("dw2")).alias("w2"),
+            (F.col("w3") + F.col("dw3")).alias("w3"),
+        ).localCheckpoint(eager=False)
+        iters.append(
+            f.crossJoin(F.broadcast(w))
+            .groupBy("wb", "w1", "w2", "w3")
+            .agg(F.count(F.when(mis, 1)).cast("long").alias("n_mis"))
+            .select(F.lit(t).cast("int").alias("iter"), "*")
+        )
+    hist = iters[0]
+    for m in iters[1:]:
+        hist = hist.unionByName(m)
+    best = hist.orderBy(F.col("n_mis").asc(), F.col("iter").asc()).limit(1).collect()[0]
+
+    score = (
+        F.lit(int(best["wb"]))
+        + F.lit(int(best["w1"])) * F.col("x1")
+        + F.lit(int(best["w2"])) * F.col("x2")
+        + F.lit(int(best["w3"])) * F.col("x3")
+    )
+    return (
+        f.select(
+            F.col("y").alias("label"),
+            F.when(score > 0, F.lit(1)).otherwise(F.lit(-1)).cast("int").alias("pred"),
+            (F.col("y") * score <= 0).cast("int").alias("viol"),
+        )
+        .groupBy("label", "pred")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("viol").cast("long").alias("n_margin_viol"),
+        )
+        .orderBy("label", "pred")
     )

@@ -71,6 +71,7 @@ NEW_THIS_ROUND: list[str] = [
     "sql_frontend_q21_multi_exists",  # semi+anti stack via spark.sql
     "bpe_train_merges",  # in-engine BPE tokenizer training (merge loop)
     "docs_gopher_rules",  # per-rule Gopher quality ablation table
+    "quality_perceptron_apply",  # pocket weights -> corpus confusion matrix
 ]
 
 _REPO_ROOT = os.path.dirname(
