@@ -87,3 +87,63 @@ def test_decode_batches_shape():
     assert row["n_bytes"] == len(RED_GREEN_BLUE_WHITE)
     assert (row["width"], row["height"], row["n_frames"]) == (2, 2, 1)
     assert (row["sum_r"], row["sum_g"], row["sum_b"]) == (510, 510, 510)
+
+
+# --- property tests: parser vs an independent in-test builder ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _build_p6(frames, w, h, header_ws=b"\n"):
+    """Independent P6 stream builder (NOT the repo's JVM builder):
+    bytes authored from the spec alone."""
+    out = b""
+    for plane in frames:
+        out += b"P6" + header_ws + str(w).encode() + b" " + str(h).encode()
+        out += b"\n255\n" + plane
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    nf=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_parser_roundtrips_arbitrary_geometry(w, h, nf, data):
+    planes = [
+        bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=3 * w * h, max_size=3 * w * h
+                )
+            )
+        )
+        for _ in range(nf)
+    ]
+    pw, ph, pnf, r, g, b = _parse_ppm_stream(_build_p6(planes, w, h))
+    assert (pw, ph, pnf) == (w, h, nf)
+    import numpy as np
+
+    arr = np.frombuffer(b"".join(planes), dtype=np.uint8).astype(np.int64)
+    expect = arr.reshape(-1, 3).sum(axis=0)
+    assert (r, g, b) == tuple(expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=8),
+    h=st.integers(min_value=1, max_value=8),
+    cut=st.integers(min_value=1, max_value=20),
+)
+def test_parser_rejects_any_truncation(w, h, cut):
+    plane = bytes(range(256))[: 3 * w * h] or bytes(3 * w * h)
+    plane = (plane * (3 * w * h // max(len(plane), 1) + 1))[: 3 * w * h]
+    stream = _build_p6([plane], w, h)
+    truncated = stream[: max(2, len(stream) - cut)]
+    if len(truncated) == len(stream):
+        return  # cut beyond length: nothing removed
+    with pytest.raises(ValueError):
+        _parse_ppm_stream(truncated)
