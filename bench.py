@@ -147,6 +147,7 @@ HEADLINE = [
     "bpe_train_merges",
     "docs_gopher_rules",
     "quality_perceptron_apply",
+    "sql_frontend_q20_nested_in",
 ]
 
 

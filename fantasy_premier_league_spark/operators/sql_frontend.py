@@ -295,3 +295,38 @@ def sql_frontend_q21_multi_exists(spark: SparkSession, sf_dir: str) -> DataFrame
     for t in ("supplier", "lineitem", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q21_MULTI_EXISTS_SQL)
+
+
+_Q20_NESTED_IN_SQL = """
+    WITH q AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_units
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND p_name LIKE '%blue%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT s_name, round(s_acctbal * 1e2) / 100 AS s_acctbal
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT suppkey FROM q
+        WHERE qty_units > (SELECT sum(q2.qty_units) FROM q q2
+                           WHERE q2.partkey = q.partkey) * 0.5)
+    ORDER BY s_name
+"""
+
+
+@register("sql_frontend_q20_nested_in", oracle=_Q20_NESTED_IN_SQL)
+def sql_frontend_q20_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20's nested IN containing its own correlated scalar
+    aggregate subquery, through spark.sql (the DataFrame twin
+    q20_excess_suppliers hand-decorrelates the half-sum into a
+    groupBy+rejoin; here Catalyst must do both rewrites itself:
+    IN -> semi join, correlated sum -> aggregate + join). s_acctbal
+    uses the scaled round form (round(x*1e2)/100) -- plain round(x,2)
+    is the documented cross-engine half-boundary trap."""
+    for t in ("lineitem", "part", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q20_NESTED_IN_SQL)

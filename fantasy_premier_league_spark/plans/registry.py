@@ -72,6 +72,7 @@ NEW_THIS_ROUND: list[str] = [
     "bpe_train_merges",  # in-engine BPE tokenizer training (merge loop)
     "docs_gopher_rules",  # per-rule Gopher quality ablation table
     "quality_perceptron_apply",  # pocket weights -> corpus confusion matrix
+    "sql_frontend_q20_nested_in",  # nested IN + correlated half-sum via spark.sql
 ]
 
 _REPO_ROOT = os.path.dirname(

@@ -650,3 +650,12 @@ def test_gopher_rules_single_scan_constant_unpivot(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_sql_frontend_q20_nested_in_decorrelates(spark):
+    """Nested IN + correlated scalar agg must become joins (semi for
+    the IN, aggregate+join for the half-sum) -- no nested-loop."""
+    plan = plan_of(build(spark, "sql_frontend_q20_nested_in"))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
