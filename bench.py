@@ -148,6 +148,7 @@ HEADLINE = [
     "docs_gopher_rules",
     "quality_perceptron_apply",
     "sql_frontend_q20_nested_in",
+    "emb_gram_matrix",
 ]
 
 

@@ -1419,3 +1419,80 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gram / scatter matrix over the embedding space (emb_gram_matrix):
+# the distributed HALF of PCA-whitening -- at 100 TB you compute the
+# d x d scatter matrix in ONE corpus scan (partial-aggregated sums, a
+# shuffle of d^2 numbers per map partition) and eigensolve the tiny
+# matrix on the driver; the corpus is never touched again. Components
+# quantized to exact BIGINT by the ml_kmeans_embeddings floor(x*2^20)
+# recipe, so every entry is an order-independent integer sum --
+# bit-identical across engines with no float summation anywhere.
+# Leading _GRAM_D dims keep the unpivot constant-width; |q|<=2^21 and
+# N<=10^9 rows stay under BIGINT (2^42 * 2^21 overhead bits to
+# spare); beyond that the production recipe shards the sum into
+# per-range partials merged as DECIMAL -- noted, not needed here.
+# ---------------------------------------------------------------------------
+
+_GRAM_D = 8
+_GRAM_SCALE = 1048576.0  # 2^20, exact double product with any float32
+
+
+def _gram_oracle() -> str:
+    q = ", ".join(
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT)"
+        f" AS q{i}"
+        for i in range(1, _GRAM_D + 1)
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS dim_i, {j} AS dim_j,"
+        f" CAST(sum(q{i} * q{j}) AS BIGINT) AS dot,"
+        f" CAST(count(*) AS BIGINT) AS n_vecs FROM f"
+        for i in range(1, _GRAM_D + 1)
+        for j in range(i, _GRAM_D + 1)
+    )
+    return f"""
+    WITH f AS (SELECT {q} FROM embeddings)
+    SELECT dim_i, dim_j, dot, n_vecs FROM ({arms})
+    ORDER BY dim_i, dim_j
+    """
+
+
+@register("emb_gram_matrix", oracle=_gram_oracle())
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle scatter matrix (36 rows at d=8) over quantized
+    embedding components: one scan, one constant-width agg, the
+    eigensolve input for driver-side PCA."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = {
+        i: F.floor(
+            F.col("embedding")[i - 1].cast("double") * _GRAM_SCALE
+        ).cast("long")
+        for i in range(1, _GRAM_D + 1)
+    }
+    aggs = [
+        F.sum(qs[i] * qs[j]).alias(f"g_{i}_{j}")
+        for i in range(1, _GRAM_D + 1)
+        for j in range(i, _GRAM_D + 1)
+    ]
+    wide = emb.agg(F.count("*").cast("long").alias("n_vecs"), *aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("dim_i"),
+                    F.lit(j).alias("dim_j"),
+                    F.col(f"g_{i}_{j}").cast("long").alias("dot"),
+                )
+                for i in range(1, _GRAM_D + 1)
+                for j in range(i, _GRAM_D + 1)
+            ]
+        )
+    ).alias("p")
+    return (
+        wide.select("n_vecs", pairs)
+        .select("p.dim_i", "p.dim_j", "p.dot", "n_vecs")
+        .orderBy("dim_i", "dim_j")
+    )

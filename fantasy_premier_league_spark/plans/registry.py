@@ -73,6 +73,7 @@ NEW_THIS_ROUND: list[str] = [
     "docs_gopher_rules",  # per-rule Gopher quality ablation table
     "quality_perceptron_apply",  # pocket weights -> corpus confusion matrix
     "sql_frontend_q20_nested_in",  # nested IN + correlated half-sum via spark.sql
+    "emb_gram_matrix",  # exact-integer scatter matrix, the PCA input scan
 ]
 
 _REPO_ROOT = os.path.dirname(
