@@ -898,7 +898,9 @@ def _perceptron_ctes() -> tuple[str, str]:
       FROM f, {prev} w GROUP BY w.wb, w.w1, w.w2, w.w3
     ),
     m{t} AS (
-      SELECT {t} AS iter, w.wb, w.w1, w.w2, w.w3,
+      SELECT {t} AS iter,
+             CAST(w.wb AS BIGINT) AS wb, CAST(w.w1 AS BIGINT) AS w1,
+             CAST(w.w2 AS BIGINT) AS w2, CAST(w.w3 AS BIGINT) AS w3,
              CAST(count(*) FILTER ({marg} <= 0) AS BIGINT) AS n_mis,
              CAST(count(*) AS BIGINT) AS n_docs
       FROM f, w{t} w GROUP BY w.wb, w.w1, w.w2, w.w3
@@ -965,11 +967,10 @@ def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quality_perceptron_train", oracle=_perceptron_oracle())
-def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train + evaluate the quality classifier in-engine; one row per
-    iteration (weights, misclassifications, accuracy), pocket row
-    flagged."""
+def _perceptron_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the full pocket-training loop; one row per iteration with
+    (iter, wb, w1, w2, w3, n_mis, n_docs). Shared by the train query
+    and its r11 driver-bisect probes so all three scan one plan shape."""
     f = _perceptron_features(spark, sf_dir)
     w = spark.range(1).select(
         F.lit(0).cast("long").alias("wb"),
@@ -1019,6 +1020,15 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = m_rows[0]
     for m in m_rows[1:]:
         hist = hist.unionByName(m)
+    return hist
+
+
+@register("quality_perceptron_train", oracle=_perceptron_oracle())
+def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + evaluate the quality classifier in-engine; one row per
+    iteration (weights, misclassifications, accuracy), pocket row
+    flagged."""
+    hist = _perceptron_history(spark, sf_dir)
     pocket = F.row_number().over(
         Window.orderBy(F.col("n_mis").asc(), F.col("iter").asc())
     )
@@ -1031,16 +1041,78 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w3",
             "n_mis",
             F.expr("(1000000 * (n_docs - n_mis)) div n_docs").alias("acc_ppm"),
-            # INT, not BOOLEAN: is_pocket was the only boolean result
-            # column across the whole query surface, and the one
-            # driver-side hash mismatch that never reproduced locally
-            # (CORRECTNESS_r09) -- a boolean-normalization difference
-            # between the engines' client types is the one remaining
-            # env-sensitive construct here, so remove the type.
+            # r9/r10 driver hash mismatch root cause (found r11, fixed
+            # in _perceptron_ctes): the oracle's wb/w1/w2/w3 were DuckDB
+            # HUGEINT (sum(BIGINT) widens to INT128 and propagates
+            # through all 8 weight CTEs), which pandas renders as
+            # float64 (690415.0 vs int64 690415) -- the registry
+            # convention "cast integer aggregates to BIGINT" was
+            # followed everywhere but the weight CTEs. Exact-value
+            # comparison via fetchall() hides it (HUGEINT -> Python
+            # int), which is why it never reproduced locally. The
+            # apply query passes because its outputs are all cast.
             (pocket == 1).cast("int").alias("is_pocket"),
         )
         .orderBy("iter")
     )
+
+
+# --- r11 driver-bisect probes (VERDICT r10 next-round #1) --------------
+#
+# quality_perceptron_train failed its r9/r10 driver hash with no local
+# reproduction. The HUGEINT root cause above was found and fixed this
+# round, but per the r10 verdict any driver-only mismatch must also be
+# bisected BY the driver, not closed on a theory alone: these two
+# probes split train's output columns so that if train is still red in
+# CORRECTNESS_r11, one driver round pins the divergence to either the
+# weight trajectory (weights probe red) or the derived columns
+# (derived probe red). DELETE both once train is green.
+
+
+def _perceptron_weights_oracle() -> str:
+    sql, union = _perceptron_ctes()
+    return sql + f"""
+    SELECT CAST(iter AS INT) AS iter, wb, w1, w2, w3
+    FROM ({union})
+    ORDER BY iter
+    """
+
+
+@register("quality_perceptron_weights", oracle=_perceptron_weights_oracle())
+def quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect probe A: the raw weight trajectory only -- no n_mis, no
+    derived columns."""
+    return _perceptron_history(spark, sf_dir).select(
+        "iter", "wb", "w1", "w2", "w3"
+    ).orderBy("iter")
+
+
+def _perceptron_derived_oracle() -> str:
+    sql, union = _perceptron_ctes()
+    return sql + f"""
+    SELECT CAST(iter AS INT) AS iter, n_mis,
+           (1000000 * (n_docs - n_mis)) // n_docs AS acc_ppm,
+           CAST(row_number() OVER (ORDER BY n_mis ASC, iter ASC) = 1
+                AS INT) AS is_pocket
+    FROM ({union})
+    ORDER BY iter
+    """
+
+
+@register("quality_perceptron_derived", oracle=_perceptron_derived_oracle())
+def quality_perceptron_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisect probe B: the derived columns only (n_mis, integer-div
+    accuracy, window-derived pocket flag) -- no weight columns."""
+    hist = _perceptron_history(spark, sf_dir)
+    pocket = F.row_number().over(
+        Window.orderBy(F.col("n_mis").asc(), F.col("iter").asc())
+    )
+    return hist.select(
+        "iter",
+        "n_mis",
+        F.expr("(1000000 * (n_docs - n_mis)) div n_docs").alias("acc_ppm"),
+        (pocket == 1).cast("int").alias("is_pocket"),
+    ).orderBy("iter")
 
 
 def _perceptron_apply_oracle() -> str:

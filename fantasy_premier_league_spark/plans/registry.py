@@ -48,32 +48,27 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update whenever a registered query's implementation
-# or oracle changes. Round 10: quality_perceptron_train's is_pocket
-# column became INT on both engines -- it was the only BOOLEAN result
-# column across the whole query surface and the only driver-side hash
-# mismatch that never reproduced locally (CORRECTNESS_r09), so the
-# env-sensitive type itself was removed.
+# or oracle changes. Round 11: the r9/r10 quality_perceptron_train hash
+# mismatch was root-caused LOCALLY this time -- the oracle's weight
+# columns were DuckDB HUGEINT (sum(BIGINT) widens to INT128 through the
+# unrolled weight CTEs), which the pandas fetch path renders float64
+# (690415.0 vs Spark's int64 690415); exact-value fetchall comparison
+# hides it, hence no local repro. Fixed by CAST(... AS BIGINT) in the
+# m{t} CTEs (ml.py _perceptron_ctes). bpe_train_merges: merges now
+# apply on the token ARRAY (both engines) -- the old space-joined
+# string replace could fuse across token boundaries (ADVICE r10).
 CHANGED_THIS_ROUND: list[str] = [
-    "quality_perceptron_train",  # is_pocket BOOLEAN -> INT both engines
-    "mm_decode_stats",  # real P6 PPM parse replaces the md5 stub
-    "mm_frame_sample",  # n_frames now from the real frame demux
-    "mm_image_resize",  # geometry now from the real header parse
+    "quality_perceptron_train",  # oracle weight cols HUGEINT -> BIGINT
+    "bpe_train_merges",  # token-boundary-safe merge application
 ]
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:
 # tests/test_sample_rotation.py fails when changed + never-sampled > 50.
 NEW_THIS_ROUND: list[str] = [
-    "fpl_req2_dropped_goals_quirk",  # reference omits goals (ui.py:102-105)
-    "fpl_req3_card_list_quirk",  # card lists = full roster (ui.py:162-163)
-    "sql_frontend_q4_exists",  # classic correlated EXISTS via spark.sql
-    "sql_frontend_q17_correlated",  # correlated scalar agg via spark.sql
-    "sql_frontend_q21_multi_exists",  # semi+anti stack via spark.sql
-    "bpe_train_merges",  # in-engine BPE tokenizer training (merge loop)
-    "docs_gopher_rules",  # per-rule Gopher quality ablation table
-    "quality_perceptron_apply",  # pocket weights -> corpus confusion matrix
-    "sql_frontend_q20_nested_in",  # nested IN + correlated half-sum via spark.sql
-    "emb_gram_matrix",  # exact-integer scatter matrix, the PCA input scan
+    "quality_perceptron_weights",  # r11 bisect probe A (delete when green)
+    "quality_perceptron_derived",  # r11 bisect probe B (delete when green)
+    "fpl_a5_spec_rating",  # spec-correct A5 twin (Specs.pdf formulas)
 ]
 
 _REPO_ROOT = os.path.dirname(
