@@ -1465,11 +1465,18 @@ def sample_reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the loop, same scan discipline as quality_perceptron_train.
 #
 # Exactness: pair counts are integer sums; the argmax tie-breaks on
-# (count DESC, left ASC, right ASC); merge application is plain
-# left-to-right non-overlapping string replace, which Spark's
-# replace() and DuckDB's replace() implement identically (probed:
-# 'x a b a b' -> 'x ab ab' on both). The top-V word cap bounds loop
-# work and is the same vocab story as docs_bigram_logprob.
+# (count DESC, left ASC, right ASC); merge application is a
+# left-to-right non-overlapping fold over the TOKEN array (Spark
+# F.aggregate / DuckDB list_reduce with identical step logic) -- a
+# plain string replace on the space-joined sequence would fuse across
+# token boundaries (tokens [c, ab, b] + pair (b,b): replace('b b')
+# matches ab's suffix, ADVICE r10), and regex boundary guards are out
+# because DuckDB's RE2 lacks lookarounds. The fold appends r to the
+# accumulator iff its last token is exactly l (suffix ' '||l, or the
+# whole acc on the first token); a just-merged token can never
+# immediately re-merge because l||r = l would need an empty r. The
+# top-V word cap bounds loop work, same vocab story as
+# docs_bigram_logprob.
 # ---------------------------------------------------------------------------
 
 _BPE_MERGES = 6
@@ -1500,7 +1507,11 @@ def _bpe_oracle() -> str:
       GROUP BY 1, 2 ORDER BY pair_count DESC, l, r LIMIT 1
     ),
     s{t} AS (
-      SELECT replace(seq, b.l || ' ' || b.r, b.l || b.r) AS seq, cnt
+      SELECT list_reduce(string_split(seq, ' '),
+               (acc, x) -> CASE WHEN (acc = b.l OR ends_with(acc, ' ' || b.l))
+                                     AND x = b.r
+                                THEN acc || b.r
+                                ELSE acc || ' ' || x END) AS seq, cnt
       FROM {prev}, b{t} b
     )"""
         prev = f"s{t}"
@@ -1554,12 +1565,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = pairs.collect()[0]  # one scalar row per iteration
         out_rows.append((t, best["l"], best["r"], best["l"] + best["r"],
                          int(best["pair_count"])))
+        l_lit, r_lit = F.lit(best["l"]), F.lit(best["r"])
+        tail_l = F.lit(" " + best["l"])
         seqs = seqs.select(
-            F.expr(
-                "replace(seq, {} , {})".format(
-                    _sql_str(best["l"] + " " + best["r"]),
-                    _sql_str(best["l"] + best["r"]),
-                )
+            F.aggregate(
+                F.split("seq", " "),
+                F.lit(""),
+                lambda acc, x: F.when(acc == "", x).otherwise(
+                    F.when(
+                        ((acc == l_lit) | acc.endswith(tail_l)) & (x == r_lit),
+                        F.concat(acc, r_lit),
+                    ).otherwise(F.concat(acc, F.lit(" "), x))
+                ),
             ).alias("seq"),
             "cnt",
         ).localCheckpoint(eager=False)
@@ -1567,12 +1584,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "step int, left_sym string, right_sym string, merged string, pair_count long"
     ).orderBy("step")
-
-
-def _sql_str(s: str) -> str:
-    """SQL single-quoted string literal (symbols come from corpus text,
-    so quoting must be correct, not assumed)."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 # ---------------------------------------------------------------------------

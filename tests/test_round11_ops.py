@@ -1,0 +1,75 @@
+"""Round-11 behavior tests.
+
+BPE merge application must be token-boundary-safe (ADVICE r10): a plain
+string replace on the space-joined sequence fuses across token
+boundaries once multi-char tokens exist -- tokens [ab, b, b] with pair
+(b, b) must become [ab, bb], but replace('b b', 'bb') matches ab's
+trailing 'b' first and yields [abb, b]. The differential oracle gate
+could never catch this because both sides shared the same replace; this
+fixture is built so the buggy and correct applications DIVERGE at merge
+step 4, and both engines are asserted against the hand-computed table.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from fantasy_premier_league_spark.operators.textstats import (
+    _bpe_oracle,
+    bpe_train_merges,
+)
+
+# Corpus word frequencies chosen so the merge schedule is forced:
+#   step 1: (a, b) count 13  -> 'ab'   (all tokens single chars: safe)
+#   step 2: (b, b) count  7  -> 'bb'   ('abbb' is now [ab, b, b]: the
+#                                       boundary case -- correct [ab, bb],
+#                                       buggy [abb, b])
+#   step 3: (bb, c) count 4  -> 'bbc'
+#   step 4: (ab, bb) count 3 -> 'abbb' (buggy code would emit (abb, b))
+#   step 5: (d, e) count 2   -> 'de'   (tie among d-e-f-g-h: l/r ASC)
+#   step 6: (de, f) count 2  -> 'def'
+_WORDS = ["ab"] * 10 + ["bbc"] * 4 + ["abbb"] * 3 + ["defgh"] * 2
+
+_EXPECTED = [
+    (1, "a", "b", "ab", 13),
+    (2, "b", "b", "bb", 7),
+    (3, "bb", "c", "bbc", 4),
+    (4, "ab", "bb", "abbb", 3),
+    (5, "d", "e", "de", 2),
+    (6, "de", "f", "def", 2),
+]
+
+
+@pytest.fixture(scope="module")
+def boundary_corpus(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("bpe_boundary")
+    # one word per document: word frequency == document count
+    spark.createDataFrame(
+        [(w,) for w in _WORDS], "text string"
+    ).coalesce(1).write.parquet(os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_merge_is_token_boundary_safe(spark, boundary_corpus):
+    rows = bpe_train_merges(spark, boundary_corpus).collect()
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in rows
+    ]
+    assert got == _EXPECTED, (
+        "step-4 left symbol 'abb' instead of 'ab' means a merge fused "
+        "across a token boundary"
+    )
+
+
+def test_bpe_oracle_is_token_boundary_safe(boundary_corpus):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(boundary_corpus, 'documents.parquet')}/*.parquet')"
+    )
+    got = [tuple(r) for r in con.execute(_bpe_oracle()).fetchall()]
+    assert got == _EXPECTED
