@@ -149,6 +149,10 @@ HEADLINE = [
     "quality_perceptron_apply",
     "sql_frontend_q20_nested_in",
     "emb_gram_matrix",
+    # round 11 addition: the spec-correct A5 twin (free-kick
+    # effectiveness + real minutes scaling), closing the
+    # faithful-vs-spec matrix
+    "fpl_a5_spec_rating",
 ]
 
 

