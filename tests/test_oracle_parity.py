@@ -39,6 +39,30 @@ def test_query_matches_oracle(spark, duck, name, fn, oracle):
         assert n > 0, f"{name}: vacuous 0-row parity (testdata drift?)"
 
 
+def test_no_oracle_returns_hugeint():
+    """r9/r10 lesson (quality_perceptron_train): DuckDB sum(BIGINT)
+    widens to HUGEINT, which the driver's pandas fetch path renders as
+    float64 -- a hash mismatch that compare()'s fetchall path can NEVER
+    see (HUGEINT -> Python int). Bind every registered oracle (DESCRIBE
+    runs the binder only, ~3 s for all of them) and reject HUGEINT
+    result columns outright; the fix is always CAST(... AS BIGINT)."""
+    from fantasy_premier_league_spark.sources.fpl_fixtures import ensure_fixtures
+
+    ensure_fixtures()  # fpl-tier oracles read the fixture CSVs/JSONL
+    con = duck_connection(SF_SMOKE)
+    flagged = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        cols = con.execute("DESCRIBE " + sql).fetchall()
+        hug = [c[0] for c in cols if "HUGEINT" in str(c[1])]
+        if hug:
+            flagged[name] = hug
+    con.close()
+    assert not flagged, (
+        f"oracles returning HUGEINT columns (pandas renders these float64 "
+        f"on the driver, hash-mismatching Spark's int64): {flagged}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
