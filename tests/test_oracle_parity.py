@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_CORRECTNESS
+from tests.conftest import SF_CORRECTNESS, SF_SMOKE
 from tests.oracle_harness import compare, duck_connection
 
 import __spark_entry__ as entry_mod
