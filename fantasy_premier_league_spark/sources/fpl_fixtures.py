@@ -29,7 +29,7 @@ import random
 import shutil
 import tempfile
 
-VERSION = "fpl_fixtures_v1"
+VERSION = "fpl_fixtures_v2"  # v2: escaped-unicode name for (team 0, slot 5)
 
 N_TEAMS = 4
 PLAYERS_PER_TEAM = 15  # 11 lineup + 4 bench
@@ -71,6 +71,23 @@ def player_id(team: int, slot: int) -> int:
     return 1000 + team * 100 + slot
 
 
+# The reference's players.csv stores non-ASCII names as LITERAL
+# backslash-u escapes ("Andr\\u00e9 Ramalho Silva",
+# /root/reference/data/players.csv:2) and ui.py:41 matches request
+# names byte-exactly against that escaped text -- requests must carry
+# the ESCAPED form, never the decoded "André". One fixture player pins
+# this (SURVEY 1.2; VERDICT r10 #6): (team 0, slot 5) is req2's lookup
+# target, so the escaped name flows through the request path
+# end-to-end on every round's req2 gates.
+ESCAPED_TEAM, ESCAPED_SLOT = 0, 5
+
+
+def player_name(team: int, slot: int) -> str:
+    if (team, slot) == (ESCAPED_TEAM, ESCAPED_SLOT):
+        return f"Play\\u00e9r {TEAM_NAMES[team]} {slot:02d}"
+    return f"Player {TEAM_NAMES[team]} {slot:02d}"
+
+
 def make_players() -> list[dict]:
     rng = random.Random(421)
     rows = []
@@ -79,7 +96,7 @@ def make_players() -> list[dict]:
             pid = player_id(team, slot)
             rows.append(
                 {
-                    "name": f"Player {TEAM_NAMES[team]} {slot:02d}",
+                    "name": player_name(team, slot),
                     "birthArea": rng.choice(AREAS),
                     "birthDate": f"{rng.randint(1980, 2000)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}",
                     "foot": rng.choice(["right", "left", "both"]),
@@ -350,8 +367,8 @@ def _generate_into(root: str, scale: int) -> None:
                 f.write(json.dumps(ev, separators=(",", ":")) + "\n")
 
     # request fixtures (FIXTURES.md section 5)
-    xi = [f"Player {TEAM_NAMES[0]} {s:02d}" for s in range(11)]
-    xi2 = [f"Player {TEAM_NAMES[1]} {s:02d}" for s in range(11)]
+    xi = [player_name(0, s) for s in range(11)]
+    xi2 = [player_name(1, s) for s in range(11)]
     reqs = {
         "req1_valid.json": {
             "req_type": 1,
@@ -430,8 +447,8 @@ def ensure_invalid_req1(root: str) -> str:
     if os.path.exists(path):
         return path
     # team1 XI: slots 0-9 plus the bench GK (slot 11) -> gk==2, invalid
-    bad_xi = [f"Player {TEAM_NAMES[0]} {s:02d}" for s in list(range(10)) + [11]]
-    xi2 = [f"Player {TEAM_NAMES[1]} {s:02d}" for s in range(11)]
+    bad_xi = [player_name(0, s) for s in list(range(10)) + [11]]
+    xi2 = [player_name(1, s) for s in range(11)]
     payload = {
         "req_type": 1,
         "date": "2018-04-01",

@@ -16,6 +16,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from fantasy_premier_league_spark.operators.textstats import (
     _bpe_oracle,
@@ -98,6 +99,62 @@ def test_fpl_a5_spec_twin_diverges_where_the_reference_deviates(spark):
     assert subbed, "fixtures carry no substituted players?"
     spans = player_spans(matches_df(spark))
     assert spans.filter("outTime - inTime < 90 AND inTime >= 0").count() > 0
+
+
+def test_escaped_unicode_name_matches_byte_exactly(spark):
+    """SURVEY 1.2 / VERDICT r10 #6: the reference's players.csv stores
+    non-ASCII names as LITERAL backslash-u escapes and ui.py:41 matches
+    request names byte-exactly against that text. Fixture (team 0,
+    slot 5) -- req2's lookup target -- now carries the escaped form;
+    this pins byte-exact matching through the batch dim, both engines'
+    CSV readers, and the request path, and that the DECODED form does
+    NOT match."""
+    import json as _json
+
+    from fantasy_premier_league_spark.operators.api import REQ2, player_profile
+    from fantasy_premier_league_spark.operators.pipeline import load_players
+    from fantasy_premier_league_spark.sources.fpl_fixtures import (
+        ensure_fixtures,
+        player_id,
+        player_name,
+    )
+
+    escaped = player_name(0, 5)
+    assert "\\u00e9" in escaped and "é" not in escaped
+    root = ensure_fixtures()
+
+    # the CSV on disk carries the literal backslash bytes
+    with open(f"{root}/players.csv", encoding="utf-8") as f:
+        assert any(escaped in line for line in f)
+
+    # batch dim: Spark's CSV reader must deliver the raw escaped bytes
+    row = load_players(spark).filter(F.col("name") == escaped).collect()
+    assert len(row) == 1 and row[0]["Id"] == player_id(0, 5)
+
+    # ...and so must DuckDB's (the oracle side of every req gate)
+    dk = duckdb.sql(
+        f"SELECT Id FROM read_csv('{root}/players.csv', header=true) "
+        f"WHERE name = '{escaped.replace(chr(92), chr(92) * 2)}'"
+    ).fetchall()
+    # DuckDB string literals don't process backslash escapes, so the
+    # raw form IS the literal:
+    dk_raw = duckdb.sql(
+        f"SELECT Id FROM read_csv('{root}/players.csv', header=true) "
+        f"WHERE name = '{escaped}'"
+    ).fetchall()
+    assert [r[0] for r in dk_raw] == [player_id(0, 5)] or [r[0] for r in dk] == [
+        player_id(0, 5)
+    ]
+
+    # request path: req2's fixture routes through the escaped name...
+    with open(REQ2) as f:
+        assert _json.load(f)["name"] == escaped
+    prof = player_profile(spark, escaped)
+    assert prof is not None and prof["name"] == escaped
+
+    # ...and the DECODED form must NOT match (byte-exact, ui.py:41)
+    decoded = escaped.replace("\\u00e9", "é")
+    assert player_profile(spark, decoded) is None
 
 
 def test_bpe_oracle_is_token_boundary_safe(boundary_corpus):
