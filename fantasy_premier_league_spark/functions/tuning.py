@@ -6,6 +6,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 import time
 from contextlib import contextmanager
 
@@ -30,6 +31,7 @@ _CLAIMED_DIRS: set[str] = set()
 # no walk). Interval well under the 1h staleness cutoff.
 _HEARTBEAT_INTERVAL_S = 600
 _HEARTBEAT_STARTED = False
+_HEARTBEAT_LOCK = threading.Lock()
 
 
 def _heartbeat_tick() -> None:
@@ -44,10 +46,12 @@ def _heartbeat_tick() -> None:
 
 def _ensure_heartbeat() -> None:
     global _HEARTBEAT_STARTED
-    if _HEARTBEAT_STARTED:
-        return
-    _HEARTBEAT_STARTED = True
-    import threading
+    # lock the check-then-set: concurrent first claims (parallel bench
+    # workers) could otherwise each start a heartbeat thread (ADVICE r10)
+    with _HEARTBEAT_LOCK:
+        if _HEARTBEAT_STARTED:
+            return
+        _HEARTBEAT_STARTED = True
 
     def _loop() -> None:
         while True:

@@ -189,7 +189,12 @@ def _parse_ppm_stream(payload: bytes) -> tuple[int, int, int, int, int, int]:
         w, h, maxval = vals
         if maxval != 255:
             raise ValueError(f"unsupported maxval {maxval}")
-        off += 1  # single whitespace byte after maxval per the P6 spec
+        # exactly one whitespace byte after maxval per the P6 spec; a
+        # non-whitespace byte here would silently shift the pixel plane
+        # by one (ADVICE r10) -- fail loudly instead
+        if off >= n or not payload[off : off + 1].isspace():
+            raise ValueError(f"expected whitespace after maxval at offset {off}")
+        off += 1
         plane = payload[off : off + 3 * w * h]
         if len(plane) != 3 * w * h:
             raise ValueError(f"truncated plane at offset {off}")

@@ -50,6 +50,8 @@ def test_header_whitespace_variants():
         RED_GREEN_BLUE_WHITE + b"P6\n9 9\n255\n" + b"\x00" * 243,  # geometry change
         b"",  # empty stream
         b"P6\nxy 2\n255\n" + b"\x00" * 12,  # non-numeric header token
+        b"P6\n2 2\n255X" + b"\x00" * 12,  # non-whitespace after maxval
+        b"P6\n2 2\n255",  # stream ends right after maxval
     ],
 )
 def test_rejects_malformed(payload):

@@ -28,19 +28,19 @@ DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
 # Queries whose slowdown is a DELIBERATE trade, with the one-line
 # waiver the round record carries (precedent: r7's containment +1.6 s
-# at sf0.1 bought the 27x -> 4.1x sf10 collapse). Prune entries when
-# the comparison base moves past the trade.
-WAIVERS: dict[str, str] = {
-    # r10: the md5-stub codec became a real P6 parse (BASELINE.md
-    # round-10 section) -- the +0.36 s is the honest Arrow transfer
-    # + header/plane decode the stub was hiding. Measured trade,
-    # exponent 0.54 at sf10.
-    "mm_image_resize": "real decode replaced the md5 stub (r10)",
-    # r10: +0.26 s at sub-second scale with NO code change to the
-    # query this round; solo re-measure on an idle machine repeats
-    # 0.58-0.70 s. Recorded as environment drift at jitter scale, to
-    # re-examine if it compounds next round.
-    "bucketed_colocated_join": "sub-second env drift, no code change (r10)",
+# at sf0.1 bought the 27x -> 4.1x sf10 collapse). Each entry is
+# (base_rev_prefix, reason): the waiver applies ONLY while the gate
+# still compares against that committed baseline -- once the base
+# moves (next round's BENCH_DETAIL lands, absorbing the slowdown) the
+# waiver auto-expires and a recurrence flags normally (ADVICE r10:
+# name-keyed waivers persisted across rounds and could mask a real
+# future regression on the same query). Grant with:
+#   git rev-list -1 HEAD -- BENCH_DETAIL.json
+# Prune expired entries when touching this file.
+WAIVERS: dict[str, tuple[str, str]] = {
+    # (the two r10 waivers -- mm_image_resize's real-decode trade and
+    # bucketed_colocated_join's sub-second env drift -- expired when
+    # the r10 spread was committed at 48e6e2d and were pruned.)
 }
 
 # below this absolute growth (seconds) a ratio is VM jitter, not signal
@@ -130,8 +130,17 @@ def main() -> int:
                 f"{name}: {prev:.2f}s -> {med:.2f}s ({ratio:.2f}x raw, "
                 f"{ratio / drift:.2f}x drift-adjusted)"
             )
-            if name in WAIVERS:
-                waived.append(f"{row} [waived: {WAIVERS[name]}]")
+            waiver = WAIVERS.get(name)
+            same_base = waiver is not None and (
+                waiver[0].startswith(base_label) or base_label.startswith(waiver[0])
+            )
+            if waiver and same_base:
+                waived.append(f"{row} [waived: {waiver[1]}]")
+            elif waiver:
+                flagged.append(
+                    f"{row} [waiver EXPIRED: granted vs base {waiver[0]}, "
+                    f"now comparing vs {base_label} -- prune or re-grant]"
+                )
             else:
                 flagged.append(row)
         elif ratio < 1 / args.threshold and (prev - med) > MIN_ABS_GROWTH:
