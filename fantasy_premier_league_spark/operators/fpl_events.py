@@ -64,28 +64,13 @@ def _event_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "a1_metric_vector",
-    oracle=f"""
-    SELECT event_id, user_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           {_COUNTERS}
-    FROM events ORDER BY event_id
-    """,
-)
-def metric_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _event_vectors(spark, sf_dir).select(
-        "event_id",
-        "user_id",
-        "k",
-        "n_click",
-        "n_acc_click",
-        "n_view",
-        "n_purchase",
-        "n_big_purchase",
-        "n_error",
-        "n_signup",
-    ).orderBy("event_id")
+# (a1_metric_vector -- the events-table A1 stand-in predating the FPL
+# tier -- was retired in r11 per the r10 verdict's registration-budget
+# note: its per-event counter projection is the first stage of every
+# gate built on _event_vectors (a2_keyed_counters and the rest of this
+# module), and §2's A1 is gated directly by fpl_a1_metric_vector on
+# the reference's own data shape, so the standalone registration
+# verified nothing the surviving gates don't.)
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,14 @@ NEW_THIS_ROUND: list[str] = [
     "fpl_a5_spec_rating",  # spec-correct A5 twin (Specs.pdf formulas)
 ]
 
+# Registration budget (r10 verdict #8): r11 registered 3 and retired
+# the redundant a1_metric_vector twin -> N=202, so the full
+# re-verification cycle is DELIBERATELY ceil(202/50)=5 rounds while the
+# two perceptron probes live; deleting them once train is green (and
+# retiring one more redundant twin) brings the cycle back to 4.
+# staleness_threshold derives from N, so the suite's bound follows
+# automatically.
+
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
