@@ -60,6 +60,30 @@ ORACLES: dict[str, str] = {}
 CHANGED_THIS_ROUND: list[str] = [
     "quality_perceptron_train",  # oracle weight cols HUGEINT -> BIGINT
     "bpe_train_merges",  # token-boundary-safe merge application
+    # fixture v2 (escaped-unicode player name, VERDICT r10 #6): every
+    # fixture-reading query's oracle string embeds the v2 path and the
+    # name-carrying outputs changed value, so the whole tier's driver
+    # evidence is v1-stale -- re-verify it all this round.
+    "fpl_a1_metric_vector",
+    "fpl_a2_match_counters",
+    "fpl_a3_final_metrics",
+    "fpl_a4_profile",
+    "fpl_a5_rating",
+    "fpl_a6_chemistry",
+    "fpl_a7_final_rating",
+    "fpl_spans_roster",
+    "fpl_j5_roster_enrich",
+    "fpl_req1_win_prediction",
+    "fpl_req1_invalid_team_quirk",
+    "fpl_req2_player_profile",
+    "fpl_req2_dropped_goals_quirk",
+    "fpl_req3_match_details",
+    "fpl_req3_card_list_quirk",
+    "fpl_chem_blocked_pairs",
+    "fpl_t5_stateful_stream",
+    "t16_fpl_pipeline_roundtrip",
+    "t11_socket_roundtrip",
+    "c14_corrupt_record_audit",
 ]
 
 # Queries first registered this round (no driver row exists yet).
