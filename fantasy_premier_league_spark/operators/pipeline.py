@@ -425,7 +425,15 @@ def load_teams(spark: SparkSession) -> DataFrame:
     )
 
 
-_PLAYERS_CSV_SQL = f"read_csv('{os.path.join(FIXTURES, 'players.csv')}', header=true)"
+# birthDate pinned VARCHAR: Spark reads it string (schemas.py CSV
+# fidelity) while DuckDB's sniffer infers DATE -- same value text
+# today, but a cross-engine type-family divergence is exactly the
+# HUGEINT class that cost two rounds (r11 type sweep found these two
+# req2 oracles as the only remaining family mismatches repo-wide).
+_PLAYERS_CSV_SQL = (
+    f"read_csv('{os.path.join(FIXTURES, 'players.csv')}', header=true, "
+    "types={'birthDate': 'VARCHAR'})"
+)
 _TEAMS_CSV_SQL = f"read_csv('{os.path.join(FIXTURES, 'teams.csv')}', header=true)"
 
 

@@ -84,6 +84,10 @@ CHANGED_THIS_ROUND: list[str] = [
     "t16_fpl_pipeline_roundtrip",
     "t11_socket_roundtrip",
     "c14_corrupt_record_audit",
+    # _PLAYERS_CSV_SQL gained types={'birthDate': 'VARCHAR'} (the r11
+    # type-family sweep), changing these two oracles' strings too:
+    "ml_kmeans_rating_impute",
+    "ml_kmeans_chemistry_impute",
 ]
 
 # Queries first registered this round (no driver row exists yet).

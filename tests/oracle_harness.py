@@ -62,9 +62,76 @@ def canonical_rows(columns: list[str], rows: Iterable[tuple]) -> list[tuple[str,
     return sorted(out)
 
 
+def _spark_family(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double") or s.startswith("decimal"):
+        return "float"
+    if s == "boolean":
+        return "bool"
+    if s in ("string", "varchar"):
+        return "str"
+    if s == "date":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s == "binary":
+        return "bin"
+    if s.startswith("array"):
+        return "list"
+    if s.startswith(("struct", "map")):
+        return "nested"
+    return s
+
+
+def _duck_family(t: object) -> str:
+    t = str(t).upper()
+    if t in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+        return "float"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "VARCHAR":
+        return "str"
+    if t == "DATE":
+        return "date"
+    if "TIMESTAMP" in t:
+        return "ts"
+    if t == "BLOB":
+        return "bin"
+    if t.endswith("[]"):
+        return "list"
+    if t.startswith(("STRUCT", "MAP")):
+        return "nested"
+    return t
+
+
+def check_type_families(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    """Cross-engine TYPE-FAMILY check (r11): value normalization hides
+    int-vs-float divergences (repr collapses 690415.0 and 690415), but
+    the driver's pandas fetch path does not -- DuckDB HUGEINT rendered
+    float64 cost two rounds on quality_perceptron_train. Compare the
+    Spark schema against DESCRIBE (binder only, no execution) so every
+    parity test also pins matching families per column."""
+    s_fam = {f.name: _spark_family(f.dataType) for f in spark_df.schema.fields}
+    d_fam = {r[0]: _duck_family(r[1]) for r in con.execute("DESCRIBE " + sql).fetchall()}
+    diffs = {
+        c: (s_fam.get(c), d_fam.get(c))
+        for c in set(s_fam) | set(d_fam)
+        if s_fam.get(c) != d_fam.get(c)
+    }
+    assert not diffs, f"type families differ (spark vs duckdb): {diffs}"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> int:
     """Differential check; returns the (matching) row count so callers
     can additionally reject vacuous 0=0 passes."""
+    check_type_families(spark_df, con, sql)
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
