@@ -1,0 +1,83 @@
+"""Unit tests for tools/bench_regression.py's flagging logic (r11):
+the min-of-spread gate must suppress median-only flaps (two rounds of
+sub-second false positives: r10 bucketed_colocated_join, r11
+events_transition_matrix) while still flagging real regressions, which
+move the spread floor too, and total failures (query missing from the
+current run)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "bench_regression.py")
+
+
+def _run(tmp_path, base: dict, cur: dict) -> tuple[int, str]:
+    bp, cp = tmp_path / "base.json", tmp_path / "cur.json"
+    bp.write_text(json.dumps(base))
+    cp.write_text(json.dumps(cur))
+    out = subprocess.run(
+        [sys.executable, TOOL, "--base", str(bp), "--cur", str(cp)],
+        capture_output=True,
+        text=True,
+    )
+    return out.returncode, out.stdout
+
+
+def _payload(queries: dict, spread: dict | None = None) -> dict:
+    d = {"queries": queries}
+    if spread is not None:
+        d["spread"] = spread
+    return d
+
+
+# enough stable peers that the run-wide median ratio stays ~1.0
+_PEERS = {f"q{i}": 1.0 for i in range(9)}
+
+
+def test_median_flap_with_stable_min_is_suppressed(tmp_path):
+    base = _payload(
+        _PEERS | {"flappy": 0.42},
+        {"flappy": {"min": 0.419, "med": 0.42, "max": 0.63}},
+    )
+    cur = _payload(
+        _PEERS | {"flappy": 0.74},  # 1.76x median...
+        {"flappy": {"min": 0.488, "med": 0.74, "max": 1.18}},  # ...1.16x min
+    )
+    rc, out = _run(tmp_path, base, cur)
+    assert rc == 0, out
+    assert "REGRESSION" not in out
+
+
+def test_real_regression_moves_the_floor_and_flags(tmp_path):
+    base = _payload(
+        _PEERS | {"broken": 0.42},
+        {"broken": {"min": 0.419, "med": 0.42, "max": 0.63}},
+    )
+    cur = _payload(
+        _PEERS | {"broken": 1.3},
+        {"broken": {"min": 1.1, "med": 1.3, "max": 1.6}},  # min 2.6x
+    )
+    rc, out = _run(tmp_path, base, cur)
+    assert rc == 1
+    assert "REGRESSION broken" in out and "min-of-spread" in out
+
+
+def test_no_spread_recorded_median_alone_flags(tmp_path):
+    base = _payload(_PEERS | {"legacy": 0.42})
+    cur = _payload(_PEERS | {"legacy": 0.74})
+    rc, out = _run(tmp_path, base, cur)
+    assert rc == 1
+    assert "REGRESSION legacy" in out
+
+
+def test_missing_query_is_the_worst_regression(tmp_path):
+    base = _payload(_PEERS | {"vanished": 2.0})
+    cur = _payload(dict(_PEERS))
+    rc, out = _run(tmp_path, base, cur)
+    assert rc == 1
+    assert "vanished" in out and "MISSING" in out

@@ -41,15 +41,9 @@ WAIVERS: dict[str, tuple[str, str]] = {
     # (the two r10 waivers -- mm_image_resize's real-decode trade and
     # bucketed_colocated_join's sub-second env drift -- expired when
     # the r10 spread was committed at 48e6e2d and were pruned.)
-    # r11: 0.42 -> 0.74 s median with NO code change since r8; solo
-    # 5-repeat re-measure reproduces the median but min-of-spread moved
-    # only 0.419 -> 0.488 s (1.16x) with max 1.18 s -- sub-second
-    # variance, not a plan change. Auto-expires when the r11 spread
-    # becomes the base.
-    "events_transition_matrix": (
-        "48e6e2d5e",
-        "sub-second env drift, min-of-spread 1.16x, no code change (r11)",
-    ),
+    # (r11's events_transition_matrix drift -- 1.76x median, 1.16x
+    # min-of-spread, no code change since r8 -- is now suppressed
+    # structurally by the min-of-spread gate below instead of a waiver.)
 }
 
 # below this absolute growth (seconds) a ratio is VM jitter, not signal
@@ -126,6 +120,7 @@ def main() -> int:
             f"{name}: {bq[name]:.2f}s -> MISSING from current run "
             f"(errored or deregistered)"
         )
+    c_spread, b_spread = cur.get("spread", {}), base.get("spread", {})
     for name, med in sorted(cq.items()):
         if name not in bq:
             new.append(name)
@@ -134,11 +129,28 @@ def main() -> int:
         if prev <= 0:
             continue
         ratio = med / prev
-        if ratio / drift > args.threshold and (med - prev) > MIN_ABS_GROWTH:
+        # Medians of 3 repeats flap at sub-second scale (r10
+        # bucketed_colocated_join, r11 events_transition_matrix: both
+        # 1.6-1.8x median with min-of-spread ~1.1x, both hand-verified
+        # as ambient load). A REAL regression -- a changed plan -- moves
+        # the floor too, so when both runs recorded spreads, require
+        # the min ratio to clear the threshold as well before flagging.
+        cmin = (c_spread.get(name) or {}).get("min")
+        bmin = (b_spread.get(name) or {}).get("min")
+        min_ok = True  # no spread recorded -> median alone decides
+        if cmin is not None and bmin is not None and bmin > 0:
+            min_ok = (cmin / bmin) / drift > args.threshold
+        if (
+            ratio / drift > args.threshold
+            and (med - prev) > MIN_ABS_GROWTH
+            and min_ok
+        ):
             row = (
                 f"{name}: {prev:.2f}s -> {med:.2f}s ({ratio:.2f}x raw, "
                 f"{ratio / drift:.2f}x drift-adjusted)"
             )
+            if cmin is not None and bmin:
+                row += f" [min-of-spread {cmin / bmin:.2f}x]"
             waiver = WAIVERS.get(name)
             same_base = waiver is not None and (
                 waiver[0].startswith(base_label) or base_label.startswith(waiver[0])
