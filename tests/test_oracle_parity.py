@@ -53,13 +53,19 @@ def test_no_oracle_returns_hugeint():
     flagged = {}
     for name, sql in entry_mod.oracle_sql().items():
         cols = con.execute("DESCRIBE " + sql).fetchall()
-        hug = [c[0] for c in cols if "HUGEINT" in str(c[1])]
-        if hug:
-            flagged[name] = hug
+        bad = [
+            c[0]
+            for c in cols
+            if "HUGEINT" in str(c[1]) or "DECIMAL" in str(c[1]).upper()
+        ]
+        if bad:
+            flagged[name] = bad
     con.close()
     assert not flagged, (
-        f"oracles returning HUGEINT columns (pandas renders these float64 "
-        f"on the driver, hash-mismatching Spark's int64): {flagged}"
+        f"oracles returning HUGEINT/DECIMAL columns (the pandas fetch path "
+        f"renders these float64/object(Decimal) on the driver, "
+        f"hash-mismatching Spark's int64/float64): {flagged} -- "
+        f"CAST to BIGINT/DOUBLE"
     )
 
 
