@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fantasy_premier_league_spark.functions import fixed_units, rounded, safe_div
+from fantasy_premier_league_spark.functions import fixed_units, rounded
 from fantasy_premier_league_spark.plans.registry import register
 from fantasy_premier_league_spark.sources.testdata import load_table
 
@@ -126,38 +126,12 @@ def keyed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _daily_counters(spark, sf_dir).orderBy("user_id", "day")
 
 
-# ---------------------------------------------------------------------------
-# A3: derived-metric ratio projection (reference getFinalMetrics,
-# master.py:177-212 -- pass_accuracy / duel_eff / shot_eff / fk_eff with
-# try/except->0). Stateless projection over A2 output; safe_div =
-# coalesce(try_divide) keeps the zero-guard declarative.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "a3_final_metrics",
-    oracle=f"""
-    SELECT user_id, day,
-           round(coalesce(acc_clicks / nullif(clicks, 0), 0.0), 6) AS click_accuracy,
-           round(coalesce(purchases / nullif(clicks + views, 0), 0.0), 6) AS conversion,
-           round(coalesce(big_purchases / nullif(purchases, 0), 0.0), 6) AS big_share,
-           round(coalesce(errors / nullif(n_events, 0), 0.0), 6) AS error_rate
-    FROM ({_DAILY_SQL})
-    ORDER BY user_id, day
-    """,
-)
-def final_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _daily_counters(spark, sf_dir)
-    return d.select(
-        "user_id",
-        "day",
-        rounded(safe_div(F.col("acc_clicks"), F.col("clicks")), 6).alias("click_accuracy"),
-        rounded(safe_div(F.col("purchases"), F.col("clicks") + F.col("views")), 6).alias(
-            "conversion"
-        ),
-        rounded(safe_div(F.col("big_purchases"), F.col("purchases")), 6).alias("big_share"),
-        rounded(safe_div(F.col("errors"), F.col("n_events")), 6).alias("error_rate"),
-    ).orderBy("user_id", "day")
+# A3 (derived-metric ratio projection, reference getFinalMetrics
+# master.py:177-212): the events-table twin `a3_final_metrics` was
+# retired in r12 (VERDICT r11 #2, registration budget) -- A3 coverage
+# remains via `fpl_a3_final_metrics` (operators/pipeline.py, the real
+# reference formulas on the fixture tables, driver-green r11) and
+# `a2a3_pricing_summary` (operators/relational.py).
 
 
 # ---------------------------------------------------------------------------

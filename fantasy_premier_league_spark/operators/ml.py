@@ -736,11 +736,16 @@ def _chem_impute_oracle() -> str:
       FROM dense_pl GROUP BY least(c1, c2), greatest(c1, c2)
     ),
     g AS (SELECT sum(chemistry) / count(*) AS gchem FROM dense_pl)
-    SELECT p1, p2, CAST(c1 AS INT) AS cluster1, CAST(c2 AS INT) AS cluster2,
+    -- p1/p2 CAST to INTEGER: Spark's playerId is int32 (fixture CSV
+    -- schema) but DuckDB joins widen to BIGINT; the driver's pandas
+    -- fetch path distinguishes int32/int64 (r12 strict-preflight
+    -- normalization, VERDICT r11 #3)
+    SELECT CAST(p1 AS INTEGER) AS p1, CAST(p2 AS INTEGER) AS p2,
+           CAST(c1 AS INT) AS cluster1, CAST(c2 AS INT) AS cluster2,
            round(chemistry, 6) AS chemistry, FALSE AS imputed
     FROM dense_pl
     UNION ALL
-    SELECT sc.p1, sc.p2,
+    SELECT CAST(sc.p1 AS INTEGER) AS p1, CAST(sc.p2 AS INTEGER) AS p2,
            CAST(l1.cid AS INT) AS cluster1, CAST(l2.cid AS INT) AS cluster2,
            round(coalesce(cp.cchem, g.gchem), 6) AS chemistry,
            TRUE AS imputed
@@ -969,8 +974,10 @@ def _perceptron_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _perceptron_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the full pocket-training loop; one row per iteration with
-    (iter, wb, w1, w2, w3, n_mis, n_docs). Shared by the train query
-    and its r11 driver-bisect probes so all three scan one plan shape."""
+    (iter, wb, w1, w2, w3, n_mis, n_docs). Shared by the train and
+    apply queries so both scan one plan shape. (The r11 driver-bisect
+    probes that also consumed this were deleted in r12 once
+    CORRECTNESS_r11 showed train green -- VERDICT r11 #2.)"""
     f = _perceptron_features(spark, sf_dir)
     w = spark.range(1).select(
         F.lit(0).cast("long").alias("wb"),
@@ -1055,64 +1062,6 @@ def quality_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iter")
     )
-
-
-# --- r11 driver-bisect probes (VERDICT r10 next-round #1) --------------
-#
-# quality_perceptron_train failed its r9/r10 driver hash with no local
-# reproduction. The HUGEINT root cause above was found and fixed this
-# round, but per the r10 verdict any driver-only mismatch must also be
-# bisected BY the driver, not closed on a theory alone: these two
-# probes split train's output columns so that if train is still red in
-# CORRECTNESS_r11, one driver round pins the divergence to either the
-# weight trajectory (weights probe red) or the derived columns
-# (derived probe red). DELETE both once train is green.
-
-
-def _perceptron_weights_oracle() -> str:
-    sql, union = _perceptron_ctes()
-    return sql + f"""
-    SELECT CAST(iter AS INT) AS iter, wb, w1, w2, w3
-    FROM ({union})
-    ORDER BY iter
-    """
-
-
-@register("quality_perceptron_weights", oracle=_perceptron_weights_oracle())
-def quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect probe A: the raw weight trajectory only -- no n_mis, no
-    derived columns."""
-    return _perceptron_history(spark, sf_dir).select(
-        "iter", "wb", "w1", "w2", "w3"
-    ).orderBy("iter")
-
-
-def _perceptron_derived_oracle() -> str:
-    sql, union = _perceptron_ctes()
-    return sql + f"""
-    SELECT CAST(iter AS INT) AS iter, n_mis,
-           (1000000 * (n_docs - n_mis)) // n_docs AS acc_ppm,
-           CAST(row_number() OVER (ORDER BY n_mis ASC, iter ASC) = 1
-                AS INT) AS is_pocket
-    FROM ({union})
-    ORDER BY iter
-    """
-
-
-@register("quality_perceptron_derived", oracle=_perceptron_derived_oracle())
-def quality_perceptron_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisect probe B: the derived columns only (n_mis, integer-div
-    accuracy, window-derived pocket flag) -- no weight columns."""
-    hist = _perceptron_history(spark, sf_dir)
-    pocket = F.row_number().over(
-        Window.orderBy(F.col("n_mis").asc(), F.col("iter").asc())
-    )
-    return hist.select(
-        "iter",
-        "n_mis",
-        F.expr("(1000000 * (n_docs - n_mis)) div n_docs").alias("acc_ppm"),
-        (pocket == 1).cast("int").alias("is_pocket"),
-    ).orderBy("iter")
 
 
 def _perceptron_apply_oracle() -> str:

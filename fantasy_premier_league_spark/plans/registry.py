@@ -48,64 +48,47 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update whenever a registered query's implementation
-# or oracle changes. Round 11: the r9/r10 quality_perceptron_train hash
-# mismatch was root-caused LOCALLY this time -- the oracle's weight
-# columns were DuckDB HUGEINT (sum(BIGINT) widens to INT128 through the
-# unrolled weight CTEs), which the pandas fetch path renders float64
-# (690415.0 vs Spark's int64 690415); exact-value fetchall comparison
-# hides it, hence no local repro. Fixed by CAST(... AS BIGINT) in the
-# m{t} CTEs (ml.py _perceptron_ctes). bpe_train_merges: merges now
-# apply on the token ARRAY (both engines) -- the old space-joined
-# string replace could fuse across token boundaries (ADVICE r10).
+# or oracle changes. The r11 list (perceptron HUGEINT fix, BPE boundary
+# fix, the fixture-v2 FPL tier, the birthDate VARCHAR pin) was consumed
+# by the r11 driver sample -- all green -- and pruned at the start of
+# r12 (VERDICT r11 residual wart). Round 12: the strict-pandas
+# preflight byte-normalization casts touched these oracles' strings.
 CHANGED_THIS_ROUND: list[str] = [
-    "quality_perceptron_train",  # oracle weight cols HUGEINT -> BIGINT
-    "bpe_train_merges",  # token-boundary-safe merge application
-    # fixture v2 (escaped-unicode player name, VERDICT r10 #6): every
-    # fixture-reading query's oracle string embeds the v2 path and the
-    # name-carrying outputs changed value, so the whole tier's driver
-    # evidence is v1-stale -- re-verify it all this round.
-    "fpl_a1_metric_vector",
-    "fpl_a2_match_counters",
-    "fpl_a3_final_metrics",
-    "fpl_a4_profile",
-    "fpl_a5_rating",
-    "fpl_a6_chemistry",
-    "fpl_a7_final_rating",
-    "fpl_spans_roster",
-    "fpl_j5_roster_enrich",
-    "fpl_req1_win_prediction",
-    "fpl_req1_invalid_team_quirk",
+    # r12 strict-preflight byte-normalization (VERDICT r11 #3): the 7
+    # dtype-divergent rows of the r11 head made byte-identical on the
+    # pandas fetch path -- day/month emitted as ISO STRING on both
+    # engines (3 date queries), oracle integers cast INTEGER to match
+    # Spark's int32 (4 width queries). tools/strict_preflight.py now
+    # reports IDENTICAL for all; PREFLIGHT_r12.json is the artifact.
+    "events_trailing_distinct_users",
     "fpl_req2_player_profile",
     "fpl_req2_dropped_goals_quirk",
-    "fpl_req3_match_details",
-    "fpl_req3_card_list_quirk",
-    "fpl_chem_blocked_pairs",
-    "fpl_t5_stateful_stream",
-    "t16_fpl_pipeline_roundtrip",
-    "t11_socket_roundtrip",
-    "c14_corrupt_record_audit",
-    # _PLAYERS_CSV_SQL gained types={'birthDate': 'VARCHAR'} (the r11
-    # type-family sweep), changing these two oracles' strings too:
-    "ml_kmeans_rating_impute",
     "ml_kmeans_chemistry_impute",
+    "sql_frontend_recursive_spine",
+    "sql_frontend_running_total",
+    "text_repetition_stats",
+    # ...and the 4 int-width rows the r12-head preflight then surfaced
+    # among the older r7/r8-vintage queries (row_number()/len() are
+    # BIGINT in DuckDB, int32 in Spark):
+    "sample_reservoir_per_key",
+    "text_token_stats",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:
 # tests/test_sample_rotation.py fails when changed + never-sampled > 50.
-NEW_THIS_ROUND: list[str] = [
-    "quality_perceptron_weights",  # r11 bisect probe A (delete when green)
-    "quality_perceptron_derived",  # r11 bisect probe B (delete when green)
-    "fpl_a5_spec_rating",  # spec-correct A5 twin (Specs.pdf formulas)
-]
+NEW_THIS_ROUND: list[str] = []
 
-# Registration budget (r10 verdict #8): r11 registered 3 and retired
-# the redundant a1_metric_vector twin -> N=202, so the full
-# re-verification cycle is DELIBERATELY ceil(202/50)=5 rounds while the
-# two perceptron probes live; deleting them once train is green (and
-# retiring one more redundant twin) brings the cycle back to 4.
-# staleness_threshold derives from N, so the suite's bound follows
-# automatically.
+# Registration budget (r10 verdict #8): r12 deleted the two green r11
+# perceptron bisect probes (their registration comment said "delete
+# when green"; CORRECTNESS_r11 shows both green plus train itself) and
+# retired the redundant a3_final_metrics events-table twin (A3 remains
+# covered by fpl_a3_final_metrics -- the real reference formulas on the
+# fixtures -- and a2a3_pricing_summary) -> N=199, restoring the full
+# re-verification cycle to ceil(199/50)=4 rounds. staleness_threshold
+# derives from N, so the suite's bound follows automatically.
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

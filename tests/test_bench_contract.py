@@ -42,17 +42,17 @@ def test_bench_exits_zero_and_prints_one_json_line():
     ]
     assert len(json_lines) == 2, f"expected two JSON lines, got: {proc.stdout!r}"
     payload = json.loads(json_lines[0])
-    for key in ("metric", "value", "unit", "queries", "sf", "baseline_comparable_24_total"):
+    for key in ("metric", "value", "unit", "queries", "sf", "comparable_subtotal"):
         assert key in payload, f"missing key {key}"
     assert payload["unit"] == "sec"
     # a query that raises must be recorded, not fatal -- and on healthy
     # testdata nothing should be failing at all
     assert "errors" not in payload, f"bench recorded per-query errors: {payload.get('errors')}"
-    assert len(payload["queries"]) >= 24
+    assert len(payload["queries"]) >= 23
     # healthy run => the comparable subtotal is present (it is nulled
-    # whenever any of the first 24 errors, so a partial run can never
+    # whenever any comparable-prefix query errors, so a partial run can never
     # masquerade as a speedup)
-    assert payload["baseline_comparable_24_total"] is not None
+    assert payload["comparable_subtotal"] is not None
     assert payload["repeats"] == 1
     assert set(payload["spread"]) == set(payload["queries"])
     for s in payload["spread"].values():
@@ -71,7 +71,7 @@ def test_bench_exits_zero_and_prints_one_json_line():
         "metric",
         "value",
         "unit",
-        "baseline_comparable_24_total",
+        "comparable_subtotal",
         "n_queries",
         "n_errors",
         "queries",
@@ -93,7 +93,8 @@ def test_bench_exits_zero_and_prints_one_json_line():
     finally:
         if os.path.exists(detail_out):
             os.remove(detail_out)
-    assert summary["baseline_comparable_24_total"] is not None
-    # per-query medians for the comparable prefix ride along (24 names
+    assert summary["comparable_subtotal"] is not None
+    # per-query medians for the comparable prefix ride along (23 names
     # at ~30 chars each stays far under the length cap)
-    assert len(summary["queries"]) == 24
+    assert summary["comparable_n"] == 23
+    assert len(summary["queries"]) == 23

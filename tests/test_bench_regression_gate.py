@@ -51,6 +51,30 @@ def test_median_flap_with_stable_min_is_suppressed(tmp_path):
     rc, out = _run(tmp_path, base, cur)
     assert rc == 0, out
     assert "REGRESSION" not in out
+    # ADVICE r11: the save must be VISIBLE -- an intermittent real
+    # regression is suppressed by the same rule, and only this line
+    # keeps the signal in the round record.
+    assert "SUPPRESSED flappy" in out and "min-of-spread 1.16x" in out
+
+
+def test_retired_query_reports_informationally(tmp_path):
+    base = _payload(_PEERS | {"a3_final_metrics": 0.9})
+    cur = _payload(dict(_PEERS))
+    rc, out = _run(tmp_path, base, cur)
+    assert rc == 0, out
+    assert "retired a3_final_metrics" in out and "MISSING" not in out
+
+
+def test_comparable_subtotal_gate(tmp_path):
+    over = _payload(dict(_PEERS))
+    over["comparable_subtotal"] = 99.0
+    rc, out = _run(tmp_path, _payload(dict(_PEERS)), over)
+    assert rc == 1
+    assert "comparable_subtotal" in out and "re-based" in out
+    ok = _payload(dict(_PEERS))
+    ok["comparable_subtotal"] = 21.0
+    rc, out = _run(tmp_path, _payload(dict(_PEERS)), ok)
+    assert rc == 0, out
 
 
 def test_real_regression_moves_the_floor_and_flags(tmp_path):

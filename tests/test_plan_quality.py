@@ -217,8 +217,6 @@ CARTESIAN_OK = {
     "docs_bigram_logprob",    # scalar fan-in of the 1-row vocab-size count
     "quality_perceptron_train",  # 1-row class-weight + per-iteration 1-row
     #   weight broadcasts (the batch-subgradient schedule)
-    "quality_perceptron_weights",  # r11 bisect probe: same loop shape
-    "quality_perceptron_derived",  # r11 bisect probe: same loop shape
 }
 
 
@@ -449,7 +447,6 @@ GLOBAL_WINDOW_OK = {
     "ml_kmeans_rating_impute",   # k centroid rows (seed window post-limit(_K))
     "ml_kmeans_chemistry_impute",  # same shared _fpl_cluster_labels seed
     "quality_perceptron_train",  # pocket pick over the 8-row iteration table
-    "quality_perceptron_derived",  # r11 bisect probe: same 8-row pocket pick
 }
 
 
