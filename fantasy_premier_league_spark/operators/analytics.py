@@ -1275,13 +1275,17 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(du.day + u.i * INTERVAL 1 DAY AS DATE) AS win_day, du.user_id
       FROM du, unnest(generate_series(0, 6)) u(i)
     )
-    SELECT e.win_day AS day,
+    SELECT CAST(e.win_day AS STRING) AS day,
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS trailing_7d_users
     FROM expanded e JOIN days d ON d.day = e.win_day
     GROUP BY e.win_day ORDER BY day
     """,
 )
 def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day is emitted as an ISO STRING on BOTH engines: Spark DATE
+    # fetches as object(datetime.date) on the driver's pandas path but
+    # DuckDB DATE as datetime64[us] (r12 strict-preflight
+    # byte-normalization, VERDICT r11 #3).
     ev = load_table(spark, sf_dir, "events")
     du = ev.select(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
@@ -1294,7 +1298,7 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         expanded.join(
             F.broadcast(days.select(F.col("day").alias("win_day"))), "win_day"
         )
-        .groupBy(F.col("win_day").alias("day"))
+        .groupBy(F.col("win_day").cast("string").alias("day"))
         .agg(F.countDistinct("user_id").alias("trailing_7d_users"))
         .orderBy("day")
     )

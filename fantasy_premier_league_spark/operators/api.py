@@ -457,7 +457,12 @@ def _req2_oracle(include_goals: bool) -> str:
       SELECT f.playerId, f.seq, (f.pass_accuracy + pa.pa) / 2 AS pa
       FROM fm f JOIN pa ON f.playerId = pa.playerId AND f.seq = pa.seq + 1
     )
-    SELECT p.name, p.birthArea, p.birthDate, p.foot, p.role, p.height, p.weight,
+    SELECT p.name, p.birthArea, p.birthDate, p.foot, p.role,
+           -- INTEGER (not the sniffer's BIGINT) so the driver's pandas
+           -- fetch path matches Spark's int32 CSV schema byte-for-byte
+           -- (r12 strict-preflight normalization, VERDICT r11 #3)
+           CAST(p.height AS INTEGER) AS height,
+           CAST(p.weight AS INTEGER) AS weight,
            s.fouls, {goals_col}s.own_goals, round(lp.pa, 6) AS pass_accuracy,
            s.shots_on_target
     FROM (

@@ -346,7 +346,10 @@ _DUP_BIGRAM_MAX = 0.5  # > 50% repeated bigrams -> repetitive
       FROM d
     )
     SELECT b.doc_id,
-           CAST(b.n AS BIGINT) AS n_tokens,
+           -- INTEGER, not BIGINT: Spark's size() is int32 and the
+           -- driver's pandas fetch path distinguishes the widths (r12
+           -- strict-preflight normalization, VERDICT r11 #3)
+           CAST(b.n AS INTEGER) AS n_tokens,
            round(CAST(p.max_tf AS DOUBLE) / b.n, 6) AS top_token_frac,
            round(1 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6)
              AS dup_bigram_frac,

@@ -59,7 +59,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(list_dot_product(v.vec, v.vec))), 6) AS cosine
       FROM q JOIN v ON v.vec_id <> q.query_id
     )
-    SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
       SELECT query_id, vec_id, cosine,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY cosine DESC, vec_id) AS rank
@@ -329,7 +329,7 @@ _COS_SQL = """list_dot_product({a}, {b})
         FROM q, cent
       ) WHERE rn <= {_NPROBE}
     )
-    SELECT query_id, vec_id, cosine, rank FROM (
+    SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
       SELECT p.query_id, a.vec_id,
              round({_COS_SQL.format(a='p.qvec', b='a.vec')}, 6) AS cosine,
              row_number() OVER (

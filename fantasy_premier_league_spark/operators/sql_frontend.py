@@ -107,12 +107,17 @@ _RUNNING_SQL = """
       WHERE o_orderpriority = '1-URGENT'
       GROUP BY CAST(date_trunc('DAY', o_orderdate) AS DATE)
     )
-    SELECT day, n_orders,
+    SELECT CAST(day AS STRING) AS day, n_orders,
            round(CAST(sum(units) OVER (ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
                  / 100 AS running_revenue
     FROM daily ORDER BY day LIMIT 100
 """
+# ^ day is CAST to STRING at output (both engines render ISO
+# yyyy-MM-dd) so the driver's pandas fetch path sees byte-identical
+# object columns -- Spark DATE fetches as object(datetime.date) but
+# DuckDB DATE as datetime64[us] (r12 strict-preflight normalization,
+# VERDICT r11 #3). The window still orders by the DATE column.
 
 
 @register("sql_frontend_running_total", oracle=_RUNNING_SQL)
@@ -160,13 +165,16 @@ _RECURSIVE_SPINE_SQL = """
       WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
       GROUP BY CAST(date_trunc('MONTH', o_orderdate) AS DATE)
     )
-    SELECT s.month, coalesce(m.n_orders, 0) AS n_orders,
+    SELECT CAST(s.month AS STRING) AS month, coalesce(m.n_orders, 0) AS n_orders,
            round(CAST(sum(coalesce(m.units, 0)) OVER (ORDER BY s.month
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
                  / 100 AS running_revenue
     FROM spine s LEFT JOIN monthly m ON m.month = s.month
     ORDER BY s.month
 """
+# ^ month CAST to STRING at output for pandas-path byte-identity
+# (same normalization as _RUNNING_SQL above); recursion and the
+# window still run on the DATE column.
 
 
 @register("sql_frontend_recursive_spine", oracle=_RECURSIVE_SPINE_SQL)

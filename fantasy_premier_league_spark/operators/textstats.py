@@ -37,9 +37,12 @@ def _tok(text: Column) -> Column:
     "text_token_stats",
     oracle=f"""
     SELECT doc_id, lang, source,
-           len(string_split(text, ' ')) AS n_tokens,
-           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
-           length(text) AS n_chars_measured,
+           -- INTEGER: Spark size()/length() are int32; the driver's
+           -- pandas fetch path distinguishes widths (r12 preflight)
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+             AS n_distinct_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
            round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
                  / len(string_split(text, ' ')), 6) AS mean_word_len,
            round(CAST(len(list_filter(string_split(text, ' '),
@@ -1425,7 +1428,7 @@ _RESERVOIR_K = 4
 @register(
     "sample_reservoir_per_key",
     oracle=f"""
-    SELECT event_type, slot, event_id, user_id FROM (
+    SELECT event_type, CAST(slot AS INTEGER) AS slot, event_id, user_id FROM (
       SELECT event_type, event_id, user_id,
              row_number() OVER (
                PARTITION BY event_type

@@ -66,7 +66,12 @@ def _spark_family(dt) -> str:
     s = dt.simpleString()
     if s in ("tinyint", "smallint", "int", "bigint"):
         return "int"
-    if s in ("float", "double") or s.startswith("decimal"):
+    # decimal gets its own family (ADVICE r11 companion): Spark decimal
+    # ALSO renders object(Decimal) on the driver's pandas path, so it
+    # must never silently pass against a DOUBLE oracle column.
+    if s.startswith("decimal"):
+        return "spark-decimal"
+    if s in ("float", "double"):
         return "float"
     if s == "boolean":
         return "bool"
@@ -87,12 +92,23 @@ def _spark_family(dt) -> str:
 
 def _duck_family(t: object) -> str:
     t = str(t).upper()
+    # HUGEINT and DECIMAL are deliberately NOT folded into int/float
+    # (ADVICE r11): the driver's pandas fetch path renders HUGEINT as
+    # float64 and DECIMAL as object(Decimal), the exact divergence class
+    # that cost two rounds on quality_perceptron_train -- so every
+    # compare() call fails them directly (spark has no "hugeint"/
+    # "duck-decimal" family), instead of relying solely on the
+    # registered-oracle sweep in test_no_oracle_returns_hugeint.
+    if t == "HUGEINT":
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "duck-decimal"
     if t in (
-        "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
         "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
     ):
         return "int"
-    if t in ("FLOAT", "DOUBLE") or t.startswith("DECIMAL"):
+    if t in ("FLOAT", "DOUBLE"):
         return "float"
     if t == "BOOLEAN":
         return "bool"

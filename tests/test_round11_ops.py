@@ -131,20 +131,25 @@ def test_escaped_unicode_name_matches_byte_exactly(spark):
     row = load_players(spark).filter(F.col("name") == escaped).collect()
     assert len(row) == 1 and row[0]["Id"] == player_id(0, 5)
 
-    # ...and so must DuckDB's (the oracle side of every req gate)
-    dk = duckdb.sql(
-        f"SELECT Id FROM read_csv('{root}/players.csv', header=true) "
-        f"WHERE name = '{escaped.replace(chr(92), chr(92) * 2)}'"
-    ).fetchall()
-    # DuckDB string literals don't process backslash escapes, so the
-    # raw form IS the literal:
+    # ...and so must DuckDB's (the oracle side of every req gate).
+    # Pin the SINGLE behavior the oracles rely on (ADVICE r11: the old
+    # OR of both escaping conventions passed regardless of which one
+    # DuckDB used and could not catch a quoting regression): DuckDB
+    # single-quoted literals are RAW -- no backslash processing -- so
+    # the escaped name matches as-is...
     dk_raw = duckdb.sql(
         f"SELECT Id FROM read_csv('{root}/players.csv', header=true) "
         f"WHERE name = '{escaped}'"
     ).fetchall()
-    assert [r[0] for r in dk_raw] == [player_id(0, 5)] or [r[0] for r in dk] == [
-        player_id(0, 5)
-    ]
+    assert [r[0] for r in dk_raw] == [player_id(0, 5)]
+    # ...and the doubled-backslash form must NOT match (it would be the
+    # convention of an escape-processing dialect, which the req-gate
+    # oracles do not use).
+    dk_doubled = duckdb.sql(
+        f"SELECT Id FROM read_csv('{root}/players.csv', header=true) "
+        f"WHERE name = '{escaped.replace(chr(92), chr(92) * 2)}'"
+    ).fetchall()
+    assert dk_doubled == []
 
     # request path: req2's fixture routes through the escaped name...
     with open(REQ2) as f:
