@@ -44,7 +44,8 @@ from fantasy_premier_league_spark.sources.testdata import load_table
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS INTEGER) AS rn
     FROM events
     """,
 )
@@ -116,7 +117,10 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           -- TINYINT matches Spark grouping()'s int8 on the pandas
+           -- fetch path (r12 preflight byte-normalization)
+           CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
            count(*) AS n_items,
            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
                  AS BIGINT) / 10000.0, 2) AS revenue
@@ -406,7 +410,7 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_totalprice
       FROM orders
     )
-    SELECT priority, decile, count(*) AS n_orders,
+    SELECT priority, CAST(decile AS INTEGER) AS decile, count(*) AS n_orders,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi
     FROM t GROUP BY priority, decile
@@ -697,7 +701,8 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_revenue",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS TINYINT) AS g_status,
            count(*) AS n_items,
            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
                  AS BIGINT) / 10000.0, 2) AS revenue

@@ -69,7 +69,7 @@ _TOP_N = 20
       GROUP BY doc_id
     )
     SELECT doc_id, bm25,
-           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
     FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_TOP_N}
     """,
 )

@@ -415,7 +415,12 @@ def win_chance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a11_max_per_key",
     oracle="""
-    SELECT user_id, max(ts) AS last_ts, count(*) AS n, round(max(value), 2) AS max_value
+    SELECT user_id,
+           -- STRING on both engines: Spark TIMESTAMP fetches as
+           -- datetime64[ns] on the driver's pandas path, DuckDB as
+           -- [us]; no temporal type is byte-identical (r12 preflight)
+           CAST(max(ts) AS STRING) AS last_ts,
+           count(*) AS n, round(max(value), 2) AS max_value
     FROM events GROUP BY user_id ORDER BY user_id
     """,
 )
@@ -424,7 +429,7 @@ def max_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .agg(
-            F.max("ts").alias("last_ts"),
+            F.max("ts").cast("string").alias("last_ts"),
             F.count("*").alias("n"),
             rounded(F.max("value"), 2).alias("max_value"),
         )
@@ -501,7 +506,7 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w1_topk_per_group",
     oracle="""
-    SELECT segment, c_custkey, acctbal, rn FROM (
+    SELECT segment, c_custkey, acctbal, CAST(rn AS INTEGER) AS rn FROM (
       SELECT c_mktsegment AS segment, c_custkey, round(c_acctbal, 2) AS acctbal,
              row_number() OVER (PARTITION BY c_mktsegment
                                 ORDER BY c_acctbal DESC, c_custkey) AS rn

@@ -48,9 +48,12 @@ _TOPDAY_SQL = """
              rank() OVER (PARTITION BY n_name ORDER BY units DESC, day) AS rk
       FROM rev
     )
-    SELECT n_name AS nation, day, round(units / 1e2) / 100 AS revenue
+    SELECT n_name AS nation, CAST(day AS STRING) AS day,
+           round(units / 1e2) / 100 AS revenue
     FROM ranked WHERE rk = 1 ORDER BY nation
 """
+# ^ day CAST to STRING for pandas-path byte-identity (r12 preflight;
+# same normalization as _RUNNING_SQL below).
 
 
 @register("sql_frontend_topday", oracle=_TOPDAY_SQL)

@@ -183,7 +183,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q7_volume_shipping",
     oracle=f"""
-    SELECT supp_nation, cust_nation, l_year,
+    SELECT supp_nation, cust_nation,
+           CAST(l_year AS INTEGER) AS l_year,
            round({_REV_UNITS_SQL} / 10000.0, 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -245,7 +246,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q8_market_share",
     oracle="""
-    SELECT o_year,
+    SELECT CAST(o_year AS INTEGER) AS o_year,
            round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
                       AS DOUBLE) / sum(volume), 6) AS mkt_share
     FROM (
@@ -485,7 +486,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_large_orders",
     oracle="""
-    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS STRING) AS o_orderdate,
            round(o_totalprice, 2) AS totalprice,
            round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
                  / 100.0, 2) AS sum_qty
@@ -528,7 +530,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_custkey",
             "o_orderkey",
-            "o_orderdate",
+            # STRING: timestamps fetch as datetime64[ns] (Spark) vs
+            # [us] (DuckDB) on the pandas path (r12 preflight)
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
             rounded(F.col("o_totalprice"), 2).alias("totalprice"),
             "sum_qty",
         )

@@ -74,6 +74,20 @@ CHANGED_THIS_ROUND: list[str] = [
     "text_token_stats",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    # ...and the 11 the full-fleet sweep surfaced beyond the head
+    # (year()/ntile()/row_number() int32, grouping() int8, raw
+    # TIMESTAMP/DATE outputs now emitted as ISO STRING):
+    "a11_max_per_key",
+    "cube_revenue",
+    "grouping_sets_revenue",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "sql_frontend_topday",
+    "text_bm25_rank",
+    "w1_topk_per_group",
+    "w2_moving_average",
+    "w4_ntile_deciles",
 ]
 
 # Queries first registered this round (no driver row exists yet).

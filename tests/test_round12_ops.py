@@ -5,7 +5,7 @@
    harness cannot see; tools/strict_preflight.py compares both engines
    through that exact path. These unit tests pin its divergence
    classes without Spark; the committed PREFLIGHT_r12.json artifact
-   carries the real 50-query result.
+   carries the real fleet-wide result (every registered oracle).
 
 1. The transformWithStateInPandas environment gate (VERDICT r11 #8):
    SURVEY §2.10 claims the Spark 4 stateful API is unusable here
