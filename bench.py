@@ -157,6 +157,10 @@ HEADLINE = [
     # effectiveness + real minutes scaling), closing the
     # faithful-vs-spec matrix
     "fpl_a5_spec_rating",
+    # round 12 additions: per-source quality-quantile curation filter
+    # and the ordered-stage funnel (one-shuffle shapes)
+    "docs_quality_percentile_filter",
+    "events_funnel_conversion",
 ]
 
 # Length of the comparable prefix above (r12: 23 = round-1's 24 minus

@@ -1557,3 +1557,112 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (r12): the ordered-stage analysis every product
+# pipeline runs -- of the users who viewed, how many went on to click
+# AFTER their first view, and of those, how many purchased AFTER their
+# first qualifying click. Strictly ordered first-occurrence semantics
+# (a purchase before the first view does not count), which the plain
+# per-type counts (a2/w-tier) cannot express.
+#
+# Scale: ONE shuffle -- the per-user min-timestamp pivot is a single
+# groupBy(user_id) with map-side combine (min() per stage as
+# conditional aggregates), and the stage table is a 3-row driver-side
+# projection of the 1-row global count aggregate. No joins, no
+# windows; at 100 TB this is a pure scan + one aggregate exchange.
+#
+# Cross-engine: counts are BIGINT on both engines; rates are one
+# BIGINT/BIGINT true division each (double in both dialects), rounded
+# on the shared 6-dp grid. Stage rows carry an INTEGER index so the
+# output order is the funnel order, not alphabetical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    funnel AS (
+      SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+             CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+               AS n_click,
+             CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click
+                             THEN 1 END) AS BIGINT) AS n_purchase
+      FROM firsts
+    )
+    SELECT stage_idx, stage, n_users,
+           round(CAST(n_users AS DOUBLE) / nullif(prev_users, 0), 6)
+             AS conversion
+    FROM (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             n_view AS n_users, n_view AS prev_users FROM funnel
+      UNION ALL
+      SELECT 2, 'click', n_click, n_view FROM funnel
+      UNION ALL
+      SELECT 3, 'purchase', n_purchase, n_click FROM funnel
+    ) ORDER BY stage_idx
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = (F.col("t_click") > F.col("t_view")).alias("ok_click")
+    purchased = (
+        (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click"))
+    ).alias("ok_purchase")
+    funnel = firsts.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(clicked, 1)).alias("n_click"),
+        F.count(F.when(purchased, 1)).alias("n_purchase"),
+    )
+    stages = funnel.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("view").alias("stage"),
+                    F.col("n_view").alias("n_users"),
+                    F.col("n_view").alias("prev_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("click").alias("stage"),
+                    F.col("n_click").alias("n_users"),
+                    F.col("n_view").alias("prev_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n_purchase").alias("n_users"),
+                    F.col("n_click").alias("prev_users"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        "s.stage_idx",
+        "s.stage",
+        "s.n_users",
+        rounded(
+            F.col("s.n_users").cast("double")
+            / F.nullif(F.col("s.prev_users"), F.lit(0)),
+            6,
+        ).alias("conversion"),
+    ).orderBy("stage_idx")

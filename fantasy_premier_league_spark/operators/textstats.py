@@ -1696,3 +1696,72 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-percentile filtering (r12): the corpus-curation
+# pattern of keeping only each source's top quality quartile -- the
+# per-GROUP quantile threshold the global-decile queries
+# (customer_rfm_segments, orders_revenue_concentration) don't cover.
+# The quality proxy is the deterministic token count, so the gate pins
+# the quantile/threshold/join machinery, not a float scoring model.
+#
+# Cross-engine note: Spark percentile() and DuckDB quantile_cont()
+# share the linear-interpolation definition index = (n-1)*p over the
+# sorted values; on INTEGER inputs the interpolated value is a small
+# dyadic rational (x.0/x.25/x.5/x.75), exact in float64 on both
+# engines, so the threshold is bit-stable without a rounding grid.
+#
+# Scale: one shuffle on source for the quantile aggregate (per-group
+# sorted-quantile state is bounded by the group's distinct scores; at
+# 100 TB swap percentile -> approx_percentile and the plan shape is
+# unchanged), then the |sources|-row threshold table broadcasts back
+# onto the scan -- the same tiny-dim broadcast recipe as J5.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_quality_percentile_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS score
+      FROM documents
+    ),
+    thr AS (
+      SELECT source, quantile_cont(score, 0.75) AS p75
+      FROM scored GROUP BY source
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN s.score >= t.p75 THEN 1 END) AS BIGINT)
+             AS n_kept,
+           round(CAST(t.p75 AS DOUBLE), 6) AS threshold
+    FROM scored s JOIN thr t USING (source)
+    GROUP BY s.source, t.p75
+    ORDER BY s.source
+    """,
+)
+def docs_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("score")
+    )
+    thr = scored.groupBy("source").agg(
+        F.percentile("score", F.lit(0.75)).alias("p75")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source", "p75")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("score") >= F.col("p75"), 1)).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            rounded(F.col("p75").cast("double"), 6).alias("threshold"),
+        )
+        .orderBy("source")
+    )

@@ -93,7 +93,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:
 # tests/test_sample_rotation.py fails when changed + never-sampled > 50.
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    "docs_quality_percentile_filter",  # per-source P75 keep (curation op)
+    "events_funnel_conversion",  # ordered-stage funnel, one shuffle
+]
 
 # Registration budget (r10 verdict #8): r12 deleted the two green r11
 # perceptron bisect probes (their registration comment said "delete
