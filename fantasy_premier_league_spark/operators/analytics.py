@@ -1303,8 +1303,15 @@ def events_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         expanded.join(
             F.broadcast(days.select(F.col("day").alias("win_day"))), "win_day"
         )
-        .groupBy(F.col("win_day").cast("string").alias("day"))
+        .groupBy("win_day")
         .agg(F.countDistinct("user_id").alias("trailing_7d_users"))
+        # cast AFTER the aggregate: the shuffle keys stay 4-byte dates
+        # (one cast per output day, not per pre-aggregated row -- the
+        # groupBy-key cast cost 1.6x wall at sf0.1)
+        .select(
+            F.col("win_day").cast("string").alias("day"),
+            "trailing_7d_users",
+        )
         .orderBy("day")
     )
 
