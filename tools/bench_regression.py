@@ -43,7 +43,24 @@ WAIVERS: dict[str, tuple[str, str]] = {
     # the r10 spread was committed at 48e6e2d and were pruned.)
     # (r11's events_transition_matrix drift -- 1.76x median, 1.16x
     # min-of-spread, no code change since r8 -- is now suppressed
-    # structurally by the min-of-spread gate below instead of a waiver.)
+    # structurally by the min-of-spread gate below instead of a waiver;
+    # it measured 0.45-0.47 s again across all three r12 runs.)
+    # r12 env drift, both floors re-measured SOLO at 7 repeats on the
+    # same machine and both under the 1.5x min threshold (the 3-repeat
+    # full-run spread just failed to catch the floor during localized
+    # spike windows; three same-day full runs flagged three DIFFERENT
+    # sub-second queries):
+    "ann_pq_recall": (
+        "dd014c74",
+        "env drift: solo 7-repeat floor 3.72s = 1.22x the r11 base "
+        "floor 3.05s; no code change in r12",
+    ),
+    "events_trailing_distinct_users": (
+        "dd014c74",
+        "env drift: solo 7-repeat floor 0.62s on BOTH the r11 and r12 "
+        "code = 1.41x the r11 base floor 0.44s; the one real slowdown "
+        "(groupBy-key cast) was found and fixed in 36ae2e7",
+    ),
 }
 
 # Queries DELIBERATELY removed from the headline list (deregistered
