@@ -134,45 +134,15 @@ def keyed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `a2a3_pricing_summary` (operators/relational.py).
 
 
-# ---------------------------------------------------------------------------
-# A4: cumulative player profile, batch variant (reference getPlayerProfile,
-# master.py:242-259 -- per-player lifetime sums; the reference's
-# order-dependent (new+old)/2 running mean is reproduced exactly in the
-# stateful pipeline, operators/pipeline.py -- here the batch profile uses
-# the well-defined lifetime aggregate).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "a4_profile",
-    oracle="""
-    SELECT user_id, count(*) AS n_events,
-           count(DISTINCT date_trunc('day', ts)) AS n_days,
-           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchases,
-           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS errors,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                 / 100.0 / count(*), 6) AS avg_value,
-           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0, 2)
-             AS total_value
-    FROM events GROUP BY user_id ORDER BY user_id
-    """,
-)
-def profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
-            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
-            F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
-            rounded(F.sum(fixed_units(F.col("value"))) / 100.0 / F.count("*"), 6).alias(
-                "avg_value"
-            ),
-            rounded(F.sum(fixed_units(F.col("value"))) / 100.0, 2).alias("total_value"),
-        )
-        .orderBy("user_id")
-    )
+# A4 (cumulative player profile, reference getPlayerProfile
+# master.py:242-259): the events-table twin `a4_profile` was retired in
+# r12 (registration budget, same precedent as the a1/a3 twins) -- it was
+# a vanilla lifetime groupBy whose machinery (conditional counts,
+# countDistinct, fixed-point sums) is exercised by a2_keyed_counters and
+# dozens of other gates, while A4's actual reference semantics (the
+# order-dependent (new+old)/2 running pairwise mean) are gated by
+# `fpl_a4_profile` (operators/pipeline.py, driver-green r11) on the
+# reference's own data shape.
 
 
 # ---------------------------------------------------------------------------

@@ -101,11 +101,14 @@ NEW_THIS_ROUND: list[str] = [
 # Registration budget (r10 verdict #8): r12 deleted the two green r11
 # perceptron bisect probes (their registration comment said "delete
 # when green"; CORRECTNESS_r11 shows both green plus train itself) and
-# retired the redundant a3_final_metrics events-table twin (A3 remains
-# covered by fpl_a3_final_metrics -- the real reference formulas on the
-# fixtures -- and a2a3_pricing_summary) -> N=199, restoring the full
-# re-verification cycle to ceil(199/50)=4 rounds. staleness_threshold
-# derives from N, so the suite's bound follows automatically.
+# retired TWO redundant events-table twins -- a3_final_metrics (A3
+# remains covered by fpl_a3_final_metrics, the real reference formulas
+# on the fixtures, plus a2a3_pricing_summary) and a4_profile (A4 via
+# fpl_a4_profile; the generic twin's machinery is covered by
+# a2_keyed_counters et al.). With the two r12 additions that lands at
+# N=200, keeping the full re-verification cycle at ceil(200/50)=4
+# rounds. staleness_threshold derives from N, so the suite's bound
+# follows automatically.
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
