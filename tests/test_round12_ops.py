@@ -181,3 +181,55 @@ def test_transform_with_state_env_gate(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tws_smoke").collect()
     }
     assert got == {0: 5, 1: 5, 2: 5, 3: 5}
+
+
+def test_percentile_approx_matches_exact_at_production_accuracy(spark):
+    """BASELINE.md's round-12 note claims `percentile_approx` is the
+    production swap for docs_quality_percentile_filter's exact
+    `F.percentile` (whose per-source agg state buffers every score --
+    a hot-key wall at 100 TB). Measure the claim instead of arguing
+    it: at accuracy=10000 the GK sketch's per-source P75 threshold and
+    the resulting keep-counts must track the exact aggregate closely
+    on the real documents table.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    scored = docs.select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("score")
+    )
+    thr = (
+        scored.groupBy("source")
+        .agg(
+            F.percentile("score", F.lit(0.75)).alias("p_exact"),
+            F.percentile_approx("score", F.lit(0.75), F.lit(10000)).alias(
+                "p_approx"
+            ),
+        )
+    )
+    kept = (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source", "p_exact", "p_approx")
+        .agg(
+            F.count(F.when(F.col("score") >= F.col("p_exact"), 1)).alias(
+                "kept_exact"
+            ),
+            F.count(F.when(F.col("score") >= F.col("p_approx"), 1)).alias(
+                "kept_approx"
+            ),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert kept, "no sources in documents table"
+    for r in kept:
+        # GK guarantees rank error <= n/accuracy; with per-source n in
+        # the thousands and accuracy=10000 the returned value is an
+        # actual element within a handful of ranks of the true P75, so
+        # the keep-rate may only move by that rank slack.
+        assert abs(r["p_approx"] - r["p_exact"]) <= max(
+            1.0, 0.02 * r["p_exact"]
+        ), f"threshold drift on {r['source']}: {r['p_exact']} vs {r['p_approx']}"
+        assert abs(r["kept_approx"] - r["kept_exact"]) <= max(
+            2, 0.02 * r["n"]
+        ), f"keep-count drift on {r['source']}"
