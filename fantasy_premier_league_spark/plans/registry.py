@@ -48,55 +48,19 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update whenever a registered query's implementation
-# or oracle changes. The r11 list (perceptron HUGEINT fix, BPE boundary
-# fix, the fixture-v2 FPL tier, the birthDate VARCHAR pin) was consumed
-# by the r11 driver sample -- all green -- and pruned at the start of
-# r12 (VERDICT r11 residual wart). Round 12: the strict-pandas
-# preflight byte-normalization casts touched these oracles' strings.
-CHANGED_THIS_ROUND: list[str] = [
-    # r12 strict-preflight byte-normalization (VERDICT r11 #3): the 7
-    # dtype-divergent rows of the r11 head made byte-identical on the
-    # pandas fetch path -- day/month emitted as ISO STRING on both
-    # engines (3 date queries), oracle integers cast INTEGER to match
-    # Spark's int32 (4 width queries). tools/strict_preflight.py now
-    # reports IDENTICAL for all; PREFLIGHT_r12.json is the artifact.
-    "events_trailing_distinct_users",
-    "fpl_req2_player_profile",
-    "fpl_req2_dropped_goals_quirk",
-    "ml_kmeans_chemistry_impute",
-    "sql_frontend_recursive_spine",
-    "sql_frontend_running_total",
-    "text_repetition_stats",
-    # ...and the 4 int-width rows the r12-head preflight then surfaced
-    # among the older r7/r8-vintage queries (row_number()/len() are
-    # BIGINT in DuckDB, int32 in Spark):
-    "sample_reservoir_per_key",
-    "text_token_stats",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    # ...and the 11 the full-fleet sweep surfaced beyond the head
-    # (year()/ntile()/row_number() int32, grouping() int8, raw
-    # TIMESTAMP/DATE outputs now emitted as ISO STRING):
-    "a11_max_per_key",
-    "cube_revenue",
-    "grouping_sets_revenue",
-    "q18_large_orders",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "sql_frontend_topday",
-    "text_bm25_rank",
-    "w1_topk_per_group",
-    "w2_moving_average",
-    "w4_ntile_deciles",
-]
+# or oracle changes. The r12 list (the 22 strict-preflight
+# byte-normalization casts, PREFLIGHT_r12.json) was consumed by the
+# r12 driver sample -- all 50 rows green, CORRECTNESS_r12.json -- and
+# pruned at the start of r13 (VERDICT r12 residual wart / task #1).
+CHANGED_THIS_ROUND: list[str] = []
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:
 # tests/test_sample_rotation.py fails when changed + never-sampled > 50.
-NEW_THIS_ROUND: list[str] = [
-    "docs_quality_percentile_filter",  # per-source P75 keep (curation op)
-    "events_funnel_conversion",  # ordered-stage funnel, one shuffle
-]
+# (r12's two additions -- docs_quality_percentile_filter,
+# events_funnel_conversion -- got their first driver rows in
+# CORRECTNESS_r12, both green, and moved out at the start of r13.)
+NEW_THIS_ROUND: list[str] = []
 
 # Registration budget (r10 verdict #8): r12 deleted the two green r11
 # perceptron bisect probes (their registration comment said "delete

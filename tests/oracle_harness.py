@@ -141,7 +141,20 @@ def check_type_families(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> N
         for c in set(s_fam) | set(d_fam)
         if s_fam.get(c) != d_fam.get(c)
     }
-    assert not diffs, f"type families differ (spark vs duckdb): {diffs}"
+    # ADVICE r12: spell out the deliberate asymmetry so a
+    # decimal-vs-decimal failure is self-explaining -- DECIMAL is
+    # banned on BOTH engines BY DESIGN (Spark decimal fetches as
+    # object(Decimal), DuckDB DECIMAL likewise; neither is
+    # byte-identical on the driver's pandas path even against itself
+    # across versions), so the families are engine-specific strings
+    # ("spark-decimal" vs "duck-decimal") that can never match. Cast
+    # to DOUBLE or BIGINT in both the query and the oracle.
+    assert not diffs, (
+        f"type families differ (spark vs duckdb): {diffs} "
+        "[note: decimal columns are banned on both engines by design "
+        "('spark-decimal' never equals 'duck-decimal') -- cast to "
+        "DOUBLE/BIGINT on both sides; see _spark_family/_duck_family]"
+    )
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> int:

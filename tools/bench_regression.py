@@ -45,22 +45,12 @@ WAIVERS: dict[str, tuple[str, str]] = {
     # min-of-spread, no code change since r8 -- is now suppressed
     # structurally by the min-of-spread gate below instead of a waiver;
     # it measured 0.45-0.47 s again across all three r12 runs.)
-    # r12 env drift, both floors re-measured SOLO at 7 repeats on the
-    # same machine and both under the 1.5x min threshold (the 3-repeat
-    # full-run spread just failed to catch the floor during localized
-    # spike windows; three same-day full runs flagged three DIFFERENT
-    # sub-second queries):
-    "ann_pq_recall": (
-        "dd014c74",
-        "env drift: solo 7-repeat floor 3.72s = 1.22x the r11 base "
-        "floor 3.05s; no code change in r12",
-    ),
-    "events_trailing_distinct_users": (
-        "dd014c74",
-        "env drift: solo 7-repeat floor 0.62s on BOTH the r11 and r12 "
-        "code = 1.41x the r11 base floor 0.44s; the one real slowdown "
-        "(groupBy-key cast) was found and fixed in 36ae2e7",
-    ),
+    # (the two r12 env-drift waivers -- ann_pq_recall and
+    # events_trailing_distinct_users, both pinned to the r11 base
+    # dd014c74 with solo 7-repeat floor evidence -- expired when the
+    # r12 spread was committed at 6e72b08 and were pruned at the start
+    # of r13 per VERDICT r12 #3: if either flags again vs the r12
+    # base, root-cause, do not re-waive.)
 }
 
 # Queries DELIBERATELY removed from the headline list (deregistered
@@ -110,6 +100,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--base", help="explicit baseline JSON path")
+    ap.add_argument(
+        "--waive",
+        action="append",
+        default=[],
+        metavar="NAME",
+        help="with --base: apply the named WAIVERS entry to this run "
+        "(rev-pinned auto-expiry cannot work against an arbitrary "
+        "file, so explicit-base runs apply no waivers unless named)",
+    )
     ap.add_argument("--cur", default=DETAIL)
     args = ap.parse_args()
 
@@ -198,16 +197,22 @@ def main() -> int:
             if cmin is not None and bmin:
                 row += f" [min-of-spread {cmin / bmin:.2f}x]"
             waiver = WAIVERS.get(name)
-            # ADVICE r11: with an explicit --base PATH, base_label is a
-            # file path and rev-prefix matching is meaningless -- expiry
-            # only makes sense against a committed baseline label, so
-            # treat explicit-base runs as same-base (the operator chose
-            # the comparison point deliberately).
-            same_base = waiver is not None and (
-                args.base is not None
-                or waiver[0].startswith(base_label)
-                or base_label.startswith(waiver[0])
-            )
+            # ADVICE r12: with an explicit --base PATH, rev-prefix
+            # matching is meaningless (base_label is a file path, and
+            # the detail payload records no commit) -- but blanket-
+            # accepting every waiver on every explicit-base run
+            # disables expiry entirely, letting a stale waiver pinned
+            # to an old rev keep suppressing regressions against
+            # arbitrarily newer baselines. So an explicit-base run
+            # applies ONLY waivers the operator names with --waive;
+            # committed-base runs keep the rev-prefix auto-expiry.
+            if args.base is not None:
+                same_base = waiver is not None and name in args.waive
+            else:
+                same_base = waiver is not None and (
+                    waiver[0].startswith(base_label)
+                    or base_label.startswith(waiver[0])
+                )
             if waiver and same_base:
                 waived.append(f"{row} [waived: {waiver[1]}]")
             elif waiver:
