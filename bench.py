@@ -161,6 +161,9 @@ HEADLINE = [
     # and the ordered-stage funnel (one-shuffle shapes)
     "docs_quality_percentile_filter",
     "events_funnel_conversion",
+    # round 13 addition: the Arrow Python-UDTF lateral chunk-window
+    # expansion (Spark-4 extension surface, VERDICT r12 #7)
+    "text_udtf_chunk_windows",
 ]
 
 # Length of the comparable prefix above (r12: 23 = round-1's 24 minus

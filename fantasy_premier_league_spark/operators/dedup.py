@@ -436,17 +436,14 @@ def _simhash_df(spark: SparkSession, sf_dir: str, nonempty: bool = False) -> Dat
     return ints.select("doc_id", simhash_col(F.col("xs")).alias("simhash"))
 
 
-@register(
-    "dedup_simhash",
-    oracle=_simhash_sql()
-    + """
-    SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM sig ORDER BY doc_id
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash_df(spark, sf_dir).select(
-        "doc_id", F.col("simhash").cast("long").alias("simhash")
-    ).orderBy("doc_id")
+# (`dedup_simhash` -- the bare fingerprint table -- was retired in r13
+# under the N=200 registration budget to make room for the Arrow UDTF
+# query (VERDICT r12 #7 + #5). Coverage of the signature machinery
+# continues through `dedup_simhash_pairs` and `dedup_simhash_accuracy`
+# below, which run the identical `_simhash_df` pipeline (driver-green
+# r11/r10) plus banding; the one surface the bare query alone pinned --
+# the nonempty=False all-ones fold of empty shingle sets -- is a
+# deterministic constant documented in simhash_col's docstring.)
 
 
 @register(

@@ -60,7 +60,12 @@ CHANGED_THIS_ROUND: list[str] = []
 # (r12's two additions -- docs_quality_percentile_filter,
 # events_funnel_conversion -- got their first driver rows in
 # CORRECTNESS_r12, both green, and moved out at the start of r13.)
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    # r13: Arrow Python-UDTF lateral chunk windows (VERDICT r12 #7);
+    # paired retirement: dedup_simhash (coverage via its _pairs/
+    # _accuracy siblings) keeps N at 200.
+    "text_udtf_chunk_windows",
+]
 
 # Registration budget (r10 verdict #8): r12 deleted the two green r11
 # perceptron bisect probes (their registration comment said "delete
@@ -188,6 +193,7 @@ def _load_all() -> None:
         sql_frontend,
         textstats,
         tpch,
+        udtf_ops,
     )
     from fantasy_premier_league_spark.sources import py_datasource  # noqa: F401
     from fantasy_premier_league_spark.streaming import queries as streaming_queries  # noqa: F401

@@ -1,0 +1,71 @@
+"""Round-13 behavior tests.
+
+1. The Arrow Python-UDTF surface (VERDICT r12 #7): the lateral
+   chunk-window query must actually run through ArrowEvalPythonUDTF --
+   the Arrow-batched plan family -- and never BatchEvalPythonUDTF (the
+   row-at-a-time family the repo bans from headline plans), with the
+   parquet scan pruned to exactly the two columns the expansion needs.
+
+2. The registration budget after the paired swap: text_udtf_chunk_windows
+   in, dedup_simhash out (coverage via its _pairs/_accuracy siblings),
+   N still 200 so the driver's 4-round re-verification cycle holds.
+
+3. UDTF edge semantics both engines must share: empty documents emit
+   no windows; a short document emits exactly one ragged window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_SMOKE
+
+
+def test_udtf_plan_is_arrow_batched_and_pruned(spark):
+    from fantasy_premier_league_spark.operators.udtf_ops import (
+        text_udtf_chunk_windows,
+    )
+
+    df = text_udtf_chunk_windows(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # column pruning must reach the scan: the UDTF consumes text, the
+    # aggregate keys on source, and nothing else may be read
+    assert "ReadSchema: struct<text:string,source:string>" in plan, plan
+
+
+def test_udtf_window_edge_semantics(spark):
+    from fantasy_premier_league_spark.operators.udtf_ops import ChunkWindows
+
+    spark.udtf.register("edge_chunk_windows", ChunkWindows)
+    rows = spark.sql(
+        """
+        SELECT d.doc, c.chunk_idx, c.start_pos, c.n_tokens, c.head
+        FROM VALUES ('', 'empty'), ('a b c', 'short'),
+                    (NULL, 'null_doc') AS d(text, doc),
+             LATERAL edge_chunk_windows(d.text) c
+        ORDER BY d.doc, c.chunk_idx
+        """
+    ).collect()
+    # empty and NULL documents vanish (range(0, 0, 16) is empty); the
+    # 3-token document emits exactly one ragged window starting at 0
+    assert [(r.doc, r.chunk_idx, r.start_pos, r.n_tokens, r.head) for r in rows] == [
+        ("short", 0, 0, 3, "a")
+    ]
+
+
+def test_registration_budget_holds_after_udtf_swap():
+    from fantasy_premier_league_spark.plans.registry import (
+        all_queries,
+        staleness_threshold,
+    )
+
+    names = list(all_queries())
+    assert len(names) == 200, len(names)
+    assert "text_udtf_chunk_windows" in names
+    assert "dedup_simhash" not in names
+    # the retirement's coverage carriers stay registered
+    assert "dedup_simhash_pairs" in names
+    assert "dedup_simhash_accuracy" in names
+    assert staleness_threshold(len(names)) == math.ceil(200 / 50)
