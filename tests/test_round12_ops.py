@@ -58,22 +58,33 @@ def test_strict_preflight_detects_value_divergence_and_identity():
 
 def test_preflight_artifact_is_committed_and_clean():
     """The r11 preflight finding lived only in a commit message
-    (VERDICT r11 #3); the r12 artifact must be on disk, tracked, and
-    free of dtype/value divergences."""
+    (VERDICT r11 #3); the newest artifact must be on disk, tracked,
+    and free of dtype/value divergences. Generalized in r13 (VERDICT
+    r12 #6): the artifact is only as good as its vintage, so it must
+    also cover EXACTLY the currently registered fleet -- any
+    registration change (add/retire) or oracle edit forces a fresh
+    fleet-wide sweep and a new committed PREFLIGHT_r{N}.json."""
+    import glob
     import json
     import os
+    import re
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(repo, "PREFLIGHT_r12.json")
-    assert os.path.exists(path), "PREFLIGHT_r12.json missing"
+    arts = {
+        int(re.search(r"PREFLIGHT_r(\d+)\.json$", p).group(1)): p
+        for p in glob.glob(os.path.join(repo, "PREFLIGHT_r*.json"))
+    }
+    assert arts, "no PREFLIGHT_r*.json artifact exists"
+    rnd = max(arts)
+    name = os.path.basename(arts[rnd])
     tracked = subprocess.run(
-        ["git", "ls-files", "--error-unmatch", "PREFLIGHT_r12.json"],
+        ["git", "ls-files", "--error-unmatch", name],
         cwd=repo,
         capture_output=True,
     ).returncode
-    assert tracked == 0, "PREFLIGHT_r12.json not git-tracked"
-    with open(path) as fh:
+    assert tracked == 0, f"{name} not git-tracked"
+    with open(arts[rnd]) as fh:
         rep = json.load(fh)
     bad = {
         k: v
@@ -81,6 +92,16 @@ def test_preflight_artifact_is_committed_and_clean():
         if v["status"] not in ("IDENTICAL", "NO_ORACLE")
     }
     assert not bad, f"strict preflight divergences: {bad}"
+    from fantasy_premier_league_spark.plans.registry import all_queries
+
+    fleet = set(all_queries())
+    swept = set(rep["queries"])
+    assert swept == fleet, (
+        f"{name} is stale against the registered fleet: "
+        f"missing={sorted(fleet - swept)} extra={sorted(swept - fleet)} "
+        "-- re-run tools/strict_preflight.py fleet-wide and commit "
+        "the new artifact"
+    )
 
 
 def sys_path_repo() -> None:

@@ -12,6 +12,11 @@
 
 3. UDTF edge semantics both engines must share: empty documents emit
    no windows; a short document emits exactly one ragged window.
+
+4. The streaming-latency harness's percentile math (VERDICT r12 #8):
+   the p50/p95 rows recorded in BASELINE.md use tools/stream_latency.py's
+   linear-interpolation percentile, pinned here against the
+   quantile_cont definition.
 """
 
 from __future__ import annotations
@@ -69,3 +74,18 @@ def test_registration_budget_holds_after_udtf_swap():
     assert "dedup_simhash_pairs" in names
     assert "dedup_simhash_accuracy" in names
     assert staleness_threshold(len(names)) == math.ceil(200 / 50)
+
+
+def test_stream_latency_percentile_is_quantile_cont():
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from stream_latency import _pct
+
+    xs = [10.0, 20.0, 30.0, 40.0]
+    # quantile_cont: index = (n-1)*p over the sorted values;
+    # p95 -> idx = 3 * 0.95 = 2.85 -> 30 + (40 - 30) * 0.85 = 38.5
+    assert _pct(xs, 0.50) == 25.0
+    assert abs(_pct(xs, 0.95) - 38.5) < 1e-9
+    assert _pct([7.0], 0.95) == 7.0
+    assert math.isnan(_pct([], 0.5))
