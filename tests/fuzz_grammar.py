@@ -1,0 +1,179 @@
+"""Seeded differential query grammar (round 13).
+
+Every registered query is a HAND-CHOSEN plan with a hand-written
+oracle; this module closes the complementary gap: machine-generated
+filter/group/aggregate queries built SIMULTANEOUSLY as a PySpark
+DataFrame plan and as DuckDB SQL from one random draw, so the
+DataFrame-API semantics themselves (predicate typing, string/timestamp
+comparison coercion, grouped vs global aggregation, distinct counts,
+cent-grid sums) get differential coverage no curated list reaches.
+
+Generation is a pure function of the seed (`random.Random(seed)`, no
+ambient entropy), so every CI run re-checks the identical query set
+and a failure reproduces from its seed alone.
+
+Cross-engine value rules (the repo's standing conventions,
+tests/oracle_harness.py + SURVEY §5): sums only on the integer cent
+grid (CAST(round(x*100) AS BIGINT), summed as BIGINT on both engines),
+min/max allowed directly on DOUBLE (order-insensitive), counts BIGINT
+both sides, timestamps compared against shared ISO literals.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# value domains sampled by predicates -- plausible TPC-H ranges so a
+# fixed fraction of draws selects a non-trivial row subset
+_TABLES = {
+    "lineitem": {
+        "num": {
+            "l_quantity": (1, 50),
+            "l_extendedprice": (1000, 80000),
+            "l_discount": (0.0, 0.1),
+            "l_tax": (0.0, 0.08),
+        },
+        "str": {
+            "l_returnflag": ["A", "N", "R"],
+            "l_linestatus": ["O", "F"],
+        },
+        "ts": {"l_shipdate": (1995, 1998)},
+        "keys": ["l_returnflag", "l_linestatus", "l_linenumber"],
+        "cents": ["l_extendedprice", "l_quantity"],
+        "distinct": ["l_orderkey", "l_suppkey", "l_partkey"],
+    },
+    "orders": {
+        "num": {"o_totalprice": (10000, 400000)},
+        "str": {
+            "o_orderstatus": ["O", "F", "P"],
+            "o_orderpriority": [
+                "1-URGENT", "2-HIGH", "3-MEDIUM",
+                "4-NOT SPECIFIED", "5-LOW",
+            ],
+        },
+        "ts": {"o_orderdate": (1993, 1997)},
+        "keys": ["o_orderstatus", "o_orderpriority"],
+        "cents": ["o_totalprice"],
+        "distinct": ["o_custkey"],
+    },
+}
+
+_OPS = ["<", "<=", ">", ">="]
+
+
+def _predicates(rng: random.Random, spec: dict) -> tuple[list, list[str]]:
+    """1-3 AND-ed predicates as (DataFrame Column builder, SQL text)."""
+    cols, sqls = [], []
+    for _ in range(rng.randint(1, 3)):
+        kind = rng.choice(["num", "str", "ts"])
+        if kind == "num":
+            col, (lo, hi) = rng.choice(sorted(spec["num"].items()))
+            op = rng.choice(_OPS)
+            if isinstance(lo, float):
+                lit = round(rng.uniform(lo, hi), 2)
+            else:
+                lit = rng.randint(lo, hi)
+            cmp = {
+                "<": F.col(col) < lit,
+                "<=": F.col(col) <= lit,
+                ">": F.col(col) > lit,
+                ">=": F.col(col) >= lit,
+            }[op]
+            cols.append(cmp)
+            sqls.append(f"{col} {op} {lit}")
+        elif kind == "str":
+            col, domain = rng.choice(sorted(spec["str"].items()))
+            val = rng.choice(domain)
+            if rng.random() < 0.3:
+                cols.append(F.col(col) != val)
+                sqls.append(f"{col} <> '{val}'")
+            else:
+                cols.append(F.col(col) == val)
+                sqls.append(f"{col} = '{val}'")
+        else:
+            col, (y0, y1) = rng.choice(sorted(spec["ts"].items()))
+            lit = f"{rng.randint(y0, y1)}-{rng.randint(1, 12):02d}-01"
+            if rng.random() < 0.5:
+                cols.append(F.col(col) >= lit)
+                sqls.append(f"{col} >= TIMESTAMP '{lit} 00:00:00'")
+            else:
+                cols.append(F.col(col) < lit)
+                sqls.append(f"{col} < TIMESTAMP '{lit} 00:00:00'")
+    return cols, sqls
+
+
+def _aggregates(rng: random.Random, spec: dict) -> tuple[list, list[str]]:
+    """1-3 aggregate expressions under the cross-engine value rules."""
+    picks = rng.sample(["cnt", "sum_cents", "min", "max", "cntd"],
+                       rng.randint(1, 3))
+    aggs, sqls = [], []
+    for i, p in enumerate(picks):
+        alias = f"a{i}"
+        if p == "cnt":
+            aggs.append(F.count("*").alias(alias))
+            sqls.append(f"CAST(count(*) AS BIGINT) AS {alias}")
+        elif p == "sum_cents":
+            col = rng.choice(spec["cents"])
+            # coalesce(0): a selective filter may leave a group (or the
+            # global aggregate) empty -- SUM is NULL on both engines,
+            # but pinning 0 keeps the int64 dtype on the pandas path
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.round(F.col(col) * 100).cast("long")), F.lit(0)
+                ).alias(alias)
+            )
+            sqls.append(
+                f"CAST(coalesce(sum(CAST(round({col} * 100) AS BIGINT)), 0)"
+                f" AS BIGINT) AS {alias}"
+            )
+        elif p in ("min", "max"):
+            col = rng.choice(sorted(spec["num"]))
+            fn = F.min if p == "min" else F.max
+            aggs.append(fn(F.col(col)).alias(alias))
+            sqls.append(f"{p}({col}) AS {alias}")
+        else:
+            col = rng.choice(spec["distinct"])
+            aggs.append(F.countDistinct(F.col(col)).alias(alias))
+            sqls.append(f"CAST(count(DISTINCT {col}) AS BIGINT) AS {alias}")
+    return aggs, sqls
+
+
+def draw_case(seed: int) -> dict:
+    """Pure seed -> BOTH sides of the case from ONE draw sequence, so
+    the DataFrame plan and the SQL text cannot fall out of lockstep.
+    Column expressions are lazy (no session needed at draw time)."""
+    rng = random.Random(seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    n_keys = rng.choice([0, 1, 1, 2])  # bias toward grouped shapes
+    keys = rng.sample(spec["keys"], n_keys)
+    agg_cols, agg_sql = _aggregates(rng, spec)
+    sel = (", ".join(keys) + ", " if keys else "") + ", ".join(agg_sql)
+    group = f" GROUP BY {', '.join(keys)}" if keys else ""
+    sql = (
+        f"SELECT {sel} FROM {table} "
+        f"WHERE {' AND '.join(pred_sql)}{group}"
+    )
+    return {
+        "table": table,
+        "keys": keys,
+        "pred_cols": pred_cols,
+        "agg_cols": agg_cols,
+        "sql": sql,
+    }
+
+
+def build_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    """Realize a drawn case as the DataFrame plan."""
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    filtered = df.filter(cond)
+    if case["keys"]:
+        return filtered.groupBy(*case["keys"]).agg(*case["agg_cols"])
+    return filtered.agg(*case["agg_cols"])

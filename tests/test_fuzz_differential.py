@@ -1,0 +1,58 @@
+"""Differential fuzz gate (round 13): 30 seeded grammar queries run as
+DataFrame plans AND as DuckDB SQL from one draw each (tests/
+fuzz_grammar.py), compared through the same harness as the registered
+fleet (type families + canonical rows). Complements the curated
+oracle-parity suite with machine-chosen predicate/aggregate
+combinations; a failure reproduces from its seed alone.
+
+A vacuity canary keeps the set honest: if testdata drift (or a grammar
+edit) ever collapses most cases to empty results, the DuckDB-only
+sweep fails loudly instead of letting 30 trivially-matching empty
+queries count as coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tests.fuzz_grammar import build_spark, draw_case
+from tests.oracle_harness import compare, duck_connection
+
+SEEDS = list(range(30))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_query_matches_duckdb(spark, duck, seed):
+    case = draw_case(seed)
+    df = build_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
+def test_fuzz_set_is_not_vacuous(duck):
+    """>= 60% of the cases must return rows (DuckDB-only, cheap)."""
+    nonempty = 0
+    for seed in SEEDS:
+        rows = duck.execute(draw_case(seed)["sql"]).fetchall()
+        if rows and not all(
+            v in (None, 0) for r in rows for v in r
+        ):
+            nonempty += 1
+    assert nonempty >= 0.6 * len(SEEDS), (
+        f"only {nonempty}/{len(SEEDS)} fuzz cases return data -- "
+        "grammar domains have drifted from the testdata"
+    )
+
+
+def test_draw_is_deterministic():
+    a, b = draw_case(7), draw_case(7)
+    assert a["sql"] == b["sql"]
+    assert a["keys"] == b["keys"]
+    assert [str(c) for c in a["pred_cols"]] == [str(c) for c in b["pred_cols"]]
