@@ -177,3 +177,84 @@ def build_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     if case["keys"]:
         return filtered.groupBy(*case["keys"]).agg(*case["agg_cols"])
     return filtered.agg(*case["agg_cols"])
+
+
+def draw_join_case(seed: int) -> dict:
+    """Seeded orders ⋈ lineitem case: one draw sequence yields the
+    join type, per-side predicates, group keys, and aggregates for
+    BOTH the DataFrame plan and the SQL text.
+
+    Left-join value rule: aggregates come only from the LEFT (orders)
+    side plus count(lineitem-key), so null-extended rows contribute
+    identically on both engines (count skips NULL; no arithmetic ever
+    touches a null-extended right column)."""
+    rng = random.Random(10_000 + seed)
+    how = rng.choice(["inner", "left"])
+    o_spec, l_spec = _TABLES["orders"], _TABLES["lineitem"]
+    o_cols, o_sql = _predicates(rng, o_spec)
+    l_cols, l_sql = _predicates(rng, l_spec)
+    keys = rng.sample(o_spec["keys"], rng.choice([1, 1, 2]))
+    aggs, agg_sql = [], []
+    # count of matched lineitem rows: NULL-skipping on both engines
+    aggs.append(F.count(F.col("l_orderkey")).alias("n_items"))
+    agg_sql.append("CAST(count(l.l_orderkey) AS BIGINT) AS n_items")
+    aggs.append(F.count("*").alias("n_rows"))
+    agg_sql.append("CAST(count(*) AS BIGINT) AS n_rows")
+    cents = rng.choice(o_spec["cents"])
+    aggs.append(
+        F.coalesce(
+            F.sum(F.round(F.col(cents) * 100).cast("long")), F.lit(0)
+        ).alias("sum_cents")
+    )
+    agg_sql.append(
+        f"CAST(coalesce(sum(CAST(round(o.{cents} * 100) AS BIGINT)), 0)"
+        " AS BIGINT) AS sum_cents"
+    )
+    on_text = " AND ".join(f"o.{p}" for p in o_sql)
+    if how == "inner":
+        # inner: lineitem predicates are plain WHERE conjuncts
+        join_sql = (
+            f"FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            f"WHERE {on_text} AND {' AND '.join(f'l.{p}' for p in l_sql)}"
+        )
+    else:
+        # left: right-side predicates must live in the ON clause (a
+        # WHERE conjunct on the right column would silently turn the
+        # join inner -- exactly the semantic fork worth fuzzing)
+        join_sql = (
+            f"FROM orders o LEFT JOIN lineitem l ON "
+            f"o.o_orderkey = l.l_orderkey AND "
+            f"{' AND '.join(f'l.{p}' for p in l_sql)} WHERE {on_text}"
+        )
+    sel = ", ".join(f"o.{k}" for k in keys) + ", " + ", ".join(agg_sql)
+    group = ", ".join(f"o.{k}" for k in keys)
+    return {
+        "how": how,
+        "keys": keys,
+        "o_pred_cols": o_cols,
+        "l_pred_cols": l_cols,
+        "agg_cols": aggs,
+        "sql": f"SELECT {sel} {join_sql} GROUP BY {group}",
+    }
+
+
+def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def conj(cols):
+        c = cols[0]
+        for x in cols[1:]:
+            c = c & x
+        return c
+
+    left = orders.filter(conj(case["o_pred_cols"]))
+    right = lineitem.filter(conj(case["l_pred_cols"]))
+    # pre-filtering the right side then joining is the DataFrame-native
+    # equivalent of predicates in the ON clause for BOTH join types
+    joined = left.join(
+        right,
+        left["o_orderkey"] == right["l_orderkey"],
+        "inner" if case["how"] == "inner" else "left_outer",
+    )
+    return joined.groupBy(*case["keys"]).agg(*case["agg_cols"])

@@ -36,17 +36,33 @@ def test_fuzz_query_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+JOIN_SEEDS = list(range(15))
+
+
+@pytest.mark.parametrize("seed", JOIN_SEEDS)
+def test_fuzz_join_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_join_spark, draw_join_case
+
+    case = draw_join_case(seed)
+    df = build_join_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap)."""
+    from tests.fuzz_grammar import draw_join_case
+
+    sqls = [draw_case(s)["sql"] for s in SEEDS]
+    sqls += [draw_join_case(s)["sql"] for s in JOIN_SEEDS]
     nonempty = 0
-    for seed in SEEDS:
-        rows = duck.execute(draw_case(seed)["sql"]).fetchall()
+    for sql in sqls:
+        rows = duck.execute(sql).fetchall()
         if rows and not all(
             v in (None, 0) for r in rows for v in r
         ):
             nonempty += 1
-    assert nonempty >= 0.6 * len(SEEDS), (
-        f"only {nonempty}/{len(SEEDS)} fuzz cases return data -- "
+    assert nonempty >= 0.6 * len(sqls), (
+        f"only {nonempty}/{len(sqls)} fuzz cases return data -- "
         "grammar domains have drifted from the testdata"
     )
 
