@@ -48,8 +48,12 @@ def test_fuzz_join_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
-def test_fuzz_set_is_not_vacuous(duck):
-    """>= 60% of the cases must return rows (DuckDB-only, cheap)."""
+def test_fuzz_set_is_not_vacuous(spark, duck):
+    """>= 60% of the cases must return rows (DuckDB-only, cheap).
+
+    (The spark fixture is required even though only DuckDB executes:
+    draw_case constructs Column expressions, and classic PySpark needs
+    an active SparkContext to build a Column at all.)"""
     from tests.fuzz_grammar import draw_join_case
 
     sqls = [draw_case(s)["sql"] for s in SEEDS]
@@ -67,7 +71,7 @@ def test_fuzz_set_is_not_vacuous(duck):
     )
 
 
-def test_draw_is_deterministic():
+def test_draw_is_deterministic(spark):
     a, b = draw_case(7), draw_case(7)
     assert a["sql"] == b["sql"]
     assert a["keys"] == b["keys"]
