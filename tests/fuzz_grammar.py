@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # value domains sampled by predicates -- plausible TPC-H ranges so a
@@ -236,6 +236,93 @@ def draw_join_case(seed: int) -> dict:
         "agg_cols": aggs,
         "sql": f"SELECT {sel} {join_sql} GROUP BY {group}",
     }
+
+
+def draw_window_case(seed: int) -> dict:
+    """Seeded window-function case over filtered lineitem.
+
+    Determinism rules: ROW-frame functions (row_number, running sum,
+    lag) order by a TOTAL order -- the value column plus the unique
+    (l_orderkey, l_linenumber) suffix -- so the frame contents are
+    identical on both engines; rank/dense_rank deliberately order by
+    the value column ALONE, exercising tie semantics (tied rows share
+    a rank regardless of their physical order)."""
+    rng = random.Random(20_000 + seed)
+    spec = _TABLES["lineitem"]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    part = rng.choice(["l_returnflag", "l_linestatus"])
+    val = rng.choice(spec["cents"])
+    cents = F.round(F.col(val) * 100).cast("long")
+    cents_sql = f"CAST(round({val} * 100) AS BIGINT)"
+    total_order = [cents.asc(), F.col("l_orderkey").asc(),
+                   F.col("l_linenumber").asc()]
+    total_order_sql = f"{cents_sql}, l_orderkey, l_linenumber"
+    w_rows = Window.partitionBy(part).orderBy(*total_order)
+    w_ties = Window.partitionBy(part).orderBy(cents.asc())
+    picks = rng.sample(["row_number", "run_sum", "lag", "rank", "dense_rank"],
+                       rng.randint(2, 3))
+    out_cols, out_sql = [], []
+    for i, p in enumerate(picks):
+        alias = f"w{i}"
+        if p == "row_number":
+            out_cols.append(F.row_number().over(w_rows).alias(alias))
+            out_sql.append(
+                f"CAST(row_number() OVER (PARTITION BY {part} ORDER BY "
+                f"{total_order_sql}) AS INTEGER) AS {alias}"
+            )
+        elif p == "run_sum":
+            out_cols.append(
+                F.sum(cents)
+                .over(w_rows.rowsBetween(Window.unboundedPreceding, 0))
+                .alias(alias)
+            )
+            out_sql.append(
+                f"CAST(sum({cents_sql}) OVER (PARTITION BY {part} ORDER BY "
+                f"{total_order_sql} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                f"CURRENT ROW) AS BIGINT) AS {alias}"
+            )
+        elif p == "lag":
+            out_cols.append(
+                F.lag(cents, 1, 0).over(w_rows).alias(alias)
+            )
+            out_sql.append(
+                f"CAST(coalesce(lag({cents_sql}, 1) OVER (PARTITION BY "
+                f"{part} ORDER BY {total_order_sql}), 0) AS BIGINT)"
+                f" AS {alias}"
+            )
+        elif p == "rank":
+            out_cols.append(F.rank().over(w_ties).alias(alias))
+            out_sql.append(
+                f"CAST(rank() OVER (PARTITION BY {part} ORDER BY "
+                f"{cents_sql}) AS INTEGER) AS {alias}"
+            )
+        else:
+            out_cols.append(F.dense_rank().over(w_ties).alias(alias))
+            out_sql.append(
+                f"CAST(dense_rank() OVER (PARTITION BY {part} ORDER BY "
+                f"{cents_sql}) AS INTEGER) AS {alias}"
+            )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {part}, "
+        + ", ".join(out_sql)
+        + f" FROM lineitem WHERE {' AND '.join(pred_sql)}"
+    )
+    return {
+        "part": part,
+        "pred_cols": pred_cols,
+        "out_cols": out_cols,
+        "sql": sql,
+    }
+
+
+def build_window_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    return df.filter(cond).select(
+        "l_orderkey", "l_linenumber", case["part"], *case["out_cols"]
+    )
 
 
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
