@@ -325,6 +325,63 @@ def build_window_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFram
     )
 
 
+def draw_null_case(seed: int) -> dict:
+    """Seeded NULL-semantics case: the corpus carries no NULLs, so the
+    classic cross-engine divergence class (NULL group keys, null-
+    skipping aggregates, coalesce defaults, distinct-over-nullable)
+    would otherwise go untested. NULLs are INJECTED deterministically
+    with nullif(col, value) -- same expression both engines -- and the
+    query then groups BY the nullable key (the NULL group is a real
+    group in both dialects) and aggregates a second nullable measure."""
+    rng = random.Random(30_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    # both tables carry exactly two string columns; one becomes the
+    # nullable group key, the other the nullable measure
+    (kcol, kdom), (mcol, mdom) = rng.sample(sorted(spec["str"].items()), 2)
+    kv, mv = rng.choice(kdom), rng.choice(mdom)
+    cents = rng.choice(spec["cents"])
+    key = F.nullif(F.col(kcol), F.lit(kv)).alias("k")
+    measure = F.nullif(F.col(mcol), F.lit(mv))
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.count(measure).alias("n_m"),  # null-skipping count
+        F.countDistinct(measure).alias("n_m_distinct"),
+        F.coalesce(
+            F.sum(F.round(F.col(cents) * 100).cast("long")), F.lit(0)
+        ).alias("sum_cents"),
+        F.coalesce(F.max(measure), F.lit("-")).alias("max_m"),
+    ]
+    sql = f"""
+    SELECT nullif({kcol}, '{kv}') AS k,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(nullif({mcol}, '{mv}')) AS BIGINT) AS n_m,
+           CAST(count(DISTINCT nullif({mcol}, '{mv}')) AS BIGINT)
+             AS n_m_distinct,
+           CAST(coalesce(sum(CAST(round({cents} * 100) AS BIGINT)), 0)
+             AS BIGINT) AS sum_cents,
+           coalesce(max(nullif({mcol}, '{mv}')), '-') AS max_m
+    FROM {table} WHERE {' AND '.join(pred_sql)}
+    GROUP BY nullif({kcol}, '{kv}')
+    """
+    return {
+        "table": table,
+        "pred_cols": pred_cols,
+        "key": key,
+        "aggs": aggs,
+        "sql": sql,
+    }
+
+
+def build_null_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    return df.filter(cond).groupBy(case["key"]).agg(*case["aggs"])
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -60,17 +60,34 @@ def test_fuzz_window_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+NULL_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", NULL_SEEDS)
+def test_fuzz_null_semantics_match_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_null_spark, draw_null_case
+
+    case = draw_null_case(seed)
+    df = build_null_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
     (The spark fixture is required even though only DuckDB executes:
     draw_case constructs Column expressions, and classic PySpark needs
     an active SparkContext to build a Column at all.)"""
-    from tests.fuzz_grammar import draw_join_case, draw_window_case
+    from tests.fuzz_grammar import (
+        draw_join_case,
+        draw_null_case,
+        draw_window_case,
+    )
 
     sqls = [draw_case(s)["sql"] for s in SEEDS]
     sqls += [draw_join_case(s)["sql"] for s in JOIN_SEEDS]
     sqls += [draw_window_case(s)["sql"] for s in WINDOW_SEEDS]
+    sqls += [draw_null_case(s)["sql"] for s in NULL_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
