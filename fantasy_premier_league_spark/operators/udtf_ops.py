@@ -23,6 +23,18 @@ window stats aggregate map-side before the one shuffle, so at 100 TB
 the cost is the scan plus the linear chunk term — the same honest
 linear-decode shape as the multimodal tier (operators/multimodal.py).
 
+Measured honesty note (BASELINE.md "UDTF vs built-in"): THIS particular
+expansion is expressible with built-ins (sequence + explode +
+element_at — `chunk_windows_jvm` below), and the codegen form is 2.4x
+faster at sf0.1 and 9.4x at sf1 (0.72 s vs 6.80 s) because every token
+crosses the Arrow boundary in the UDTF. The registered query stays on
+the UDTF deliberately — it exists to gate the extension surface — and
+the JVM twin is committed alongside, row-identical by test
+(tests/test_round13_ops.py), as the production path for any chunking
+rule built-ins can express. The UDTF's real production domain is the
+expansion built-ins CANNOT express: per-row Python logic such as a
+real BPE tokenizer or model-specific segmentation.
+
 Reference parity note: the reference pipeline has no UDTF analogue
 (its per-event fan-out lives in master.py's flatMap-style metric
 extraction, reference master.py:118-176, rebuilt natively in
@@ -62,6 +74,43 @@ class ChunkWindows:
         for idx, start in enumerate(range(0, len(toks), _STRIDE)):
             window = toks[start : start + _WIDTH]
             yield idx, start, len(window), window[0]
+
+
+def chunk_windows_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production twin: the same chunk-window stats as
+    `text_udtf_chunk_windows`, pure whole-stage-codegen built-ins
+    (sequence + explode + element_at), no Python boundary. 9.4x faster
+    at sf1 (BASELINE.md); row-identical by test. Not registered — the
+    UDTF carries the gated surface; this is the form a 100 TB pipeline
+    should run whenever the chunking rule is expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = docs.select("source", toks.alias("ts"), F.size(toks).alias("n"))
+    starts = F.when(
+        F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - 1, F.lit(_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = base.select(
+        "source", "ts", "n", F.explode(starts).alias("s")
+    ).select(
+        "source",
+        F.least(F.lit(_WIDTH), F.col("n") - F.col("s")).alias("n_tokens"),
+        F.element_at(F.col("ts"), F.col("s") + 1).alias("head"),
+    )
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("n_tokens") == _WIDTH, 1)).alias(
+                "n_full_chunks"
+            ),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.countDistinct("head").alias("n_heads"),
+            rounded(
+                F.sum("n_tokens").cast("double") / F.count("*"), 6
+            ).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

@@ -60,6 +60,20 @@ def test_udtf_window_edge_semantics(spark):
     ]
 
 
+def test_jvm_twin_matches_udtf(spark):
+    """The committed production twin (pure built-ins) must stay
+    row-identical to the gated UDTF form — this is what licenses
+    BASELINE.md's 'swap when expressible' advice."""
+    from fantasy_premier_league_spark.operators.udtf_ops import (
+        chunk_windows_jvm,
+        text_udtf_chunk_windows,
+    )
+
+    a = sorted(map(tuple, text_udtf_chunk_windows(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, chunk_windows_jvm(spark, SF_SMOKE).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_registration_budget_holds_after_udtf_swap():
     from fantasy_premier_league_spark.plans.registry import (
         all_queries,
