@@ -382,6 +382,68 @@ def build_null_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     return df.filter(cond).groupBy(case["key"]).agg(*case["aggs"])
 
 
+_SETOPS = {
+    # DataFrame-method name -> SQL connective; the bag/set split is the
+    # point: union() is UNION ALL in DataFrame-speak, distinct() makes
+    # it set-UNION, intersect/except each have a bag (ALL) twin
+    "union_all": "UNION ALL",
+    "union_distinct": "UNION",
+    "intersect": "INTERSECT",
+    "intersect_all": "INTERSECT ALL",
+    "except_distinct": "EXCEPT",
+    "except_all": "EXCEPT ALL",
+}
+
+
+def draw_setop_case(seed: int) -> dict:
+    """Seeded set-operation case: two differently-filtered projections
+    of the same low-cardinality column pair, combined by one of the six
+    set/bag operators. DataFrame methods and SQL connectives pair as in
+    _SETOPS; duplicate rows are preserved through the compare (rows are
+    sorted, not de-duplicated), so bag semantics are actually gated."""
+    rng = random.Random(40_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    proj = sorted(spec["str"])  # low-cardinality pair -> overlap likely
+    a_cols, a_sql = _predicates(rng, spec)
+    b_cols, b_sql = _predicates(rng, spec)
+    op = rng.choice(sorted(_SETOPS))
+    sel = ", ".join(proj)
+    sql = (
+        f"SELECT {sel} FROM {table} WHERE {' AND '.join(a_sql)} "
+        f"{_SETOPS[op]} "
+        f"SELECT {sel} FROM {table} WHERE {' AND '.join(b_sql)}"
+    )
+    return {
+        "table": table,
+        "proj": proj,
+        "a_cols": a_cols,
+        "b_cols": b_cols,
+        "op": op,
+        "sql": sql,
+    }
+
+
+def build_setop_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+
+    def side(cols):
+        c = cols[0]
+        for x in cols[1:]:
+            c = c & x
+        return df.filter(c).select(*case["proj"])
+
+    a, b = side(case["a_cols"]), side(case["b_cols"])
+    return {
+        "union_all": lambda: a.unionByName(b),
+        "union_distinct": lambda: a.unionByName(b).distinct(),
+        "intersect": lambda: a.intersect(b),
+        "intersect_all": lambda: a.intersectAll(b),
+        "except_distinct": lambda: a.subtract(b),
+        "except_all": lambda: a.exceptAll(b),
+    }[case["op"]]()
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -72,6 +72,18 @@ def test_fuzz_null_semantics_match_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+SETOP_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", SETOP_SEEDS)
+def test_fuzz_setop_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_setop_spark, draw_setop_case
+
+    case = draw_setop_case(seed)
+    df = build_setop_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -84,10 +96,13 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
         draw_window_case,
     )
 
+    from tests.fuzz_grammar import draw_setop_case
+
     sqls = [draw_case(s)["sql"] for s in SEEDS]
     sqls += [draw_join_case(s)["sql"] for s in JOIN_SEEDS]
     sqls += [draw_window_case(s)["sql"] for s in WINDOW_SEEDS]
     sqls += [draw_null_case(s)["sql"] for s in NULL_SEEDS]
+    sqls += [draw_setop_case(s)["sql"] for s in SETOP_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
