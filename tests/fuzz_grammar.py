@@ -382,6 +382,78 @@ def build_null_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     return df.filter(cond).groupBy(case["key"]).agg(*case["aggs"])
 
 
+def draw_expr_case(seed: int) -> dict:
+    """Seeded scalar-expression case: per-row computed columns over a
+    filtered scan, pinning cross-engine expression semantics (both
+    engines: 1-based substring, character length, UTC timestamp
+    parts). Deliberately EXCLUDED from the menu, with the divergence
+    named: round() at a ties digit (Spark HALF_UP vs DuckDB's
+    half-even on doubles) and concat() over NULL (Spark propagates,
+    DuckDB ignores) -- the repo's value rules route around both (the
+    6-dp `rounded` grid on derived values; `||` / concat_ws on
+    non-null columns only)."""
+    rng = random.Random(50_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    strcols = sorted(spec["str"])
+    tscol = sorted(spec["ts"])[0]
+    key = "l_orderkey" if table == "lineitem" else "o_orderkey"
+    menu = ["substr", "upper", "length", "ts_part", "concat"]
+    picks = rng.sample(menu, rng.randint(2, 3))
+    out_cols, out_sql = [], []
+    for i, p in enumerate(picks):
+        alias = f"e{i}"
+        if p == "substr":
+            col = rng.choice(strcols)
+            k = rng.randint(1, 4)
+            out_cols.append(F.substring(F.col(col), 1, k).alias(alias))
+            out_sql.append(f"substr({col}, 1, {k}) AS {alias}")
+        elif p == "upper":
+            col = rng.choice(strcols)
+            fn = rng.choice(["upper", "lower"])
+            out_cols.append(
+                (F.upper if fn == "upper" else F.lower)(F.col(col)).alias(alias)
+            )
+            out_sql.append(f"{fn}({col}) AS {alias}")
+        elif p == "length":
+            col = rng.choice(strcols)
+            out_cols.append(F.length(F.col(col)).alias(alias))
+            out_sql.append(f"CAST(length({col}) AS INTEGER) AS {alias}")
+        elif p == "ts_part":
+            part = rng.choice(["year", "month", "day"])
+            fn = {"year": F.year, "month": F.month, "day": F.day}[part]
+            out_cols.append(fn(F.col(tscol)).alias(alias))
+            out_sql.append(
+                f"CAST({part}({tscol}) AS INTEGER) AS {alias}"
+            )
+        else:
+            c1, c2 = rng.sample(strcols, 2)  # both tables carry two
+            out_cols.append(
+                F.concat_ws("|", F.col(c1), F.col(c2)).alias(alias)
+            )
+            out_sql.append(f"{c1} || '|' || {c2} AS {alias}")
+    sql = (
+        f"SELECT {key}, " + ", ".join(out_sql)
+        + f" FROM {table} WHERE {' AND '.join(pred_sql)}"
+    )
+    return {
+        "table": table,
+        "key": key,
+        "pred_cols": pred_cols,
+        "out_cols": out_cols,
+        "sql": sql,
+    }
+
+
+def build_expr_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    return df.filter(cond).select(case["key"], *case["out_cols"])
+
+
 _SETOPS = {
     # DataFrame-method name -> SQL connective; the bag/set split is the
     # point: union() is UNION ALL in DataFrame-speak, distinct() makes

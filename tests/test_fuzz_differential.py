@@ -84,6 +84,18 @@ def test_fuzz_setop_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+EXPR_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", EXPR_SEEDS)
+def test_fuzz_expr_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_expr_spark, draw_expr_case
+
+    case = draw_expr_case(seed)
+    df = build_expr_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -96,13 +108,14 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
         draw_window_case,
     )
 
-    from tests.fuzz_grammar import draw_setop_case
+    from tests.fuzz_grammar import draw_expr_case, draw_setop_case
 
     sqls = [draw_case(s)["sql"] for s in SEEDS]
     sqls += [draw_join_case(s)["sql"] for s in JOIN_SEEDS]
     sqls += [draw_window_case(s)["sql"] for s in WINDOW_SEEDS]
     sqls += [draw_null_case(s)["sql"] for s in NULL_SEEDS]
     sqls += [draw_setop_case(s)["sql"] for s in SETOP_SEEDS]
+    sqls += [draw_expr_case(s)["sql"] for s in EXPR_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
