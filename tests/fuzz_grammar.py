@@ -382,6 +382,55 @@ def build_null_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     return df.filter(cond).groupBy(case["key"]).agg(*case["aggs"])
 
 
+def draw_topk_case(seed: int) -> dict:
+    """Seeded HAVING + ORDER BY + LIMIT case: grouped aggregates with a
+    post-aggregation count gate and a deterministic top-k cut. The
+    order is TOTAL by construction (the count, then the group keys, a
+    unique suffix), so the LIMIT boundary is identical on both engines
+    -- ties at the cut are the classic top-k divergence and a total
+    order is the only correct answer to them."""
+    rng = random.Random(60_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    keys = rng.sample(spec["keys"], rng.choice([1, 1, 2]))
+    agg_cols, agg_sql = _aggregates(rng, spec)
+    # the gate/order column: always lead with count(*)
+    agg_cols = [F.count("*").alias("n")] + agg_cols
+    agg_sql = ["CAST(count(*) AS BIGINT) AS n"] + agg_sql
+    h = rng.randint(2, 20)
+    k = rng.randint(3, 10)
+    sel = ", ".join(keys) + ", " + ", ".join(agg_sql)
+    order = "n DESC, " + ", ".join(keys)
+    sql = (
+        f"SELECT {sel} FROM {table} WHERE {' AND '.join(pred_sql)} "
+        f"GROUP BY {', '.join(keys)} HAVING count(*) >= {h} "
+        f"ORDER BY {order} LIMIT {k}"
+    )
+    return {
+        "table": table,
+        "keys": keys,
+        "pred_cols": pred_cols,
+        "agg_cols": agg_cols,
+        "having": h,
+        "k": k,
+        "sql": sql,
+    }
+
+
+def build_topk_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    grouped = df.filter(cond).groupBy(*case["keys"]).agg(*case["agg_cols"])
+    return (
+        grouped.filter(F.col("n") >= case["having"])
+        .orderBy(F.desc("n"), *case["keys"])
+        .limit(case["k"])
+    )
+
+
 def draw_expr_case(seed: int) -> dict:
     """Seeded scalar-expression case: per-row computed columns over a
     filtered scan, pinning cross-engine expression semantics (both

@@ -96,6 +96,18 @@ def test_fuzz_expr_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+TOPK_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", TOPK_SEEDS)
+def test_fuzz_topk_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_topk_spark, draw_topk_case
+
+    case = draw_topk_case(seed)
+    df = build_topk_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -108,7 +120,11 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
         draw_window_case,
     )
 
-    from tests.fuzz_grammar import draw_expr_case, draw_setop_case
+    from tests.fuzz_grammar import (
+        draw_expr_case,
+        draw_setop_case,
+        draw_topk_case,
+    )
 
     sqls = [draw_case(s)["sql"] for s in SEEDS]
     sqls += [draw_join_case(s)["sql"] for s in JOIN_SEEDS]
@@ -116,6 +132,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_null_case(s)["sql"] for s in NULL_SEEDS]
     sqls += [draw_setop_case(s)["sql"] for s in SETOP_SEEDS]
     sqls += [draw_expr_case(s)["sql"] for s in EXPR_SEEDS]
+    sqls += [draw_topk_case(s)["sql"] for s in TOPK_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
