@@ -565,6 +565,78 @@ def build_setop_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame
     }[case["op"]]()
 
 
+def draw_rollup_case(seed: int) -> dict:
+    """Seeded multi-level aggregation case: the same filtered scan
+    grouped by ROLLUP, CUBE, or an explicit GROUPING SETS list over two
+    keys, with GROUPING_ID carried as a column. Both engines assign the
+    same bitmask (leftmost key = most significant bit, verified in both
+    dialects), and the corpus keys are NULL-free, so subtotal rows are
+    unambiguous: every NULL in a key column comes from the rollup, and
+    the gid column pins WHICH level each row belongs to -- the classic
+    super-aggregate confusion a plain GROUP BY fuzz never reaches.
+
+    Named divergence (machine-found, seed 6 of the first sweep): over
+    an EMPTY filtered input, the SQL standard -- and DuckDB -- emit one
+    grand-total row for any grouping-set list containing () (it acts as
+    a global aggregate), while Spark emits NO rows at all. The oracle
+    pins Spark's behavior with HAVING count(*) > 0, which is provably
+    inert on non-empty inputs: every non-() group is formed from >= 1
+    existing row, and the () row's count is the (positive) total."""
+    rng = random.Random(70_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    k1, k2 = rng.sample(spec["keys"], 2)
+    mode = rng.choice(["rollup", "cube", "grouping_sets"])
+    agg_cols, agg_sql = _aggregates(rng, spec)
+    if mode == "rollup":
+        group = f"ROLLUP ({k1}, {k2})"
+        sets = None
+    elif mode == "cube":
+        group = f"CUBE ({k1}, {k2})"
+        sets = None
+    else:
+        # 2-4 distinct levels out of the cube's four; DataFrame side
+        # passes the same list to groupingSets()
+        levels = rng.sample([[k1, k2], [k1], [k2], []], rng.randint(2, 4))
+        sets = levels
+        group = "GROUPING SETS (" + ", ".join(
+            "(" + ", ".join(lv) + ")" for lv in levels
+        ) + ")"
+    sql = (
+        f"SELECT {k1}, {k2}, "
+        f"CAST(GROUPING_ID({k1}, {k2}) AS BIGINT) AS gid, "
+        + ", ".join(agg_sql)
+        + f" FROM {table} WHERE {' AND '.join(pred_sql)} GROUP BY {group}"
+        " HAVING count(*) > 0"
+    )
+    return {
+        "table": table,
+        "keys": [k1, k2],
+        "mode": mode,
+        "sets": sets,
+        "pred_cols": pred_cols,
+        "agg_cols": agg_cols,
+        "sql": sql,
+    }
+
+
+def build_rollup_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    filtered = df.filter(cond)
+    k1, k2 = case["keys"]
+    if case["mode"] == "rollup":
+        grouped = filtered.rollup(k1, k2)
+    elif case["mode"] == "cube":
+        grouped = filtered.cube(k1, k2)
+    else:
+        grouped = filtered.groupingSets(case["sets"], k1, k2)
+    return grouped.agg(F.grouping_id().alias("gid"), *case["agg_cols"])
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

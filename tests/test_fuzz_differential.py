@@ -108,6 +108,18 @@ def test_fuzz_topk_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+ROLLUP_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", ROLLUP_SEEDS)
+def test_fuzz_rollup_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_rollup_spark, draw_rollup_case
+
+    case = draw_rollup_case(seed)
+    df = build_rollup_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -122,6 +134,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
 
     from tests.fuzz_grammar import (
         draw_expr_case,
+        draw_rollup_case,
         draw_setop_case,
         draw_topk_case,
     )
@@ -133,6 +146,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_setop_case(s)["sql"] for s in SETOP_SEEDS]
     sqls += [draw_expr_case(s)["sql"] for s in EXPR_SEEDS]
     sqls += [draw_topk_case(s)["sql"] for s in TOPK_SEEDS]
+    sqls += [draw_rollup_case(s)["sql"] for s in ROLLUP_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
