@@ -637,6 +637,96 @@ def build_rollup_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFram
     return grouped.agg(F.grouping_id().alias("gid"), *case["agg_cols"])
 
 
+def draw_subquery_case(seed: int) -> dict:
+    """Seeded correlated-subquery case: filtered outer rows kept (or
+    dropped) by an EXISTS / NOT EXISTS / IN / NOT IN subquery over the
+    other table, then grouped and aggregated. The DataFrame side has no
+    subquery syntax at all -- EXISTS and IN both realize as LEFT SEMI,
+    their negations as LEFT ANTI -- so the axis differentially pins the
+    semi/anti-join rewrite of all four SQL surface forms.
+
+    Named exclusion: NOT IN over a subquery that can yield NULL keys is
+    three-valued (one NULL empties the result set) and does NOT equal
+    an anti-join; the corpus join keys are NULL-free, which is exactly
+    the regime where NOT IN == LEFT ANTI holds. Injecting nullif into
+    the subquery key would gate DuckDB's three-valued semantics against
+    a plan Spark cannot express without the same rewrite -- out of
+    scope by construction."""
+    rng = random.Random(80_000 + seed)
+    outer = rng.choice(sorted(_TABLES))
+    inner = "lineitem" if outer == "orders" else "orders"
+    o_spec, i_spec = _TABLES[outer], _TABLES[inner]
+    outer_cols, outer_sql = _predicates(rng, o_spec)
+    inner_cols, inner_sql = _predicates(rng, i_spec)
+    # cycle rather than draw: 12 seeds -> exactly 3 of each surface
+    # form (a free draw left IN entirely uncovered in the first 18)
+    form = ["exists", "not_exists", "in", "not_in"][seed % 4]
+    keys = rng.sample(o_spec["keys"], rng.choice([1, 1, 2]))
+    okey = "o_orderkey" if outer == "orders" else "l_orderkey"
+    ikey = "l_orderkey" if outer == "orders" else "o_orderkey"
+    cents = rng.choice(o_spec["cents"])
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.round(F.col(cents) * 100).cast("long")), F.lit(0)
+        ).alias("sum_cents"),
+    ]
+    agg_sql = [
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        f"CAST(coalesce(sum(CAST(round({cents} * 100) AS BIGINT)), 0)"
+        " AS BIGINT) AS sum_cents",
+    ]
+    if form in ("exists", "not_exists"):
+        neg = "NOT " if form == "not_exists" else ""
+        sub = (
+            f"{neg}EXISTS (SELECT 1 FROM {inner} i "
+            f"WHERE i.{ikey} = t.{okey} AND {' AND '.join(inner_sql)})"
+        )
+    else:
+        neg = "NOT " if form == "not_in" else ""
+        sub = (
+            f"t.{okey} {neg}IN (SELECT {ikey} FROM {inner} "
+            f"WHERE {' AND '.join(inner_sql)})"
+        )
+    sel = ", ".join(keys) + ", " + ", ".join(agg_sql)
+    sql = (
+        f"SELECT {sel} FROM {outer} t "
+        f"WHERE {' AND '.join(outer_sql)} AND {sub} "
+        f"GROUP BY {', '.join(keys)}"
+    )
+    return {
+        "outer": outer,
+        "inner": inner,
+        "okey": okey,
+        "ikey": ikey,
+        "form": form,
+        "keys": keys,
+        "outer_cols": outer_cols,
+        "inner_cols": inner_cols,
+        "aggs": aggs,
+        "sql": sql,
+    }
+
+
+def build_subquery_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    outer = spark.read.parquet(f"{sf_dir}/{case['outer']}.parquet")
+    inner = spark.read.parquet(f"{sf_dir}/{case['inner']}.parquet")
+
+    def conj(cols):
+        c = cols[0]
+        for x in cols[1:]:
+            c = c & x
+        return c
+
+    how = "left_semi" if case["form"] in ("exists", "in") else "left_anti"
+    kept = outer.filter(conj(case["outer_cols"])).join(
+        inner.filter(conj(case["inner_cols"])).select(case["ikey"]),
+        on=F.col(case["okey"]) == F.col(case["ikey"]),
+        how=how,
+    )
+    return kept.groupBy(*case["keys"]).agg(*case["aggs"])
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -120,6 +120,18 @@ def test_fuzz_rollup_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+SUBQUERY_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", SUBQUERY_SEEDS)
+def test_fuzz_subquery_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_subquery_spark, draw_subquery_case
+
+    case = draw_subquery_case(seed)
+    df = build_subquery_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -136,6 +148,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
         draw_expr_case,
         draw_rollup_case,
         draw_setop_case,
+        draw_subquery_case,
         draw_topk_case,
     )
 
@@ -147,6 +160,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_expr_case(s)["sql"] for s in EXPR_SEEDS]
     sqls += [draw_topk_case(s)["sql"] for s in TOPK_SEEDS]
     sqls += [draw_rollup_case(s)["sql"] for s in ROLLUP_SEEDS]
+    sqls += [draw_subquery_case(s)["sql"] for s in SUBQUERY_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
