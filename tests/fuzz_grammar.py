@@ -727,6 +727,85 @@ def build_subquery_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFr
     return kept.groupBy(*case["keys"]).agg(*case["aggs"])
 
 
+def draw_datetime_case(seed: int) -> dict:
+    """Seeded date/time-arithmetic case: per-row calendar functions
+    over the table's timestamp column, compared on the DATE grid (Spark
+    date_trunc returns TIMESTAMP where DuckDB returns DATE, so both
+    sides cast to DATE; the calendar VALUE, not the carrier type, is
+    what the axis gates). Covered: date_trunc at week/month/quarter/
+    year (both engines truncate weeks to Monday), date+days, add_months
+    (both clamp Jan 31 + 1 to Feb 28 rather than sticky end-of-month),
+    last_day, and day-granularity datediff against a drawn literal.
+
+    Named exclusions, each a real dialect fork routed around by
+    construction: dayofweek numbering (Spark 1=Sunday vs DuckDB
+    dayofweek 0=Sunday / isodow 1=Monday), months_between (Spark is
+    fractional 31-day-month arithmetic, DuckDB datediff('month')
+    counts boundary crossings), and weekofyear edge years."""
+    rng = random.Random(90_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    tscol, (y0, y1) = sorted(spec["ts"].items())[0]
+    key = "l_orderkey" if table == "lineitem" else "o_orderkey"
+    d = F.col(tscol).cast("date")
+    d_sql = f"CAST({tscol} AS DATE)"
+    menu = ["trunc", "add_days", "add_months", "last_day", "datediff"]
+    picks = rng.sample(menu, rng.randint(2, 3))
+    out_cols, out_sql = [], []
+    for i, p in enumerate(picks):
+        alias = f"d{i}"
+        if p == "trunc":
+            unit = rng.choice(["week", "month", "quarter", "year"])
+            out_cols.append(
+                F.date_trunc(unit, F.col(tscol)).cast("date").alias(alias)
+            )
+            out_sql.append(
+                f"CAST(date_trunc('{unit}', {tscol}) AS DATE) AS {alias}"
+            )
+        elif p == "add_days":
+            k = rng.randint(-60, 60)
+            out_cols.append(F.date_add(d, k).alias(alias))
+            out_sql.append(f"{d_sql} + {k} AS {alias}")
+        elif p == "add_months":
+            m = rng.randint(1, 11)
+            out_cols.append(F.add_months(d, m).alias(alias))
+            out_sql.append(
+                f"CAST({d_sql} + INTERVAL {m} MONTH AS DATE) AS {alias}"
+            )
+        elif p == "last_day":
+            out_cols.append(F.last_day(d).alias(alias))
+            out_sql.append(f"last_day({d_sql}) AS {alias}")
+        else:
+            lit = f"{rng.randint(y0, y1)}-{rng.randint(1, 12):02d}-15"
+            out_cols.append(
+                F.datediff(F.lit(lit).cast("date"), d).alias(alias)
+            )
+            out_sql.append(
+                f"CAST(datediff('day', {d_sql}, DATE '{lit}') AS INTEGER)"
+                f" AS {alias}"
+            )
+    sql = (
+        f"SELECT {key}, " + ", ".join(out_sql)
+        + f" FROM {table} WHERE {' AND '.join(pred_sql)}"
+    )
+    return {
+        "table": table,
+        "key": key,
+        "pred_cols": pred_cols,
+        "out_cols": out_cols,
+        "sql": sql,
+    }
+
+
+def build_datetime_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    return df.filter(cond).select(case["key"], *case["out_cols"])
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -132,6 +132,18 @@ def test_fuzz_subquery_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+DATETIME_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", DATETIME_SEEDS)
+def test_fuzz_datetime_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_datetime_spark, draw_datetime_case
+
+    case = draw_datetime_case(seed)
+    df = build_datetime_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -145,6 +157,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     )
 
     from tests.fuzz_grammar import (
+        draw_datetime_case,
         draw_expr_case,
         draw_rollup_case,
         draw_setop_case,
@@ -161,6 +174,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_topk_case(s)["sql"] for s in TOPK_SEEDS]
     sqls += [draw_rollup_case(s)["sql"] for s in ROLLUP_SEEDS]
     sqls += [draw_subquery_case(s)["sql"] for s in SUBQUERY_SEEDS]
+    sqls += [draw_datetime_case(s)["sql"] for s in DATETIME_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
