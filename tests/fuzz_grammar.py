@@ -806,6 +806,75 @@ def build_datetime_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFr
     return df.filter(cond).select(case["key"], *case["out_cols"])
 
 
+# the synthetic documents corpus draws its text from a fixed word
+# pool; patterns drawn from the same pool keep match rates non-trivial
+_DOC_WORDS = [
+    "join", "filter", "scan", "merge", "window", "group",
+    "sort", "stream", "table", "query", "data", "row",
+]
+
+
+def draw_pattern_case(seed: int) -> dict:
+    """Seeded string-pattern case over the documents table: a LIKE /
+    NOT LIKE / prefix / regexp-alternation predicate gates the scan,
+    and a second, independent pattern is counted per group as a
+    conditional aggregate -- so both the filter path and the
+    projection path of pattern matching are gated. Spark's
+    Column.contains / startswith are pinned to their exact SQL
+    spellings (LIKE '%w%' / LIKE 'w%'); rlike vs regexp_matches agree
+    on the unanchored-alternation subset used here (both are
+    find-anywhere). ILIKE is deliberately absent: the corpus is
+    all-lowercase, so it would gate nothing LIKE does not."""
+    rng = random.Random(100_000 + seed)
+    w1, w2, w3 = rng.sample(_DOC_WORDS, 3)
+    kind = rng.choice(["contains", "prefix", "not_contains", "regexp"])
+    if kind == "contains":
+        pred = F.col("text").contains(w1)
+        pred_sql = f"text LIKE '%{w1}%'"
+    elif kind == "prefix":
+        pred = F.col("text").startswith(w1)
+        pred_sql = f"text LIKE '{w1}%'"
+    elif kind == "not_contains":
+        pred = ~F.col("text").contains(w1)
+        pred_sql = f"text NOT LIKE '%{w1}%'"
+    else:
+        pred = F.col("text").rlike(f"{w1}|{w2}")
+        pred_sql = f"regexp_matches(text, '{w1}|{w2}')"
+    lo = rng.randint(50, 400)
+    key = rng.choice(["lang", "source"])
+    hit = F.col("text").contains(w3)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.min("n_chars").alias("min_chars"),
+    ]
+    sql = f"""
+    SELECT {key},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN text LIKE '%{w3}%' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           CAST(min(n_chars) AS BIGINT) AS min_chars
+    FROM documents WHERE {pred_sql} AND n_chars >= {lo}
+    GROUP BY {key}
+    """
+    return {
+        "key": key,
+        "pred": pred,
+        "lo": lo,
+        "aggs": aggs,
+        "sql": sql,
+    }
+
+
+def build_pattern_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        df.filter(case["pred"] & (F.col("n_chars") >= case["lo"]))
+        .groupBy(case["key"])
+        .agg(*case["aggs"])
+    )
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

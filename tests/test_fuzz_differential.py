@@ -144,6 +144,18 @@ def test_fuzz_datetime_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+PATTERN_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", PATTERN_SEEDS)
+def test_fuzz_pattern_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_pattern_spark, draw_pattern_case
+
+    case = draw_pattern_case(seed)
+    df = build_pattern_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -159,6 +171,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     from tests.fuzz_grammar import (
         draw_datetime_case,
         draw_expr_case,
+        draw_pattern_case,
         draw_rollup_case,
         draw_setop_case,
         draw_subquery_case,
@@ -175,6 +188,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_rollup_case(s)["sql"] for s in ROLLUP_SEEDS]
     sqls += [draw_subquery_case(s)["sql"] for s in SUBQUERY_SEEDS]
     sqls += [draw_datetime_case(s)["sql"] for s in DATETIME_SEEDS]
+    sqls += [draw_pattern_case(s)["sql"] for s in PATTERN_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
