@@ -875,6 +875,89 @@ def build_pattern_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFra
     )
 
 
+def draw_numeric_case(seed: int) -> dict:
+    """Seeded numeric-function case: per-row math over a positive
+    numeric column, kept exact wherever the engines can be -- ceil/
+    floor land on BIGINT, mod and floor-division run on the integer
+    cent grid (all values positive, so truncating and flooring
+    division agree and the sign-of-modulo fork is unreachable), and
+    greatest/least compare two raw columns. The transcendental picks
+    (sqrt, ln) follow the repo's standing 6-dp rounded grid for
+    derived doubles; round-at-ties is the named residual risk the
+    grid convention already carries fleet-wide (SURVEY §5)."""
+    rng = random.Random(110_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    key = "l_orderkey" if table == "lineitem" else "o_orderkey"
+    pos = rng.choice(sorted(spec["num"]))
+    cents_col = rng.choice(spec["cents"])
+    cents = F.round(F.col(cents_col) * 100).cast("long")
+    cents_sql = f"CAST(round({cents_col} * 100) AS BIGINT)"
+    menu = ["ceil", "floor", "mod", "intdiv", "sqrt6", "ln6"]
+    if len(spec["num"]) >= 2:  # greatest/least needs two numeric cols
+        menu.append("minmax2")
+    picks = rng.sample(menu, rng.randint(2, 3))
+    out_cols, out_sql = [], []
+    for i, p in enumerate(picks):
+        alias = f"n{i}"
+        if p == "ceil":
+            out_cols.append(F.ceil(F.col(pos)).cast("long").alias(alias))
+            out_sql.append(f"CAST(ceil({pos}) AS BIGINT) AS {alias}")
+        elif p == "floor":
+            out_cols.append(F.floor(F.col(pos)).cast("long").alias(alias))
+            out_sql.append(f"CAST(floor({pos}) AS BIGINT) AS {alias}")
+        elif p == "mod":
+            k = rng.randint(3, 17)
+            out_cols.append((cents % k).alias(alias))
+            out_sql.append(f"{cents_sql} % {k} AS {alias}")
+        elif p == "intdiv":
+            k = rng.randint(3, 17)
+            out_cols.append(
+                F.floor(cents / k).cast("long").alias(alias)
+            )
+            out_sql.append(
+                f"CAST(floor({cents_sql} / {k}) AS BIGINT) AS {alias}"
+            )
+        elif p == "sqrt6":
+            out_cols.append(F.round(F.sqrt(F.col(pos)), 6).alias(alias))
+            out_sql.append(f"round(sqrt({pos}), 6) AS {alias}")
+        elif p == "ln6":
+            # +1 keeps the argument >= 1 even for zero-valued measures
+            out_cols.append(
+                F.round(F.log(F.col(pos) + 1), 6).alias(alias)
+            )
+            out_sql.append(f"round(ln({pos} + 1), 6) AS {alias}")
+        else:
+            a, b = rng.sample(sorted(spec["num"]), 2)
+            fn = rng.choice(["greatest", "least"])
+            out_cols.append(
+                (F.greatest if fn == "greatest" else F.least)(
+                    F.col(a), F.col(b)
+                ).alias(alias)
+            )
+            out_sql.append(f"{fn}({a}, {b}) AS {alias}")
+    sql = (
+        f"SELECT {key}, " + ", ".join(out_sql)
+        + f" FROM {table} WHERE {' AND '.join(pred_sql)}"
+    )
+    return {
+        "table": table,
+        "key": key,
+        "pred_cols": pred_cols,
+        "out_cols": out_cols,
+        "sql": sql,
+    }
+
+
+def build_numeric_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    return df.filter(cond).select(case["key"], *case["out_cols"])
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -156,6 +156,18 @@ def test_fuzz_pattern_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+NUMERIC_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", NUMERIC_SEEDS)
+def test_fuzz_numeric_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_numeric_spark, draw_numeric_case
+
+    case = draw_numeric_case(seed)
+    df = build_numeric_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -171,6 +183,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     from tests.fuzz_grammar import (
         draw_datetime_case,
         draw_expr_case,
+        draw_numeric_case,
         draw_pattern_case,
         draw_rollup_case,
         draw_setop_case,
@@ -189,6 +202,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_subquery_case(s)["sql"] for s in SUBQUERY_SEEDS]
     sqls += [draw_datetime_case(s)["sql"] for s in DATETIME_SEEDS]
     sqls += [draw_pattern_case(s)["sql"] for s in PATTERN_SEEDS]
+    sqls += [draw_numeric_case(s)["sql"] for s in NUMERIC_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
