@@ -958,6 +958,100 @@ def build_numeric_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFra
     return df.filter(cond).select(case["key"], *case["out_cols"])
 
 
+def draw_rangejoin_case(seed: int) -> dict:
+    """Seeded range-residual join case: the orders ⋈ lineitem equi key
+    plus 1-2 NON-equi conditions in the ON clause -- a date offset
+    (l_shipdate against o_orderdate shifted by a drawn number of days;
+    both engines coerce the date arithmetic to the timestamp compare
+    identically), a cross-column numeric inequality, or a drawn
+    quantity band. Residuals-in-ON is the shape that separates a real
+    residual-aware equi-join from a cross-join-plus-filter: for LEFT
+    joins the placement is semantic (a WHERE on the right side would
+    turn the join inner), and the DataFrame spelling is the composite
+    join condition, not a post-filter. Aggregates follow the join
+    axis's null-extension-safe rules."""
+    rng = random.Random(120_000 + seed)
+    how = rng.choice(["inner", "left"])
+    o_spec = _TABLES["orders"]
+    o_cols, o_sql = _predicates(rng, o_spec)
+    keys = rng.sample(o_spec["keys"], rng.choice([1, 1, 2]))
+    res_cols, res_sql = [], []
+    menu = rng.sample(["date_offset", "price_ratio", "qty_band"],
+                      rng.randint(1, 2))
+    for p in menu:
+        if p == "date_offset":
+            k = rng.randint(0, 90)
+            res_cols.append(
+                F.col("l_shipdate")
+                >= F.date_add(F.col("o_orderdate").cast("date"), k)
+            )
+            res_sql.append(
+                f"l.l_shipdate >= CAST(o.o_orderdate AS DATE) + {k}"
+            )
+        elif p == "price_ratio":
+            m = rng.randint(2, 20)
+            res_cols.append(
+                F.col("l_extendedprice") * m < F.col("o_totalprice")
+            )
+            res_sql.append(f"l.l_extendedprice * {m} < o.o_totalprice")
+        else:
+            lo = rng.randint(1, 40)
+            hi = lo + rng.randint(2, 10)
+            res_cols.append(F.col("l_quantity").between(lo, hi))
+            res_sql.append(f"l.l_quantity BETWEEN {lo} AND {hi}")
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.count(F.col("l_orderkey")).alias("n_items"),
+        F.coalesce(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+            F.lit(0),
+        ).alias("sum_cents"),
+    ]
+    agg_sql = [
+        "CAST(count(*) AS BIGINT) AS n_rows",
+        "CAST(count(l.l_orderkey) AS BIGINT) AS n_items",
+        "CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),"
+        " 0) AS BIGINT) AS sum_cents",
+    ]
+    jt = "JOIN" if how == "inner" else "LEFT JOIN"
+    sel = ", ".join(f"o.{k}" for k in keys) + ", " + ", ".join(agg_sql)
+    sql = (
+        f"SELECT {sel} FROM orders o {jt} lineitem l "
+        f"ON o.o_orderkey = l.l_orderkey AND {' AND '.join(res_sql)} "
+        f"WHERE {' AND '.join(f'o.{p}' for p in o_sql)} "
+        f"GROUP BY {', '.join(f'o.{k}' for k in keys)}"
+    )
+    return {
+        "how": how,
+        "keys": keys,
+        "o_pred_cols": o_cols,
+        "res_cols": res_cols,
+        "aggs": aggs,
+        "sql": sql,
+    }
+
+
+def build_rangejoin_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def conj(cols):
+        c = cols[0]
+        for x in cols[1:]:
+            c = c & x
+        return c
+
+    cond = orders["o_orderkey"] == lineitem["l_orderkey"]
+    for r in case["res_cols"]:
+        cond = cond & r
+    joined = orders.filter(conj(case["o_pred_cols"])).join(
+        lineitem,
+        cond,
+        "inner" if case["how"] == "inner" else "left_outer",
+    )
+    return joined.groupBy(*case["keys"]).agg(*case["aggs"])
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -168,6 +168,18 @@ def test_fuzz_numeric_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+RANGEJOIN_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", RANGEJOIN_SEEDS)
+def test_fuzz_rangejoin_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_rangejoin_spark, draw_rangejoin_case
+
+    case = draw_rangejoin_case(seed)
+    df = build_rangejoin_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -185,6 +197,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
         draw_expr_case,
         draw_numeric_case,
         draw_pattern_case,
+        draw_rangejoin_case,
         draw_rollup_case,
         draw_setop_case,
         draw_subquery_case,
@@ -203,6 +216,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_datetime_case(s)["sql"] for s in DATETIME_SEEDS]
     sqls += [draw_pattern_case(s)["sql"] for s in PATTERN_SEEDS]
     sqls += [draw_numeric_case(s)["sql"] for s in NUMERIC_SEEDS]
+    sqls += [draw_rangejoin_case(s)["sql"] for s in RANGEJOIN_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()
