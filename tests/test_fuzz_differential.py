@@ -230,6 +230,26 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     )
 
 
+def test_shakeout_tool_covers_every_axis():
+    """tools/fuzz_shakeout.py replays the whole set at larger SFs; a
+    new draw_*_case added to the grammar without a matching AXES row
+    would silently shrink that replay, so the two are pinned here."""
+    import inspect
+
+    import tests.fuzz_grammar as g
+    from tools.fuzz_shakeout import AXES
+
+    draws = {
+        fn for name, fn in inspect.getmembers(g, inspect.isfunction)
+        if name == "draw_case" or (
+            name.startswith("draw_") and name.endswith("_case")
+        )
+    }
+    covered = {draw for _, draw, _, _ in AXES}
+    missing = {f.__name__ for f in draws - covered}
+    assert not missing, f"axes absent from fuzz_shakeout.AXES: {missing}"
+
+
 def test_draw_is_deterministic(spark):
     a, b = draw_case(7), draw_case(7)
     assert a["sql"] == b["sql"]
