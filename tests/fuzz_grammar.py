@@ -1052,6 +1052,108 @@ def build_rangejoin_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataF
     return joined.groupBy(*case["keys"]).agg(*case["aggs"])
 
 
+def draw_stream_case(seed: int) -> dict:
+    """Seeded stream-batch parity case: the drawn filter/group/
+    aggregate runs through Structured Streaming -- a multi-file parquet
+    copy drained availableNow in (at least) two micro-batches into a
+    complete-mode memory sink -- and the accumulated state is compared
+    against DuckDB running the same SQL as one batch. The curated
+    t-tier gates hand-picked streaming shapes; this axis machine-draws
+    them, so incremental state merge across micro-batches is itself
+    under differential test. The aggregate menu is the incrementally-
+    computable subset (count / cent-sum / min / max): DISTINCT
+    aggregates are unsupported on streams by Spark, an engine
+    limitation the axis documents by exclusion."""
+    rng = random.Random(130_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    keys = rng.sample(spec["keys"], rng.choice([1, 1, 2]))
+    aggs, agg_sql = [], []
+    for i, p in enumerate(rng.sample(["cnt", "sum_cents", "min", "max"], 2)):
+        alias = f"a{i}"
+        if p == "cnt":
+            aggs.append(F.count("*").alias(alias))
+            agg_sql.append(f"CAST(count(*) AS BIGINT) AS {alias}")
+        elif p == "sum_cents":
+            col = rng.choice(spec["cents"])
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.round(F.col(col) * 100).cast("long")), F.lit(0)
+                ).alias(alias)
+            )
+            agg_sql.append(
+                f"CAST(coalesce(sum(CAST(round({col} * 100) AS BIGINT)), 0)"
+                f" AS BIGINT) AS {alias}"
+            )
+        else:
+            col = rng.choice(sorted(spec["num"]))
+            fn = F.min if p == "min" else F.max
+            aggs.append(fn(F.col(col)).alias(alias))
+            agg_sql.append(f"{p}({col}) AS {alias}")
+    sel = ", ".join(keys) + ", " + ", ".join(agg_sql)
+    sql = (
+        f"SELECT {sel} FROM {table} WHERE {' AND '.join(pred_sql)} "
+        f"GROUP BY {', '.join(keys)}"
+    )
+    return {
+        "table": table,
+        "keys": keys,
+        "pred_cols": pred_cols,
+        "agg_cols": aggs,
+        "sql": sql,
+    }
+
+
+# one multi-file source copy per (app, sf_dir, table) -- the axis pays
+# the write once, every case reuses it
+_STREAM_SRC_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def build_stream_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    import hashlib
+    import os
+
+    from fantasy_premier_league_spark.functions.tuning import (
+        claim_session_tmpdir,
+    )
+    from fantasy_premier_league_spark.streaming.queries import scoped_conf
+
+    app = spark.sparkContext.applicationId
+    table = case["table"]
+    key = (app, sf_dir, table)
+    if key not in _STREAM_SRC_CACHE:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = claim_session_tmpdir(f"fuzz_stream_{table}_{tag}", app)
+        src = os.path.join(root, "src")
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").repartition(
+            4
+        ).write.parquet(src)
+        _STREAM_SRC_CACHE[key] = src
+    src = _STREAM_SRC_CACHE[key]
+    schema = spark.read.parquet(src).schema
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")  # 4 files -> 2 micro-batches
+        .parquet(src)
+    )
+    agg = stream.filter(cond).groupBy(*case["keys"]).agg(*case["agg_cols"])
+    qname = "fuzz_stream_" + hashlib.md5(case["sql"].encode()).hexdigest()[:10]
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

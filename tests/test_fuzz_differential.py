@@ -180,6 +180,18 @@ def test_fuzz_rangejoin_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+STREAM_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", STREAM_SEEDS)
+def test_fuzz_stream_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_stream_spark, draw_stream_case
+
+    case = draw_stream_case(seed)
+    df = build_stream_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -200,6 +212,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
         draw_rangejoin_case,
         draw_rollup_case,
         draw_setop_case,
+        draw_stream_case,
         draw_subquery_case,
         draw_topk_case,
     )
@@ -217,6 +230,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_pattern_case(s)["sql"] for s in PATTERN_SEEDS]
     sqls += [draw_numeric_case(s)["sql"] for s in NUMERIC_SEEDS]
     sqls += [draw_rangejoin_case(s)["sql"] for s in RANGEJOIN_SEEDS]
+    sqls += [draw_stream_case(s)["sql"] for s in STREAM_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()

@@ -36,6 +36,7 @@ AXES = [
     ("pattern", g.draw_pattern_case, g.build_pattern_spark, 12),
     ("numeric", g.draw_numeric_case, g.build_numeric_spark, 12),
     ("rangejoin", g.draw_rangejoin_case, g.build_rangejoin_spark, 12),
+    ("stream", g.draw_stream_case, g.build_stream_spark, 12),
 ]
 
 
