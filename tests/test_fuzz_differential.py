@@ -264,6 +264,38 @@ def test_shakeout_tool_covers_every_axis():
     assert not missing, f"axes absent from fuzz_shakeout.AXES: {missing}"
 
 
+@pytest.mark.parametrize("seed", SEEDS)
+def test_fuzz_scan_filters_push_down(spark, seed):
+    """Value parity is half the gate; the PLAN matters too. Every
+    machine-drawn scan predicate must reach the parquet reader as a
+    pushed filter -- a drawn predicate that silently ran as a
+    post-scan Filter over full row groups would pass the value check
+    while reading 100x the data at scale. Explain-only: nothing
+    executes."""
+    import re
+
+    from tests.test_plan_quality import plan_of
+
+    case = draw_case(seed)
+    plan = plan_of(build_spark(spark, SF_SMOKE, case))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, f"scan[{seed}]: no parquet scan with PushedFilters"
+    spec = __import__("tests.fuzz_grammar", fromlist=["_TABLES"])._TABLES[
+        case["table"]
+    ]
+    where = case["sql"].split("WHERE", 1)[1].split("GROUP BY", 1)[0]
+    pred_columns = {
+        c
+        for group in ("num", "str", "ts")
+        for c in spec[group]
+        if c in where
+    }
+    for col in pred_columns:
+        assert any(col in p for p in pushed), (
+            f"scan[{seed}]: predicate on {col} not pushed; pushed={pushed}"
+        )
+
+
 def test_draw_is_deterministic(spark):
     a, b = draw_case(7), draw_case(7)
     assert a["sql"] == b["sql"]
