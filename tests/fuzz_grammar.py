@@ -1154,6 +1154,99 @@ def build_stream_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFram
     return spark.table(qname)
 
 
+def draw_scalarsub_case(seed: int) -> dict:
+    """Seeded correlated-scalar-subquery case: each filtered outer
+    order carries 1-2 scalar measures computed by a correlated
+    subquery over its lineitems (count / max quantity / cent-sum).
+    The DataFrame side is the textbook DECORRELATION the SQL engine
+    performs internally -- pre-aggregate the inner side by the join
+    key, left-join, coalesce the no-match NULLs -- so the axis gates
+    that the hand rewrite and the engine's own rewrite agree row-for-
+    row, including the empty-group defaults (count() of no rows is 0
+    on both; max/sum of no rows is NULL, pinned by the same coalesce
+    on both engines)."""
+    rng = random.Random(140_000 + seed)
+    o_spec, l_spec = _TABLES["orders"], _TABLES["lineitem"]
+    outer_cols, outer_sql = _predicates(rng, o_spec)
+    inner_cols, inner_sql = _predicates(rng, l_spec)
+    measures = rng.sample(["cnt", "maxq", "sum_cents"], rng.randint(1, 2))
+    inner_aggs, sub_sql = [], []
+    out_names = []
+    for i, m in enumerate(measures):
+        alias = f"s{i}"
+        out_names.append(alias)
+        inner_where = " AND ".join(inner_sql)
+        if m == "cnt":
+            inner_aggs.append(F.count("*").alias(alias))
+            sub_sql.append(
+                f"coalesce((SELECT CAST(count(*) AS BIGINT) FROM lineitem l"
+                f" WHERE l.l_orderkey = o.o_orderkey AND {inner_where}), 0)"
+                f" AS {alias}"
+            )
+        elif m == "maxq":
+            inner_aggs.append(F.max("l_quantity").alias(alias))
+            sub_sql.append(
+                f"coalesce((SELECT max(l_quantity) FROM lineitem l"
+                f" WHERE l.l_orderkey = o.o_orderkey AND {inner_where}),"
+                f" -1) AS {alias}"
+            )
+        else:
+            inner_aggs.append(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).alias(alias)
+            )
+            sub_sql.append(
+                f"coalesce((SELECT CAST(sum(CAST(round(l_extendedprice *"
+                f" 100) AS BIGINT)) AS BIGINT) FROM lineitem l"
+                f" WHERE l.l_orderkey = o.o_orderkey AND {inner_where}), 0)"
+                f" AS {alias}"
+            )
+    sql = (
+        f"SELECT o.o_orderkey, {', '.join(sub_sql)} FROM orders o "
+        f"WHERE {' AND '.join(outer_sql)}"
+    )
+    defaults = {"cnt": 0, "maxq": -1, "sum_cents": 0}
+    return {
+        "measures": measures,
+        "out_names": out_names,
+        "defaults": [defaults[m] for m in measures],
+        "outer_cols": outer_cols,
+        "inner_cols": inner_cols,
+        "inner_aggs": inner_aggs,
+        "sql": sql,
+    }
+
+
+def build_scalarsub_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def conj(cols):
+        c = cols[0]
+        for x in cols[1:]:
+            c = c & x
+        return c
+
+    per_order = (
+        lineitem.filter(conj(case["inner_cols"]))
+        .groupBy("l_orderkey")
+        .agg(*case["inner_aggs"])
+    )
+    joined = orders.filter(conj(case["outer_cols"])).join(
+        per_order,
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_outer",
+    )
+    # count() of an absent group must read 0, not the join's NULL --
+    # the same default the SQL side pins with coalesce
+    cols = [
+        F.coalesce(F.col(name), F.lit(d)).alias(name)
+        for name, d in zip(case["out_names"], case["defaults"])
+    ]
+    return joined.select("o_orderkey", *cols)
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

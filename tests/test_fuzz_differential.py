@@ -192,6 +192,18 @@ def test_fuzz_stream_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+SCALARSUB_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", SCALARSUB_SEEDS)
+def test_fuzz_scalarsub_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_scalarsub_spark, draw_scalarsub_case
+
+    case = draw_scalarsub_case(seed)
+    df = build_scalarsub_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -211,6 +223,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
         draw_pattern_case,
         draw_rangejoin_case,
         draw_rollup_case,
+        draw_scalarsub_case,
         draw_setop_case,
         draw_stream_case,
         draw_subquery_case,
@@ -231,6 +244,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_numeric_case(s)["sql"] for s in NUMERIC_SEEDS]
     sqls += [draw_rangejoin_case(s)["sql"] for s in RANGEJOIN_SEEDS]
     sqls += [draw_stream_case(s)["sql"] for s in STREAM_SEEDS]
+    sqls += [draw_scalarsub_case(s)["sql"] for s in SCALARSUB_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()

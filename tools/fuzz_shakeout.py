@@ -37,6 +37,7 @@ AXES = [
     ("numeric", g.draw_numeric_case, g.build_numeric_spark, 12),
     ("rangejoin", g.draw_rangejoin_case, g.build_rangejoin_spark, 12),
     ("stream", g.draw_stream_case, g.build_stream_spark, 12),
+    ("scalarsub", g.draw_scalarsub_case, g.build_scalarsub_spark, 12),
 ]
 
 
