@@ -1247,6 +1247,84 @@ def build_scalarsub_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataF
     return joined.select("o_orderkey", *cols)
 
 
+def draw_rangeframe_case(seed: int) -> dict:
+    """Seeded RANGE-frame window case: cent-sum and row-count over a
+    VALUE-based frame (RANGE BETWEEN k PRECEDING AND CURRENT ROW /
+    unbounded, ordered by the cent value). Unlike the ROWS-frame axis,
+    no unique suffix is needed for determinism: a range frame is
+    defined by the ORDER BY value, so tied rows share one frame and
+    the aggregate is order-insensitive by construction -- exactly the
+    tie semantics the ROWS axis must route around, here gated
+    head-on. Sums stay on the integer cent grid."""
+    rng = random.Random(150_000 + seed)
+    spec = _TABLES["lineitem"]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    part = rng.choice(["l_returnflag", "l_linestatus"])
+    val = rng.choice(spec["cents"])
+    cents = F.round(F.col(val) * 100).cast("long")
+    cents_sql = f"CAST(round({val} * 100) AS BIGINT)"
+    w_base = Window.partitionBy(part).orderBy(cents.asc())
+    picks = rng.sample(["bounded_sum", "unbounded_sum", "bounded_cnt"],
+                       rng.randint(2, 3))
+    out_cols, out_sql = [], []
+    for i, p in enumerate(picks):
+        alias = f"r{i}"
+        if p == "bounded_sum":
+            k = rng.randint(100, 100_000)
+            out_cols.append(
+                F.sum(cents).over(w_base.rangeBetween(-k, 0)).alias(alias)
+            )
+            out_sql.append(
+                f"CAST(sum({cents_sql}) OVER (PARTITION BY {part} ORDER BY"
+                f" {cents_sql} RANGE BETWEEN {k} PRECEDING AND CURRENT ROW)"
+                f" AS BIGINT) AS {alias}"
+            )
+        elif p == "unbounded_sum":
+            out_cols.append(
+                F.sum(cents)
+                .over(w_base.rangeBetween(Window.unboundedPreceding, 0))
+                .alias(alias)
+            )
+            out_sql.append(
+                f"CAST(sum({cents_sql}) OVER (PARTITION BY {part} ORDER BY"
+                f" {cents_sql} RANGE BETWEEN UNBOUNDED PRECEDING AND"
+                f" CURRENT ROW) AS BIGINT) AS {alias}"
+            )
+        else:
+            k = rng.randint(100, 100_000)
+            out_cols.append(
+                F.count(F.lit(1))
+                .over(w_base.rangeBetween(-k, 0))
+                .alias(alias)
+            )
+            out_sql.append(
+                f"CAST(count(*) OVER (PARTITION BY {part} ORDER BY"
+                f" {cents_sql} RANGE BETWEEN {k} PRECEDING AND CURRENT ROW)"
+                f" AS BIGINT) AS {alias}"
+            )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {part}, "
+        + ", ".join(out_sql)
+        + f" FROM lineitem WHERE {' AND '.join(pred_sql)}"
+    )
+    return {
+        "part": part,
+        "pred_cols": pred_cols,
+        "out_cols": out_cols,
+        "sql": sql,
+    }
+
+
+def build_rangeframe_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    return df.filter(cond).select(
+        "l_orderkey", "l_linenumber", case["part"], *case["out_cols"]
+    )
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -204,6 +204,18 @@ def test_fuzz_scalarsub_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+RANGEFRAME_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", RANGEFRAME_SEEDS)
+def test_fuzz_rangeframe_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_rangeframe_spark, draw_rangeframe_case
+
+    case = draw_rangeframe_case(seed)
+    df = build_rangeframe_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -221,6 +233,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
         draw_expr_case,
         draw_numeric_case,
         draw_pattern_case,
+        draw_rangeframe_case,
         draw_rangejoin_case,
         draw_rollup_case,
         draw_scalarsub_case,
@@ -245,6 +258,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_rangejoin_case(s)["sql"] for s in RANGEJOIN_SEEDS]
     sqls += [draw_stream_case(s)["sql"] for s in STREAM_SEEDS]
     sqls += [draw_scalarsub_case(s)["sql"] for s in SCALARSUB_SEEDS]
+    sqls += [draw_rangeframe_case(s)["sql"] for s in RANGEFRAME_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()

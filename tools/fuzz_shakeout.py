@@ -38,6 +38,7 @@ AXES = [
     ("rangejoin", g.draw_rangejoin_case, g.build_rangejoin_spark, 12),
     ("stream", g.draw_stream_case, g.build_stream_spark, 12),
     ("scalarsub", g.draw_scalarsub_case, g.build_scalarsub_spark, 12),
+    ("rangeframe", g.draw_rangeframe_case, g.build_rangeframe_spark, 12),
 ]
 
 
