@@ -1325,6 +1325,63 @@ def build_rangeframe_spark(spark: SparkSession, sf_dir: str, case: dict) -> Data
     )
 
 
+def draw_filteragg_case(seed: int) -> dict:
+    """Seeded conditional-aggregation case: per-group aggregates gated
+    by a FILTER (WHERE ...) clause on the SQL side against the
+    DataFrame rewrite Spark users actually write -- count(when(p, 1))
+    and sum(when(p, x)) -- plus an ungated count(*) anchor per group.
+    The gating predicates are drawn from the same grammar as scan
+    predicates, so the axis pins that the when()-rewrite and the
+    declarative FILTER agree on empty gates (count 0, sum NULL pinned
+    to 0 by the same coalesce on both engines)."""
+    rng = random.Random(160_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    gate_cols, gate_sql = _predicates(rng, spec)
+    gate = gate_cols[0]
+    for c in gate_cols[1:]:
+        gate = gate & c
+    gate_text = " AND ".join(gate_sql)
+    keys = rng.sample(spec["keys"], rng.choice([1, 1, 2]))
+    cents = rng.choice(spec["cents"])
+    aggs = [
+        F.count("*").alias("n_all"),
+        F.count(F.when(gate, 1)).alias("n_gated"),
+        F.coalesce(
+            F.sum(
+                F.when(gate, F.round(F.col(cents) * 100).cast("long"))
+            ),
+            F.lit(0),
+        ).alias("sum_gated"),
+    ]
+    sel = ", ".join(keys)
+    sql = f"""
+    SELECT {sel},
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE {gate_text}) AS BIGINT) AS n_gated,
+           CAST(coalesce(sum(CAST(round({cents} * 100) AS BIGINT))
+             FILTER (WHERE {gate_text}), 0) AS BIGINT) AS sum_gated
+    FROM {table} WHERE {' AND '.join(pred_sql)}
+    GROUP BY {sel}
+    """
+    return {
+        "table": table,
+        "keys": keys,
+        "pred_cols": pred_cols,
+        "aggs": aggs,
+        "sql": sql,
+    }
+
+
+def build_filteragg_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    cond = case["pred_cols"][0]
+    for c in case["pred_cols"][1:]:
+        cond = cond & c
+    return df.filter(cond).groupBy(*case["keys"]).agg(*case["aggs"])
+
+
 def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

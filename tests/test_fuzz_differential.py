@@ -216,6 +216,18 @@ def test_fuzz_rangeframe_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+FILTERAGG_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", FILTERAGG_SEEDS)
+def test_fuzz_filteragg_matches_duckdb(spark, duck, seed):
+    from tests.fuzz_grammar import build_filteragg_spark, draw_filteragg_case
+
+    case = draw_filteragg_case(seed)
+    df = build_filteragg_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -231,6 +243,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     from tests.fuzz_grammar import (
         draw_datetime_case,
         draw_expr_case,
+        draw_filteragg_case,
         draw_numeric_case,
         draw_pattern_case,
         draw_rangeframe_case,
@@ -259,6 +272,7 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_stream_case(s)["sql"] for s in STREAM_SEEDS]
     sqls += [draw_scalarsub_case(s)["sql"] for s in SCALARSUB_SEEDS]
     sqls += [draw_rangeframe_case(s)["sql"] for s in RANGEFRAME_SEEDS]
+    sqls += [draw_filteragg_case(s)["sql"] for s in FILTERAGG_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()

@@ -39,6 +39,7 @@ AXES = [
     ("stream", g.draw_stream_case, g.build_stream_spark, 12),
     ("scalarsub", g.draw_scalarsub_case, g.build_scalarsub_spark, 12),
     ("rangeframe", g.draw_rangeframe_case, g.build_rangeframe_spark, 12),
+    ("filteragg", g.draw_filteragg_case, g.build_filteragg_spark, 12),
 ]
 
 
