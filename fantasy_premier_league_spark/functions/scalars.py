@@ -32,6 +32,13 @@ def rounded(col: Column, scale: int = 6) -> Column:
     where shortest-repr half-up and std::round both go away from zero;
     everywhere else both take the nearest integer. Requires
     |x * 10^scale| < 2^52 -- keep aggregate magnitudes in range.
+
+    Signed zero (r13): this form can never emit -0.0 -- Spark's Round
+    rounds doubles through java BigDecimal, which has no signed zero --
+    while DuckDB's std::round gives -0.0 for any tiny negative. Equal
+    as floats but distinct to %-format and byte hashes, so oracles of
+    SIGN-CROSSING rounded measures must spell `round(...) + 0` (IEEE:
+    -0.0 + 0 = +0.0); pinned by tests/test_round13_ops.py.
     """
     factor = float(10**scale)
     return F.round(col * factor) / factor

@@ -746,8 +746,10 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n_items,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           -- + 0 pins negative zero on the sign-crossing measures
+           -- (DuckDB round gives -0.0 below zero, Spark never does)
+           round(corr(l_quantity, l_extendedprice), 6) + 0 AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS covar_qty_price,
            round(stddev_samp(l_quantity), 6) AS sd_qty,
            round(stddev_samp(l_extendedprice), 4) AS sd_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag

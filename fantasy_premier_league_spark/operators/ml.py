@@ -396,13 +396,13 @@ def _cramer_sql() -> str:
              CAST(sum(x * x * yu) AS DOUBLE) AS t2
       FROM pts
     )
-    SELECT round({det0} / {det} / 100.0, 6) AS b0,
-           round({det1} / {det} / 100.0, 6) AS b1,
-           round({det2} / {det} / 100.0, 6) AS b2,
+    SELECT round({det0} / {det} / 100.0, 6) + 0 AS b0,
+           round({det1} / {det} / 100.0, 6) + 0 AS b1,
+           round({det2} / {det} / 100.0, 6) + 0 AS b2,
            round(({det0} / {det}
                   + {det1} / {det} * {_PREDICT_X}
                   + {det2} / {det} * {_PREDICT_X * _PREDICT_X}) / 100.0 / 200.0,
-                 6) AS pred_norm,
+                 6) + 0 AS pred_norm,
            (({det0} / {det}
               + {det1} / {det} * {_PREDICT_X}
               + {det2} / {det} * {_PREDICT_X * _PREDICT_X}) / 100.0 / 200.0)
@@ -742,12 +742,12 @@ def _chem_impute_oracle() -> str:
     -- normalization, VERDICT r11 #3)
     SELECT CAST(p1 AS INTEGER) AS p1, CAST(p2 AS INTEGER) AS p2,
            CAST(c1 AS INT) AS cluster1, CAST(c2 AS INT) AS cluster2,
-           round(chemistry, 6) AS chemistry, FALSE AS imputed
+           round(chemistry, 6) + 0 AS chemistry, FALSE AS imputed
     FROM dense_pl
     UNION ALL
     SELECT CAST(sc.p1 AS INTEGER) AS p1, CAST(sc.p2 AS INTEGER) AS p2,
            CAST(l1.cid AS INT) AS cluster1, CAST(l2.cid AS INT) AS cluster2,
-           round(coalesce(cp.cchem, g.gchem), 6) AS chemistry,
+           round(coalesce(cp.cchem, g.gchem), 6) + 0 AS chemistry,
            TRUE AS imputed
     FROM sparse_cand sc
     JOIN labs l1 ON l1.user_id = sc.p1

@@ -1348,8 +1348,13 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CAST(sum(d.cnt) AS BIGINT) AS n_tokens,
+           -- + 0 pins negative zero: a doc whose log-ratio mean rounds
+           -- to zero from below gives -0.0 from DuckDB's std::round
+           -- path but +0.0 from Spark's BigDecimal path (no signed
+           -- zero there); equal as floats, DISTINCT to a %-format or
+           -- byte hash. Machine-found by the r13 sf0.1 fleet sweep.
            round(CAST(sum(d.cnt * u.u) AS DOUBLE) / sum(d.cnt) / 1000000000
-                 * 1000000) / 1000000 AS mean_log_ratio
+                 * 1000000) / 1000000 + 0 AS mean_log_ratio
     FROM doc_tok d JOIN units u ON u.token = d.token
     GROUP BY d.doc_id ORDER BY doc_id
     """,

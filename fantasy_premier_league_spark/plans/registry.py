@@ -52,7 +52,17 @@ ORACLES: dict[str, str] = {}
 # byte-normalization casts, PREFLIGHT_r12.json) was consumed by the
 # r12 driver sample -- all 50 rows green, CORRECTNESS_r12.json -- and
 # pruned at the start of r13 (VERDICT r12 residual wart / task #1).
-CHANGED_THIS_ROUND: list[str] = []
+CHANGED_THIS_ROUND: list[str] = [
+    # r13 signed-zero pin: sign-crossing rounded oracles gained `+ 0`
+    # (DuckDB std::round emits -0.0 below zero, Spark's BigDecimal
+    # path never does; machine-found by the sf0.1 fleet sweep on
+    # docs_dsir_weights). Values are float-equal; the driver must
+    # still re-verify the hash path on the edited oracles.
+    "docs_dsir_weights",
+    "stats_corr_matrix",
+    "ml_quadratic_fit",
+    "ml_kmeans_chemistry_impute",
+]
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:

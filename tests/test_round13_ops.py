@@ -17,6 +17,15 @@
    the p50/p95 rows recorded in BASELINE.md use tools/stream_latency.py's
    linear-interpolation percentile, pinned here against the
    quantile_cont definition.
+
+5. The signed-zero convention (machine-found by the r13 sf0.1 fleet
+   sweep, docs_dsir_weights doc 3533): a sign-crossing measure that
+   rounds to zero from below yields -0.0 from DuckDB's std::round
+   path but +0.0 from Spark's BigDecimal path, which has no signed
+   zero. Equal as floats, DISTINCT to any %-format or byte hash --
+   i.e., invisible to the repo's own _norm but fatal to the driver's
+   float normalization. Oracles of sign-crossing rounded measures
+   append `+ 0` (IEEE: -0.0 + 0 = +0.0); both halves pinned here.
 """
 
 from __future__ import annotations
@@ -103,3 +112,51 @@ def test_stream_latency_percentile_is_quantile_cont():
     assert abs(_pct(xs, 0.95) - 38.5) < 1e-9
     assert _pct([7.0], 0.95) == 7.0
     assert math.isnan(_pct([], 0.5))
+
+
+def test_signed_zero_pinned_on_both_engines(spark):
+    """The -0.0 convention (module docstring #5): Spark's rounded()
+    can never emit a signed zero (BigDecimal path), and the oracle
+    `round(...) + 0` spelling pins DuckDB to the same +0.0 -- so a
+    sign-crossing measure that rounds to zero hashes identically on
+    any float normalization, %-format and byte paths included."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from fantasy_premier_league_spark.functions import rounded
+
+    row = (
+        spark.range(1)
+        .select(
+            rounded(F.lit(-0.0000004), 6).alias("a"),
+            rounded(F.lit(-0.4), 6).alias("b"),
+        )
+        .first()
+    )
+    assert math.copysign(1.0, row["a"]) == 1.0
+    assert math.copysign(1.0, row["b"]) == -1.0  # nonzero values keep sign
+    con = duckdb.connect()
+    raw, pinned = con.execute(
+        "SELECT round(CAST(-0.0000004 AS DOUBLE) * 1000000) / 1000000,"
+        "       round(CAST(-0.0000004 AS DOUBLE) * 1000000) / 1000000 + 0"
+    ).fetchone()
+    con.close()
+    # the hazard is real (raw is a negative zero) and the pin removes it
+    assert raw == 0.0 and math.copysign(1.0, raw) == -1.0
+    assert math.copysign(1.0, pinned) == 1.0
+
+
+def test_sign_crossing_oracles_carry_the_zero_pin():
+    """Every sign-crossing rounded measure identified by the r13 sweep
+    keeps its `+ 0` spelling; a refactor that drops one reopens the
+    divergence silently (it only fires when a value lands on -0.0)."""
+    from fantasy_premier_league_spark.plans.registry import all_oracles
+
+    oracles = all_oracles()
+    assert "/ 1000000 + 0 AS mean_log_ratio" in oracles["docs_dsir_weights"]
+    assert "+ 0 AS corr_qty_price" in oracles["stats_corr_matrix"]
+    assert "+ 0 AS covar_qty_price" in oracles["stats_corr_matrix"]
+    for col in ("b0", "b1", "b2", "pred_norm"):
+        assert f"+ 0 AS {col}" in oracles["ml_quadratic_fit"]
+    assert oracles["ml_kmeans_chemistry_impute"].count("+ 0 AS chemistry") == 2

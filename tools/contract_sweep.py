@@ -1,0 +1,90 @@
+"""Run the ENTIRE registered fleet against its DuckDB oracles at an
+arbitrary scale factor.
+
+The driver's correctness gate runs at sf0.01 forever; this tool replays
+the same queries()-vs-oracle_sql() comparison at a larger SF, where a
+decade more rows reach value edges the gate never sees. First run
+(r13, sf0.1) machine-found the signed-zero hazard: docs_dsir_weights
+doc 3533's log-ratio mean rounded to -0.0 in DuckDB and +0.0 in Spark
+-- float-equal, hash-distinct -- now pinned fleet-wide by the
+`round(...) + 0` oracle convention (tests/test_round13_ops.py).
+
+Usage:
+    python tools/contract_sweep.py [sf_dir]   # default /root/testdata/sf0.1
+
+Comparison is the repo harness's own (type families + canonical rows,
+which intentionally normalizes signed zero like the parity suite); add
+--strict-zero to ALSO fail on -0.0-vs-+0.0 splits, the class the
+driver's float normalization would see.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from fantasy_premier_league_spark.plans import registry  # noqa: E402
+from fantasy_premier_league_spark.session import get_spark  # noqa: E402
+from tests.oracle_harness import compare, duck_connection  # noqa: E402
+
+
+def _neg_zero_counts(rows, cols) -> dict[str, int]:
+    """Per-column count of negative zeros (compare() already proved the
+    row multisets value-equal, so differing counts == a signed split)."""
+    out: dict[str, int] = {}
+    for row in rows:
+        for col, v in zip(cols, row):
+            if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0:
+                out[col] = out.get(col, 0) + 1
+    return out
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    strict_zero = "--strict-zero" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    registry._load_all()
+    spark = get_spark("contract-sweep")
+    con = duck_connection(sf_dir)
+    failures: list[tuple[str, str]] = []
+    n = 0
+    t0 = time.monotonic()
+    for name, fn in registry.QUERIES.items():
+        n += 1
+        oracle = registry.ORACLES.get(name)
+        try:
+            df = fn(spark, sf_dir)
+            if oracle is None:
+                rows = df.count()  # rows-only queries: must still run
+                print(f"{n:3d} {name}: rows-only ({rows})", flush=True)
+                continue
+            compare(df, con, oracle)
+            if strict_zero:
+                s_rows = [tuple(r) for r in df.collect()]
+                rel = con.execute(oracle)
+                cols = [d[0] for d in rel.description]
+                s_neg = _neg_zero_counts(s_rows, cols)
+                d_neg = _neg_zero_counts(rel.fetchall(), cols)
+                if s_neg != d_neg:
+                    raise AssertionError(
+                        f"signed-zero split: spark={s_neg} duck={d_neg}"
+                    )
+            print(f"{n:3d} {name}: OK", flush=True)
+        except Exception as ex:
+            failures.append((name, str(ex).splitlines()[0][:160]))
+            print(f"{n:3d} {name}: FAIL {str(ex)[:160]}", flush=True)
+    print(
+        f"sweep: {n - len(failures)}/{n} matched at {sf_dir}"
+        f" in {time.monotonic() - t0:.0f}s"
+    )
+    for name, msg in failures:
+        print(f"  DIVERGED {name}: {msg}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
