@@ -11,11 +11,14 @@ doc 3533's log-ratio mean rounded to -0.0 in DuckDB and +0.0 in Spark
 
 Usage:
     python tools/contract_sweep.py [sf_dir]   # default /root/testdata/sf0.1
+    python tools/contract_sweep.py .scale/sf1 --queries a,b,c   # subset
 
 Comparison is the repo harness's own (type families + canonical rows,
 which intentionally normalizes signed zero like the parity suite); add
 --strict-zero to ALSO fail on -0.0-vs-+0.0 splits, the class the
-driver's float normalization would see.
+driver's float normalization would see. --queries (comma-separated)
+restricts the sweep, e.g. the approximation/threshold tier at a
+make_scale.py-built sf1.
 """
 
 from __future__ import annotations
@@ -43,16 +46,28 @@ def _neg_zero_counts(rows, cols) -> dict[str, int]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    strict_zero = "--strict-zero" in sys.argv
+    argv = sys.argv[1:]
+    only: set[str] | None = None
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    strict_zero = "--strict-zero" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     registry._load_all()
+    if only is not None:
+        unknown = only - set(registry.QUERIES)
+        if unknown:
+            raise SystemExit(f"--queries names not registered: {sorted(unknown)}")
     spark = get_spark("contract-sweep")
     con = duck_connection(sf_dir)
     failures: list[tuple[str, str]] = []
     n = 0
     t0 = time.monotonic()
     for name, fn in registry.QUERIES.items():
+        if only is not None and name not in only:
+            continue
         n += 1
         oracle = registry.ORACLES.get(name)
         try:
