@@ -64,6 +64,14 @@ _TABLES = {
 _OPS = ["<", "<=", ">", ">="]
 
 
+def _conj(cols: list):
+    """AND-fold a non-empty list of Column predicates."""
+    cond = cols[0]
+    for c in cols[1:]:
+        cond = cond & c
+    return cond
+
+
 def _predicates(rng: random.Random, spec: dict) -> tuple[list, list[str]]:
     """1-3 AND-ed predicates as (DataFrame Column builder, SQL text)."""
     cols, sqls = [], []
@@ -170,9 +178,7 @@ def draw_case(seed: int) -> dict:
 def build_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     """Realize a drawn case as the DataFrame plan."""
     df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     filtered = df.filter(cond)
     if case["keys"]:
         return filtered.groupBy(*case["keys"]).agg(*case["agg_cols"])
@@ -317,9 +323,7 @@ def draw_window_case(seed: int) -> dict:
 
 def build_window_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     return df.filter(cond).select(
         "l_orderkey", "l_linenumber", case["part"], *case["out_cols"]
     )
@@ -376,9 +380,7 @@ def draw_null_case(seed: int) -> dict:
 
 def build_null_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     return df.filter(cond).groupBy(case["key"]).agg(*case["aggs"])
 
 
@@ -420,9 +422,7 @@ def draw_topk_case(seed: int) -> dict:
 
 def build_topk_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     grouped = df.filter(cond).groupBy(*case["keys"]).agg(*case["agg_cols"])
     return (
         grouped.filter(F.col("n") >= case["having"])
@@ -497,9 +497,7 @@ def draw_expr_case(seed: int) -> dict:
 
 def build_expr_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     return df.filter(cond).select(case["key"], *case["out_cols"])
 
 
@@ -623,9 +621,7 @@ def draw_rollup_case(seed: int) -> dict:
 
 def build_rollup_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     filtered = df.filter(cond)
     k1, k2 = case["keys"]
     if case["mode"] == "rollup":
@@ -712,15 +708,9 @@ def build_subquery_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFr
     outer = spark.read.parquet(f"{sf_dir}/{case['outer']}.parquet")
     inner = spark.read.parquet(f"{sf_dir}/{case['inner']}.parquet")
 
-    def conj(cols):
-        c = cols[0]
-        for x in cols[1:]:
-            c = c & x
-        return c
-
     how = "left_semi" if case["form"] in ("exists", "in") else "left_anti"
-    kept = outer.filter(conj(case["outer_cols"])).join(
-        inner.filter(conj(case["inner_cols"])).select(case["ikey"]),
+    kept = outer.filter(_conj(case["outer_cols"])).join(
+        inner.filter(_conj(case["inner_cols"])).select(case["ikey"]),
         on=F.col(case["okey"]) == F.col(case["ikey"]),
         how=how,
     )
@@ -800,9 +790,7 @@ def draw_datetime_case(seed: int) -> dict:
 
 def build_datetime_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     return df.filter(cond).select(case["key"], *case["out_cols"])
 
 
@@ -952,9 +940,7 @@ def draw_numeric_case(seed: int) -> dict:
 
 def build_numeric_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     return df.filter(cond).select(case["key"], *case["out_cols"])
 
 
@@ -1035,16 +1021,10 @@ def build_rangejoin_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataF
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
-    def conj(cols):
-        c = cols[0]
-        for x in cols[1:]:
-            c = c & x
-        return c
-
     cond = orders["o_orderkey"] == lineitem["l_orderkey"]
     for r in case["res_cols"]:
         cond = cond & r
-    joined = orders.filter(conj(case["o_pred_cols"])).join(
+    joined = orders.filter(_conj(case["o_pred_cols"])).join(
         lineitem,
         cond,
         "inner" if case["how"] == "inner" else "left_outer",
@@ -1132,9 +1112,7 @@ def build_stream_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFram
         _STREAM_SRC_CACHE[key] = src
     src = _STREAM_SRC_CACHE[key]
     schema = spark.read.parquet(src).schema
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")  # 4 files -> 2 micro-batches
@@ -1222,18 +1200,12 @@ def build_scalarsub_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataF
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
-    def conj(cols):
-        c = cols[0]
-        for x in cols[1:]:
-            c = c & x
-        return c
-
     per_order = (
-        lineitem.filter(conj(case["inner_cols"]))
+        lineitem.filter(_conj(case["inner_cols"]))
         .groupBy("l_orderkey")
         .agg(*case["inner_aggs"])
     )
-    joined = orders.filter(conj(case["outer_cols"])).join(
+    joined = orders.filter(_conj(case["outer_cols"])).join(
         per_order,
         F.col("o_orderkey") == F.col("l_orderkey"),
         "left_outer",
@@ -1317,9 +1289,7 @@ def draw_rangeframe_case(seed: int) -> dict:
 
 def build_rangeframe_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     return df.filter(cond).select(
         "l_orderkey", "l_linenumber", case["part"], *case["out_cols"]
     )
@@ -1376,9 +1346,7 @@ def draw_filteragg_case(seed: int) -> dict:
 
 def build_filteragg_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
-    cond = case["pred_cols"][0]
-    for c in case["pred_cols"][1:]:
-        cond = cond & c
+    cond = _conj(case["pred_cols"])
     return df.filter(cond).groupBy(*case["keys"]).agg(*case["aggs"])
 
 
@@ -1386,14 +1354,8 @@ def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
-    def conj(cols):
-        c = cols[0]
-        for x in cols[1:]:
-            c = c & x
-        return c
-
-    left = orders.filter(conj(case["o_pred_cols"]))
-    right = lineitem.filter(conj(case["l_pred_cols"]))
+    left = orders.filter(_conj(case["o_pred_cols"]))
+    right = lineitem.filter(_conj(case["l_pred_cols"]))
     # pre-filtering the right side then joining is the DataFrame-native
     # equivalent of predicates in the ON clause for BOTH join types
     joined = left.join(
