@@ -243,7 +243,7 @@ _CHEM_SQL = f"""
                  THEN (0.5 + s - (SELECT sum(s) FROM strength) / 2) * 100
                  ELSE 100 - (0.5 + (SELECT sum(s) FROM strength WHERE team = 'team1')
                              - (SELECT sum(s) FROM strength) / 2) * 100 END, 6)
-             AS winning_chance
+             + 0 AS winning_chance
     FROM strength ORDER BY team
     """,
 )
@@ -334,7 +334,7 @@ _REQ1_INVALID_ORACLE = f"""
                  THEN (0.5 + su - (SELECT sum(su) FROM used) / 2) * 100
                  ELSE 100 - (0.5 + (SELECT su FROM used WHERE team = 'team1')
                              - (SELECT sum(su) FROM used) / 2) * 100 END, 6)
-             AS winning_chance
+             + 0 AS winning_chance
     FROM used ORDER BY team
 """
 

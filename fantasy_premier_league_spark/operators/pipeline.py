@@ -545,7 +545,7 @@ _RATING_SQL = f"""
 @register(
     "fpl_a5_rating",
     oracle=f"""
-    SELECT playerId, matchId, round(rating, 6) AS rating, round(delta, 6) AS delta
+    SELECT playerId, matchId, round(rating, 6) AS rating, round(delta, 6) + 0 AS delta
     FROM ({_RATING_SQL}) ORDER BY playerId, matchId
     """,
 )
@@ -659,7 +659,7 @@ _SPEC_RATING_SQL = f"""
 @register(
     "fpl_a5_spec_rating",
     oracle=f"""
-    SELECT playerId, matchId, round(rating, 6) AS rating, round(delta, 6) AS delta
+    SELECT playerId, matchId, round(rating, 6) AS rating, round(delta, 6) + 0 AS delta
     FROM ({_SPEC_RATING_SQL}) ORDER BY playerId, matchId
     """,
 )

@@ -353,7 +353,7 @@ _DUP_BIGRAM_MAX = 0.5  # > 50% repeated bigrams -> repetitive
            round(CAST(p.max_tf AS DOUBLE) / b.n, 6) AS top_token_frac,
            round(1 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6)
              AS dup_bigram_frac,
-           round(ln(b.n) - p.sum_clnc / b.n, 6) AS token_entropy,
+           round(ln(b.n) - p.sum_clnc / b.n, 6) + 0 AS token_entropy,
            (p.max_tf * 5 > b.n)
              OR ((b.n_bigrams - b.n_distinct_bigrams) * 2 > b.n_bigrams)
              AS repetitive

@@ -108,7 +108,7 @@ def rating_trace(perf_df: DataFrame) -> DataFrame:
       SELECT p.user_id, p.seq, p.day, 1.05 * (p.p + r.rating) / 2 AS rating, r.rating AS prev
       FROM perf p JOIN r ON p.user_id = r.user_id AND p.seq = r.seq + 1
     )
-    SELECT user_id, day, round(rating, 6) AS rating, round(rating - prev, 6) AS delta
+    SELECT user_id, day, round(rating, 6) AS rating, round(rating - prev, 6) + 0 AS delta
     FROM r ORDER BY user_id, day
     """,
 )

@@ -345,7 +345,7 @@ def agg_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment AS segment, count(*) AS n,
            count(DISTINCT c_nationkey) AS n_nations,
            round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
-                 / 100.0 / count(*), 6) AS avg_bal
+                 / 100.0 / count(*), 6) + 0 AS avg_bal
     FROM customer GROUP BY c_mktsegment ORDER BY segment
     """,
 )
@@ -381,8 +381,8 @@ def composition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                / 100.0 / count(*) AS s
       FROM customer GROUP BY c_nationkey
     ), g AS (SELECT avg(s) AS gs FROM strength)
-    SELECT nation, round(s, 6) AS strength,
-           round((0.5 + s / 10000.0 - (s / 10000.0 + gs / 10000.0) / 2) * 100, 6) AS win_chance
+    SELECT nation, round(s, 6) + 0 AS strength,
+           round((0.5 + s / 10000.0 - (s / 10000.0 + gs / 10000.0) / 2) * 100, 6) + 0 AS win_chance
     FROM strength, g
     ORDER BY nation
     """,

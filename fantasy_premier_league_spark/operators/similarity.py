@@ -56,7 +56,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.query_id, v.vec_id,
              round(list_dot_product(q.qvec, v.vec)
                / (sqrt(list_dot_product(q.qvec, q.qvec))
-                  * sqrt(list_dot_product(v.vec, v.vec))), 6) AS cosine
+                  * sqrt(list_dot_product(v.vec, v.vec))), 6) + 0 AS cosine
       FROM q JOIN v ON v.vec_id <> q.query_id
     )
     SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
@@ -331,7 +331,7 @@ _COS_SQL = """list_dot_product({a}, {b})
     )
     SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
       SELECT p.query_id, a.vec_id,
-             round({_COS_SQL.format(a='p.qvec', b='a.vec')}, 6) AS cosine,
+             round({_COS_SQL.format(a='p.qvec', b='a.vec')}, 6) + 0 AS cosine,
              row_number() OVER (
                PARTITION BY p.query_id
                ORDER BY round({_COS_SQL.format(a='p.qvec', b='a.vec')}, 6) DESC,

@@ -791,7 +791,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
            round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
                      - CAST(round(p_retailprice * l_quantity * 1000) AS BIGINT)) AS BIGINT)
-                 / 10000.0, 2) AS profit
+                 / 10000.0, 2) + 0 AS profit
     FROM lineitem, orders, part, supplier, nation
     WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
       AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey

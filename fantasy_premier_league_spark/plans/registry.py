@@ -48,20 +48,29 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update whenever a registered query's implementation
-# or oracle changes. The r12 list (the 22 strict-preflight
-# byte-normalization casts, PREFLIGHT_r12.json) was consumed by the
-# r12 driver sample -- all 50 rows green, CORRECTNESS_r12.json -- and
-# pruned at the start of r13 (VERDICT r12 residual wart / task #1).
+# or oracle changes. The r13 list (the 4 signed-zero `+ 0` oracle
+# pins, machine-found by the sf0.1 fleet sweep) was consumed by the
+# r13 driver sample -- all 50 rows green, CORRECTNESS_r13.json -- and
+# pruned at the start of r14 (VERDICT r13 task #1).
 CHANGED_THIS_ROUND: list[str] = [
-    # r13 signed-zero pin: sign-crossing rounded oracles gained `+ 0`
-    # (DuckDB std::round emits -0.0 below zero, Spark's BigDecimal
-    # path never does; machine-found by the sf0.1 fleet sweep on
-    # docs_dsir_weights). Values are float-equal; the driver must
-    # still re-verify the hash path on the edited oracles.
-    "docs_dsir_weights",
-    "stats_corr_matrix",
-    "ml_quadratic_fit",
-    "ml_kmeans_chemistry_impute",
+    # r14 proactive signed-zero audit (ADVICE r13 #3): every remaining
+    # sign-crossing rounded OUTPUT measure gained the `+ 0` pin --
+    # classified by the rule in tests/test_round14_ops.py (integer-cast,
+    # provably-non-negative, zero-filtered, grid-coarse, and
+    # intermediate-only rounds are exempt; the rest must pin). Values
+    # are float-equal; the driver must re-verify the hash path.
+    "a10_win_chance",
+    "a8_composition_count",
+    "q9_product_profit",
+    "a5_rating_recurrence",
+    "fpl_a5_rating",
+    "fpl_a5_spec_rating",
+    "fpl_t5_stateful_stream",
+    "text_repetition_stats",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "fpl_req1_win_prediction",
+    "fpl_req1_invalid_team_quirk",
 ]
 
 # Queries first registered this round (no driver row exists yet).
@@ -70,12 +79,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # (r12's two additions -- docs_quality_percentile_filter,
 # events_funnel_conversion -- got their first driver rows in
 # CORRECTNESS_r12, both green, and moved out at the start of r13.)
-NEW_THIS_ROUND: list[str] = [
-    # r13: Arrow Python-UDTF lateral chunk windows (VERDICT r12 #7);
-    # paired retirement: dedup_simhash (coverage via its _pairs/
-    # _accuracy siblings) keeps N at 200.
-    "text_udtf_chunk_windows",
-]
+NEW_THIS_ROUND: list[str] = []
+# (r13's addition -- text_udtf_chunk_windows, paired with the
+# dedup_simhash retirement to hold N=200 -- got its first driver row
+# in CORRECTNESS_r13, green, and moved out at the start of r14.)
 
 # Registration budget (r10 verdict #8): r12 deleted the two green r11
 # perceptron bisect probes (their registration comment said "delete

@@ -311,7 +311,7 @@ def _fpl_stateful_oracle() -> str:
     from fantasy_premier_league_spark.operators import pipeline as P
 
     return f"""
-    SELECT playerId, matchId, round(rating, 6) AS rating, round(delta, 6) AS delta
+    SELECT playerId, matchId, round(rating, 6) AS rating, round(delta, 6) + 0 AS delta
     FROM ({P._RATING_SQL}) ORDER BY playerId, matchId
     """
 

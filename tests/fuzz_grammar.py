@@ -1309,9 +1309,7 @@ def draw_filteragg_case(seed: int) -> dict:
     spec = _TABLES[table]
     pred_cols, pred_sql = _predicates(rng, spec)
     gate_cols, gate_sql = _predicates(rng, spec)
-    gate = gate_cols[0]
-    for c in gate_cols[1:]:
-        gate = gate & c
+    gate = _conj(gate_cols)
     gate_text = " AND ".join(gate_sql)
     keys = rng.sample(spec["keys"], rng.choice([1, 1, 2]))
     cents = rng.choice(spec["cents"])

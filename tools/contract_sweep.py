@@ -31,29 +31,56 @@ sys.path.insert(0, ".")
 
 from fantasy_premier_league_spark.plans import registry  # noqa: E402
 from fantasy_premier_league_spark.session import get_spark  # noqa: E402
-from tests.oracle_harness import compare, duck_connection  # noqa: E402
+from tests.oracle_harness import _norm, compare, duck_connection  # noqa: E402
 
 
-def _neg_zero_counts(rows, cols) -> dict[str, int]:
-    """Per-column count of negative zeros (compare() already proved the
-    row multisets value-equal, so differing counts == a signed split)."""
-    out: dict[str, int] = {}
-    for row in rows:
-        for col, v in zip(cols, row):
-            if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0:
-                out[col] = out.get(col, 0) + 1
-    return out
+def _signed_cell(v: object) -> str:
+    """harness _norm(), except negative zero stays distinguishable.
+
+    compare() has already proved the row multisets value-equal under the
+    sign-erasing normalization; re-canonicalizing with the zero sign kept
+    means ANY multiset difference here is exactly a signed-zero split --
+    including same-count-per-column splits landing on different rows,
+    which the r13 per-column counter missed (ADVICE r13 #1)."""
+    if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0:
+        return "-0"
+    return _norm(v)
+
+
+def _signed_rows(cols: list[str], rows) -> list[tuple[str, ...]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_signed_cell(r[i]) for i in order) for r in rows)
 
 
 def main() -> int:
     argv = sys.argv[1:]
     only: set[str] | None = None
-    if "--queries" in argv:
-        i = argv.index("--queries")
-        only = set(argv[i + 1].split(","))
-        del argv[i : i + 2]
-    args = [a for a in argv if not a.startswith("--")]
-    strict_zero = "--strict-zero" in argv
+    strict_zero = False
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--queries":
+            if i + 1 >= len(argv):
+                raise SystemExit("--queries needs a comma-separated value")
+            only = set(argv[i + 1].split(","))
+            i += 2
+        elif a.startswith("--queries="):
+            only = set(a.split("=", 1)[1].split(","))
+            i += 1
+        elif a == "--strict-zero":
+            strict_zero = True
+            i += 1
+        elif a.startswith("--"):
+            # Unknown flags fail loudly: a typo'd flag silently sweeping
+            # the ENTIRE fleet costs ~35 min at sf0.1 (ADVICE r13 #2).
+            raise SystemExit(
+                f"unrecognized flag {a!r}; known: --queries NAMES | "
+                "--queries=NAMES | --strict-zero"
+            )
+        else:
+            args.append(a)
+            i += 1
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     registry._load_all()
     if only is not None:
@@ -81,12 +108,15 @@ def main() -> int:
                 s_rows = [tuple(r) for r in df.collect()]
                 rel = con.execute(oracle)
                 cols = [d[0] for d in rel.description]
-                s_neg = _neg_zero_counts(s_rows, cols)
-                d_neg = _neg_zero_counts(rel.fetchall(), cols)
-                if s_neg != d_neg:
-                    raise AssertionError(
-                        f"signed-zero split: spark={s_neg} duck={d_neg}"
-                    )
+                s_canon = _signed_rows(cols, s_rows)
+                d_canon = _signed_rows(cols, rel.fetchall())
+                if s_canon != d_canon:
+                    diff = [
+                        (a, b)
+                        for a, b in zip(s_canon, d_canon)
+                        if a != b
+                    ][:3]
+                    raise AssertionError(f"signed-zero split: {diff}")
             print(f"{n:3d} {name}: OK", flush=True)
         except Exception as ex:
             failures.append((name, str(ex).splitlines()[0][:160]))
