@@ -21,9 +21,17 @@ Batch 0 pays stream initialization (offset log creation, state store
 setup) and is reported separately, not folded into the percentiles --
 steady state is what the p50/p95 claim is about.
 
+Round 14 (VERDICT r13 #4) extends the harness beyond the t4 aggregate
+to the two shapes BASELINE.md names as the next knees: ``--shape join``
+(the t7/t12 double-watermarked stream-stream interval join -- the
+widest state) and ``--shape merge`` (the t18 foreachBatch
+committed-snapshot MERGE ladder -- the highest per-batch fixed cost,
+using the real make_dedup_history_sink).
+
 Usage:
     python tools/stream_latency.py [--batches 24] [--trigger-ms 500]
                                    [--rows-per-sec 5000] [--json]
+                                   [--shape agg|join|merge]
 
 Prints a markdown table (BASELINE.md records it) or one JSON line.
 """
@@ -54,20 +62,21 @@ def _pct(xs: list[float], p: float) -> float:
     return s[lo] + (s[hi] - s[lo]) * (idx - lo)
 
 
-def run(n_batches: int, trigger_ms: int, rows_per_sec: int) -> dict:
-    from pyspark.sql import functions as F
-
-    from fantasy_premier_league_spark.session import get_spark
-
-    spark = get_spark("stream-latency")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-
-    # the t4 shape over the rate source: event-time watermark +
-    # 10-second tumbling window + per-window count/sum, update mode
-    stream = (
+def _rate(spark, rows_per_sec: int):
+    return (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rows_per_sec))
         .load()
+    )
+
+
+def _shape_agg(spark, rows_per_sec: int):
+    """t4 shape: event-time watermark + 10 s tumbling window + per-window
+    count/sum, update mode (streaming/queries.py:118)."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        _rate(spark, rows_per_sec)
         .withWatermark("timestamp", "5 seconds")
         .groupBy(F.window("timestamp", "10 seconds").alias("win"))
         .agg(
@@ -75,11 +84,92 @@ def run(n_batches: int, trigger_ms: int, rows_per_sec: int) -> dict:
             F.sum(F.col("value") % 97).alias("checksum"),
         )
     )
+    return (
+        stream.writeStream.outputMode("update").format("noop"),
+        "rate -> watermark 5s -> window 10s agg -> noop (update)",
+    )
+
+
+def _shape_join(spark, rows_per_sec: int):
+    """t7/t12 shape: double-watermarked stream-stream interval join --
+    the widest per-key state a micro-batch carries
+    (streaming/queries.py:183). Both arms fork from ONE rate stream
+    exactly as t7 forks its file source; even values play purchases,
+    odd play signups, pair key value//2, so every pair lands within a
+    second and the 10 s interval always matches while the 5 s watermark
+    continuously evicts settled state."""
+    from pyspark.sql import functions as F
+
+    events = _rate(spark, rows_per_sec)
+    left = (
+        events.filter(F.col("value") % 2 == 0)
+        .select(
+            (F.col("value") / 2).cast("long").alias("l_key"),
+            F.col("timestamp").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "5 seconds")
+    )
+    right = (
+        events.filter(F.col("value") % 2 == 1)
+        .select(
+            (F.col("value") / 2).cast("long").alias("r_key"),
+            F.col("timestamp").alias("r_ts"),
+        )
+        .withWatermark("r_ts", "5 seconds")
+    )
+    joined = left.join(
+        right,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 10 SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 10 SECONDS")),
+    )
+    return (
+        joined.writeStream.outputMode("append").format("noop"),
+        "rate fork -> 2x watermark 5s -> interval join ±10s -> noop (append)",
+    )
+
+
+def _shape_merge(spark, rows_per_sec: int):
+    """t18 shape: foreachBatch committed-snapshot MERGE ladder -- the
+    REAL make_dedup_history_sink (streaming/queries.py:1147), fed
+    doc_id/text rows derived from the rate source with value%1000 text
+    collisions for duplicate pressure. Per batch: anti-join against the
+    newest committed history snapshot, idempotent batch_id partition
+    write, history version append -- the exactly-once discipline t18's
+    correctness gate proves, here priced per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from fantasy_premier_league_spark.streaming.queries import (
+        make_dedup_history_sink,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_latency_merge_")
+    ingest = make_dedup_history_sink(
+        os.path.join(root, "history"), os.path.join(root, "accepted")
+    )
+    docs = _rate(spark, rows_per_sec).select(
+        F.col("value").alias("doc_id"),
+        F.concat(F.lit("doc-"), (F.col("value") % 1000)).alias("text"),
+    )
+    return (
+        docs.writeStream.foreachBatch(ingest),
+        "rate -> foreachBatch anti-join + snapshot MERGE ladder (t18 sink)",
+    )
+
+
+SHAPES = {"agg": _shape_agg, "join": _shape_join, "merge": _shape_merge}
+
+
+def run(n_batches: int, trigger_ms: int, rows_per_sec: int, shape: str) -> dict:
+    from fantasy_premier_league_spark.session import get_spark
+
+    spark = get_spark("stream-latency")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    writer, shape_desc = SHAPES[shape](spark, rows_per_sec)
     ckpt = tempfile.mkdtemp(prefix="stream_latency_ckpt_")
     query = (
-        stream.writeStream.outputMode("update")
-        .format("noop")
-        .option("checkpointLocation", ckpt)
+        writer.option("checkpointLocation", ckpt)
         .trigger(processingTime=f"{trigger_ms} milliseconds")
         .start()
     )
@@ -115,7 +205,7 @@ def run(n_batches: int, trigger_ms: int, rows_per_sec: int) -> dict:
         if p.get("stateOperators")
     ]
     return {
-        "shape": "rate -> watermark 5s -> window 10s agg -> noop (update)",
+        "shape": shape_desc,
         "trigger_ms": trigger_ms,
         "rows_per_sec": rows_per_sec,
         "n_batches_steady": len(steady),
@@ -135,10 +225,11 @@ def main() -> int:
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--trigger-ms", type=int, default=500)
     ap.add_argument("--rows-per-sec", type=int, default=5000)
+    ap.add_argument("--shape", choices=sorted(SHAPES), default="agg")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
-    out = run(args.batches, args.trigger_ms, args.rows_per_sec)
+    out = run(args.batches, args.trigger_ms, args.rows_per_sec, args.shape)
     if args.json:
         print(json.dumps(out, sort_keys=True))
         return 0
