@@ -69,8 +69,9 @@ HEADLINE = [
     "w3_cumulative_users",
     "sketch_quantile_hist",
     # round 5 additions: graph + corpus-pipeline tier
+    # (text_winnowing retired r14 with its registration -- the
+    # winnowing pipeline stays timed through dedup_winnowing_pairs)
     "graph_pagerank",
-    "text_winnowing",
     "sketch_cms_heavy_hitters",
     "stats_zscore_outliers",
     "bloom_semi_join",
@@ -164,6 +165,8 @@ HEADLINE = [
     # round 13 addition: the Arrow Python-UDTF lateral chunk-window
     # expansion (Spark-4 extension surface, VERDICT r12 #7)
     "text_udtf_chunk_windows",
+    # round 14 addition: the state-store reader surface (t19)
+    "t19_state_store_reader",
 ]
 
 # Length of the comparable prefix above (r12: 23 = round-1's 24 minus

@@ -408,45 +408,15 @@ _WINNOW_W = 4
 _POS_BITS = 1 << 20
 
 
-@register(
-    "text_winnowing",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    pos AS (
-      SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS pos
-      FROM toks
-    ),
-    keyed AS (
-      SELECT doc_id, pos,
-             ('0x' || substr(md5(t[pos] || ' ' || t[pos + 1] || ' ' || t[pos + 2]),
-                             1, 8))::BIGINT * {_POS_BITS} + pos AS k
-      FROM pos
-    ),
-    sel AS (
-      SELECT DISTINCT doc_id,
-             min(k) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
-               AS k
-      FROM keyed
-    )
-    SELECT doc_id, CAST(k % {_POS_BITS} AS BIGINT) AS pos,
-           CAST(k // {_POS_BITS} AS BIGINT) AS fp
-    FROM sel ORDER BY doc_id, pos
-    """,
-)
-def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    keyed = _winnow_selected(docs)
-    return (
-        keyed.select(
-            "doc_id",
-            F.pmod(F.col("k"), F.lit(_POS_BITS)).alias("pos"),
-            (F.col("k") / _POS_BITS).cast("long").alias("fp"),
-        )
-        .orderBy("doc_id", "pos")
-    )
+# (`text_winnowing` -- the bare per-document fingerprint table -- was
+# retired in r14 under the N=200 registration budget to make room for
+# the state-store reader query (t19, the r13-precedented paired swap).
+# Coverage of the winnowing machinery continues through
+# `dedup_winnowing_pairs` below, which runs the identical
+# `_winnow_selected` pipeline (its oracle embeds the same CTE chain
+# verbatim) plus the df-capped posting join; the one surface the bare
+# query alone exposed -- the (pos, fp) unpacking of the packed key --
+# is a pure projection of the shared pipeline's output.)
 
 
 def _winnow_selected(docs: DataFrame) -> DataFrame:

@@ -79,7 +79,14 @@ CHANGED_THIS_ROUND: list[str] = [
 # (r12's two additions -- docs_quality_percentile_filter,
 # events_funnel_conversion -- got their first driver rows in
 # CORRECTNESS_r12, both green, and moved out at the start of r13.)
-NEW_THIS_ROUND: list[str] = []
+NEW_THIS_ROUND: list[str] = [
+    # r14: the Spark-4 state-store READER (spark.read.format(
+    # "statestore") over a drained keyed aggregate's checkpoint --
+    # the state-inspection/migration surface); paired retirement:
+    # text_winnowing (coverage via dedup_winnowing_pairs, which runs
+    # the identical _winnow_selected pipeline) keeps N at 200.
+    "t19_state_store_reader",
+]
 # (r13's addition -- text_udtf_chunk_windows, paired with the
 # dedup_simhash retirement to hold N=200 -- got its first driver row
 # in CORRECTNESS_r13, green, and moved out at the start of r14.)

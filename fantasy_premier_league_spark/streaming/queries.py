@@ -1252,3 +1252,73 @@ def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "digest", F.col("batch_id").cast("int").alias("batch_id"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# T19: the state-store READER (Spark 4 `statestore` batch source) --
+# the operational surface every production stream eventually needs:
+# inspect, audit, or migrate a running query's checkpointed state
+# WITHOUT stopping it or replaying its input. The reference has no
+# analogue (its DStream state lives opaquely inside
+# ``updateStateByKey`` closures, master.py:330-373 -- debugging it
+# means print statements); Structured Streaming's state is a real
+# keyed table, and this query gates that it reads back EXACTLY as the
+# aggregation semantics promise: after a full availableNow drain of a
+# keyed count/sum over events, the store's (key, value) rows ARE the
+# batch GROUP BY -- which is precisely the differential oracle.
+#
+# Scale: the reader emits one partition per state-store shard, so a
+# 100 TB stream's state scans with the same parallelism the stream
+# wrote it with -- no single-node reconstruction, no checkpoint-format
+# spelunking. State-key cardinality (|user_id|), not event volume,
+# bounds the read.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t19_state_store_reader",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a keyed streaming aggregate, then read its STATE back as
+    a batch DataFrame via ``spark.read.format("statestore")``.
+
+    The checkpoint lives in session-claimed scratch (the t18 rule: the
+    returned DataFrame lazily re-reads the store, so the directory must
+    outlive this call but not the session)."""
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    root = _claim_session_tmpdir(
+        f"t19_state_reader_{tag}", spark.sparkContext.applicationId
+    )
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(fixed_units(F.col("value"))).alias("value_cents"),
+        )
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        (
+            agg.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    state = (
+        spark.read.format("statestore")
+        .option("path", os.path.join(root, "ckpt"))
+        .load()
+    )
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+        F.col("value.sum").alias("value_cents"),
+    ).orderBy("user_id")

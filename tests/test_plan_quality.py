@@ -259,8 +259,9 @@ def test_no_unhinted_cartesian(spark, name):
 # - docs_pack_sequences: the only single-partition window may be the
 #   one over the |groups|-row offset table -- the per-document running
 #   sum must stay partitioned by block.
-# - text_winnowing: the window min must run after ONE exchange on
-#   doc_id; the shingle transform must not leave codegen for Python.
+# - _winnow_selected (was text_winnowing; bare query retired r14): the
+#   window min must run after ONE exchange on doc_id; the shingle
+#   transform must not leave codegen for Python.
 # ---------------------------------------------------------------------------
 
 
@@ -321,10 +322,19 @@ def test_pack_sequences_prefix_sum_is_hierarchical(spark):
 
 
 def test_winnowing_single_exchange_no_python(spark):
-    plan = plan_of(build(spark, "text_winnowing"))
+    # the bare text_winnowing query was retired r14 (N=200 swap for
+    # t19); the fence moves to the shared selection pipeline itself,
+    # which dedup_winnowing_pairs still runs on class representatives
+    from fantasy_premier_league_spark.operators.textstats import (
+        _winnow_selected,
+    )
+    from fantasy_premier_league_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = plan_of(_winnow_selected(docs))
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(doc_id") <= 1, (
-        f"text_winnowing: window re-shuffles doc_id more than once:\n{plan}"
+        f"_winnow_selected: window re-shuffles doc_id more than once:\n{plan}"
     )
 
 

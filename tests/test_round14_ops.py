@@ -243,3 +243,23 @@ def test_strict_zero_sweep_compares_row_multisets():
     a = _signed_rows(["k", "v"], [("x", -0.0), ("y", 0.0)])
     b = _signed_rows(["k", "v"], [("x", 0.0), ("y", -0.0)])
     assert a != b
+
+
+def test_t19_reads_state_not_a_recompute(spark):
+    """The r14 surface query must return rows from the STATE STORE
+    batch source -- if a refactor quietly swaps in a batch aggregate
+    over the parquet (which would pass the oracle identically), the
+    state-reader surface loses its gate. Fence the physical plan to
+    the statestore relation and pin the driver-facing schema."""
+    from fantasy_premier_league_spark.plans.registry import QUERIES, _load_all
+
+    _load_all()
+    df = QUERIES["t19_state_store_reader"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "StateScan" in plan or "statestore" in plan.lower(), plan
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "bigint",
+        "bigint",
+    ]
+    assert df.columns == ["user_id", "n_events", "value_cents"]
