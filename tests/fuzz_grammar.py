@@ -1362,3 +1362,71 @@ def build_join_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
         "inner" if case["how"] == "inner" else "left_outer",
     )
     return joined.groupBy(*case["keys"]).agg(*case["agg_cols"])
+
+
+def draw_signedzero_case(seed: int) -> dict:
+    """Seeded SIGNED-ZERO cases (axis 18, round 14): each case's
+    measure is the difference of two independently-gated cent sums,
+    scaled down so the rounded value lands in the +/-0 half-window for
+    a large fraction of groups -- the exact shape of the r13
+    machine-found hazard, generated instead of curated. The oracle
+    spells the sweep convention (`round(x * 1e6) / 1e6 + 0`) and the
+    Spark side the `rounded()` scaled form, so the axis continuously
+    pins BOTH halves: Spark's BigDecimal path never signs a zero, and
+    the pin repairs DuckDB's std::round -0.0 -- checked BYTE-wise via
+    signed_canonical_rows in the gate (plain compare() deliberately
+    cannot see this class). An ungated full cent sum rides along as a
+    BIGINT anchor so the case never passes vacuously."""
+    rng = random.Random(170_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    g1_cols, g1_sql = _predicates(rng, spec)
+    g2_cols, g2_sql = _predicates(rng, spec)
+    keys = rng.sample(spec["keys"], rng.choice([1, 1, 2]))
+    cents = rng.choice(spec["cents"])
+    # divisor >> max |diff| pushes most nonzero diffs inside the
+    # rounding half-window; vary the decade so some seeds also emit
+    # +/-1e-6 survivors on both sides of zero
+    div = rng.choice([10**9, 10**10, 10**11])
+    gate1, gate2 = _conj(g1_cols), _conj(g2_cols)
+    cents_int = F.round(F.col(cents) * 100).cast("long")
+    s1 = F.coalesce(F.sum(F.when(gate1, cents_int)), F.lit(0).cast("long"))
+    s2 = F.coalesce(F.sum(F.when(gate2, cents_int)), F.lit(0).cast("long"))
+    diff = (s1 - s2).cast("double") / F.lit(float(div))
+    aggs = [
+        F.coalesce(F.sum(cents_int), F.lit(0).cast("long")).alias("anchor_cents"),
+        (s1 - s2).alias("diff_units"),
+        (F.round(diff * 1_000_000) / 1_000_000).alias("zmeasure"),
+    ]
+    cents_sql = f"CAST(round({cents} * 100) AS BIGINT)"
+    s1_sql = f"coalesce(sum(CASE WHEN {' AND '.join(g1_sql)} THEN {cents_sql} END), 0)"
+    s2_sql = f"coalesce(sum(CASE WHEN {' AND '.join(g2_sql)} THEN {cents_sql} END), 0)"
+    sel = ", ".join(keys)
+    sql = f"""
+    SELECT {sel},
+           CAST(coalesce(sum({cents_sql}), 0) AS BIGINT) AS anchor_cents,
+           CAST({s1_sql} - {s2_sql} AS BIGINT) AS diff_units,
+           round(CAST({s1_sql} - {s2_sql} AS DOUBLE) / {div}
+                 * 1000000) / 1000000 + 0 AS zmeasure
+    FROM {table} WHERE {' AND '.join(pred_sql)}
+    GROUP BY {sel}
+    """
+    # the UNPINNED oracle spelling, used by the gate's vacuity check to
+    # prove the drawn family actually reaches -0.0 on the DuckDB side
+    unpinned_sql = sql.replace("/ 1000000 + 0 AS zmeasure", "/ 1000000 AS zmeasure")
+    return {
+        "table": table,
+        "keys": keys,
+        "pred_cols": pred_cols,
+        "aggs": aggs,
+        "sql": sql,
+        "unpinned_sql": unpinned_sql,
+    }
+
+
+def build_signedzero_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    return df.filter(_conj(case["pred_cols"])).groupBy(*case["keys"]).agg(
+        *case["aggs"]
+    )

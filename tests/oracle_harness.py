@@ -62,6 +62,27 @@ def canonical_rows(columns: list[str], rows: Iterable[tuple]) -> list[tuple[str,
     return sorted(out)
 
 
+def _signed_cell(v: object) -> str:
+    """_norm(), except negative zero stays distinguishable -- the class
+    compare() deliberately erases but the driver's %-format/byte float
+    paths see (the r13 signed-zero hazard)."""
+    if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0:
+        return "-0"
+    return _norm(v)
+
+
+def signed_canonical_rows(
+    columns: list[str], rows: Iterable[tuple]
+) -> list[tuple[str, ...]]:
+    """canonical_rows with the zero sign kept INSIDE each row, so any
+    multiset difference after a value-equal compare() is exactly a
+    signed-zero split -- including same-count-per-column splits landing
+    on different rows (ADVICE r13 #1). Shared by the contract sweep's
+    --strict-zero mode and the signedzero fuzz axis."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(_signed_cell(r[i]) for i in order) for r in rows)
+
+
 def _spark_family(dt) -> str:
     s = dt.simpleString()
     if s in ("tinyint", "smallint", "int", "bigint"):

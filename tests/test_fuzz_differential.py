@@ -228,6 +228,52 @@ def test_fuzz_filteragg_matches_duckdb(spark, duck, seed):
     compare(df, duck, case["sql"])
 
 
+SIGNEDZERO_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", SIGNEDZERO_SEEDS)
+def test_fuzz_signedzero_matches_duckdb_bytewise(spark, duck, seed):
+    """Axis 18 (round 14): value parity through compare() FIRST, then
+    the byte-level re-check compare() deliberately cannot do -- the
+    signed canonical rows must match exactly, pinning that Spark's
+    BigDecimal round never signs a zero and the oracle's `+ 0`
+    spelling repairs DuckDB's std::round -0.0 on machine-drawn
+    sign-crossing measures, not just the curated fleet."""
+    from tests.fuzz_grammar import build_signedzero_spark, draw_signedzero_case
+    from tests.oracle_harness import signed_canonical_rows
+
+    case = draw_signedzero_case(seed)
+    df = build_signedzero_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+    s = signed_canonical_rows(df.columns, [tuple(r) for r in df.collect()])
+    rel = duck.execute(case["sql"])
+    d = signed_canonical_rows([c[0] for c in rel.description], rel.fetchall())
+    assert s == d, f"signed-zero split: {[(a, b) for a, b in zip(s, d) if a != b][:3]}"
+
+
+def test_fuzz_signedzero_axis_hits_the_window(spark, duck):
+    """The axis must not pass vacuously: across the 12 seeds, the
+    UNPINNED oracle spelling must actually produce at least one -0.0
+    cell on the DuckDB side (i.e. the drawn family genuinely reaches
+    the hazard the pin exists to repair). DuckDB-only, cheap; the
+    spark fixture is needed because draw builds Column objects."""
+    import math
+
+    from tests.fuzz_grammar import draw_signedzero_case
+
+    neg_zeros = 0
+    for seed in SIGNEDZERO_SEEDS:
+        case = draw_signedzero_case(seed)
+        for row in duck.execute(case["unpinned_sql"]).fetchall():
+            for v in row:
+                if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0:
+                    neg_zeros += 1
+    assert neg_zeros > 0, (
+        "no seed reached a DuckDB -0.0 -- the signedzero grammar has "
+        "drifted off the hazard window"
+    )
+
+
 def test_fuzz_set_is_not_vacuous(spark, duck):
     """>= 60% of the cases must return rows (DuckDB-only, cheap).
 
@@ -273,6 +319,9 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
     sqls += [draw_scalarsub_case(s)["sql"] for s in SCALARSUB_SEEDS]
     sqls += [draw_rangeframe_case(s)["sql"] for s in RANGEFRAME_SEEDS]
     sqls += [draw_filteragg_case(s)["sql"] for s in FILTERAGG_SEEDS]
+    from tests.fuzz_grammar import draw_signedzero_case
+
+    sqls += [draw_signedzero_case(s)["sql"] for s in SIGNEDZERO_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()

@@ -232,17 +232,21 @@ def test_strict_zero_sweep_compares_row_multisets():
     """ADVICE r13 #1: the sweep's --strict-zero canonicalization keeps
     the zero sign inside the ROW, so same-count-per-column splits on
     different rows are caught (the per-column counter missed them)."""
-    import sys
-
-    sys.path.insert(0, "tools")
-    from contract_sweep import _signed_cell, _signed_rows
+    from tests.oracle_harness import _signed_cell, signed_canonical_rows
 
     assert _signed_cell(-0.0) == "-0"
     assert _signed_cell(0.0) == "0"
     # same per-column -0.0 COUNTS (one each), different rows -> differ
-    a = _signed_rows(["k", "v"], [("x", -0.0), ("y", 0.0)])
-    b = _signed_rows(["k", "v"], [("x", 0.0), ("y", -0.0)])
+    a = signed_canonical_rows(["k", "v"], [("x", -0.0), ("y", 0.0)])
+    b = signed_canonical_rows(["k", "v"], [("x", 0.0), ("y", -0.0)])
     assert a != b
+    # the sweep's --strict-zero mode must run THIS canonicalization
+    import sys
+
+    sys.path.insert(0, "tools")
+    import contract_sweep
+
+    assert contract_sweep._signed_rows is signed_canonical_rows
 
 
 def test_t19_reads_state_not_a_recompute(spark):

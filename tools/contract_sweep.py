@@ -23,7 +23,6 @@ make_scale.py-built sf1.
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
@@ -31,25 +30,11 @@ sys.path.insert(0, ".")
 
 from fantasy_premier_league_spark.plans import registry  # noqa: E402
 from fantasy_premier_league_spark.session import get_spark  # noqa: E402
-from tests.oracle_harness import _norm, compare, duck_connection  # noqa: E402
-
-
-def _signed_cell(v: object) -> str:
-    """harness _norm(), except negative zero stays distinguishable.
-
-    compare() has already proved the row multisets value-equal under the
-    sign-erasing normalization; re-canonicalizing with the zero sign kept
-    means ANY multiset difference here is exactly a signed-zero split --
-    including same-count-per-column splits landing on different rows,
-    which the r13 per-column counter missed (ADVICE r13 #1)."""
-    if isinstance(v, float) and v == 0 and math.copysign(1, v) < 0:
-        return "-0"
-    return _norm(v)
-
-
-def _signed_rows(cols: list[str], rows) -> list[tuple[str, ...]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_signed_cell(r[i]) for i in order) for r in rows)
+from tests.oracle_harness import (  # noqa: E402
+    compare,
+    duck_connection,
+    signed_canonical_rows as _signed_rows,
+)
 
 
 def main() -> int:

@@ -20,7 +20,11 @@ sys.path.insert(0, ".")
 
 from fantasy_premier_league_spark.session import get_spark  # noqa: E402
 from tests import fuzz_grammar as g  # noqa: E402
-from tests.oracle_harness import compare, duck_connection  # noqa: E402
+from tests.oracle_harness import (  # noqa: E402
+    compare,
+    duck_connection,
+    signed_canonical_rows,
+)
 
 AXES = [
     ("scan", g.draw_case, g.build_spark, 30),
@@ -40,6 +44,7 @@ AXES = [
     ("scalarsub", g.draw_scalarsub_case, g.build_scalarsub_spark, 12),
     ("rangeframe", g.draw_rangeframe_case, g.build_rangeframe_spark, 12),
     ("filteragg", g.draw_filteragg_case, g.build_filteragg_spark, 12),
+    ("signedzero", g.draw_signedzero_case, g.build_signedzero_spark, 12),
 ]
 
 
@@ -56,7 +61,19 @@ def main() -> int:
             total += 1
             case = draw(seed)
             try:
-                compare(build(spark, sf_dir, case), con, case["sql"])
+                df = build(spark, sf_dir, case)
+                compare(df, con, case["sql"])
+                if name == "signedzero":
+                    # this axis exists to see the class compare() erases:
+                    # re-canonicalize BYTE-wise with the zero sign kept
+                    s = signed_canonical_rows(
+                        df.columns, [tuple(r) for r in df.collect()]
+                    )
+                    rel = con.execute(case["sql"])
+                    d = signed_canonical_rows(
+                        [c[0] for c in rel.description], rel.fetchall()
+                    )
+                    assert s == d, "signed-zero split survived the pin"
             except AssertionError as e:
                 bad += 1
                 failures.append((name, seed, str(e).splitlines()[0][:160]))
