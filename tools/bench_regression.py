@@ -59,6 +59,9 @@ WAIVERS: dict[str, tuple[str, str]] = {
 RETIRED: dict[str, str] = {
     "a3_final_metrics": "r12: redundant events-table twin retired "
     "(VERDICT r11 #2); A3 coverage via fpl_a3_final_metrics",
+    "text_winnowing": "r14: bare fingerprint query retired in the "
+    "N=200 swap for t19_state_store_reader; the winnowing pipeline "
+    "stays timed through dedup_winnowing_pairs",
 }
 
 # Re-based comparable contract (BASELINE.md "Re-based comparable
