@@ -160,11 +160,19 @@ def _shape_merge(spark, rows_per_sec: int):
 SHAPES = {"agg": _shape_agg, "join": _shape_join, "merge": _shape_merge}
 
 
-def run(n_batches: int, trigger_ms: int, rows_per_sec: int, shape: str) -> dict:
+def run(
+    n_batches: int,
+    trigger_ms: int,
+    rows_per_sec: int,
+    shape: str,
+    partitions: int = 8,
+) -> dict:
     from fantasy_premier_league_spark.session import get_spark
 
     spark = get_spark("stream-latency")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # state partitioning is FIXED at the query's first checkpoint --
+    # this knob IS the deployment lever the join-shape knee names
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
 
     writer, shape_desc = SHAPES[shape](spark, rows_per_sec)
     ckpt = tempfile.mkdtemp(prefix="stream_latency_ckpt_")
@@ -206,6 +214,7 @@ def run(n_batches: int, trigger_ms: int, rows_per_sec: int, shape: str) -> dict:
     ]
     return {
         "shape": shape_desc,
+        "partitions": partitions,
         "trigger_ms": trigger_ms,
         "rows_per_sec": rows_per_sec,
         "n_batches_steady": len(steady),
@@ -226,10 +235,17 @@ def main() -> int:
     ap.add_argument("--trigger-ms", type=int, default=500)
     ap.add_argument("--rows-per-sec", type=int, default=5000)
     ap.add_argument("--shape", choices=sorted(SHAPES), default="agg")
+    ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
 
-    out = run(args.batches, args.trigger_ms, args.rows_per_sec, args.shape)
+    out = run(
+        args.batches,
+        args.trigger_ms,
+        args.rows_per_sec,
+        args.shape,
+        args.partitions,
+    )
     if args.json:
         print(json.dumps(out, sort_keys=True))
         return 0
