@@ -178,19 +178,18 @@ def check_type_families(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> N
     )
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> int:
-    """Differential check; returns the (matching) row count so callers
-    can additionally reject vacuous 0=0 passes."""
-    check_type_families(spark_df, con, sql)
+def _collect_both(spark_df, con: duckdb.DuckDBPyConnection, sql: str):
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
     d_cols = [d[0] for d in rel.description]
     d_rows = rel.fetchall()
+    return s_cols, s_rows, d_cols, d_rows
 
+
+def _assert_value_match(s_cols, s_rows, d_cols, d_rows) -> None:
     assert sorted(s_cols) == sorted(d_cols), f"columns differ: {s_cols} vs {d_cols}"
     assert len(s_rows) == len(d_rows), f"row counts differ: {len(s_rows)} vs {len(d_rows)}"
-
     s_canon = canonical_rows(s_cols, s_rows)
     d_canon = canonical_rows(d_cols, d_rows)
     if s_canon != d_canon:
@@ -198,4 +197,27 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> int:
             (a, b) for a, b in zip(s_canon, d_canon) if a != b
         ][:5]
         raise AssertionError(f"values differ; first diffs (spark vs duckdb): {diffs}")
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> int:
+    """Differential check; returns the (matching) row count so callers
+    can additionally reject vacuous 0=0 passes."""
+    check_type_families(spark_df, con, sql)
+    s_cols, s_rows, d_cols, d_rows = _collect_both(spark_df, con, sql)
+    _assert_value_match(s_cols, s_rows, d_cols, d_rows)
+    return len(s_rows)
+
+
+def compare_signed(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> int:
+    """compare() PLUS the byte-level signed-zero multiset check, from
+    ONE collection of each side (the r13/r14 strict-zero callers ran
+    both engines a second time just to re-canonicalize)."""
+    check_type_families(spark_df, con, sql)
+    s_cols, s_rows, d_cols, d_rows = _collect_both(spark_df, con, sql)
+    _assert_value_match(s_cols, s_rows, d_cols, d_rows)
+    s_sgn = signed_canonical_rows(s_cols, s_rows)
+    d_sgn = signed_canonical_rows(d_cols, d_rows)
+    if s_sgn != d_sgn:
+        diffs = [(a, b) for a, b in zip(s_sgn, d_sgn) if a != b][:3]
+        raise AssertionError(f"signed-zero split (spark vs duckdb): {diffs}")
     return len(s_rows)

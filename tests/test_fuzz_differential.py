@@ -240,15 +240,11 @@ def test_fuzz_signedzero_matches_duckdb_bytewise(spark, duck, seed):
     spelling repairs DuckDB's std::round -0.0 on machine-drawn
     sign-crossing measures, not just the curated fleet."""
     from tests.fuzz_grammar import build_signedzero_spark, draw_signedzero_case
-    from tests.oracle_harness import signed_canonical_rows
+    from tests.oracle_harness import compare_signed
 
     case = draw_signedzero_case(seed)
     df = build_signedzero_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
-    s = signed_canonical_rows(df.columns, [tuple(r) for r in df.collect()])
-    rel = duck.execute(case["sql"])
-    d = signed_canonical_rows([c[0] for c in rel.description], rel.fetchall())
-    assert s == d, f"signed-zero split: {[(a, b) for a, b in zip(s, d) if a != b][:3]}"
+    compare_signed(df, duck, case["sql"])
 
 
 def test_fuzz_signedzero_axis_hits_the_window(spark, duck):

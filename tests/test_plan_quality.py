@@ -330,7 +330,7 @@ def test_winnowing_single_exchange_no_python(spark):
     )
     from fantasy_premier_league_spark.sources.testdata import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF, "documents")
     plan = plan_of(_winnow_selected(docs))
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(doc_id") <= 1, (

@@ -241,12 +241,15 @@ def test_strict_zero_sweep_compares_row_multisets():
     b = signed_canonical_rows(["k", "v"], [("x", 0.0), ("y", -0.0)])
     assert a != b
     # the sweep's --strict-zero mode must run THIS canonicalization
+    # (via compare_signed, which collects each side once)
     import sys
+
+    from tests.oracle_harness import compare_signed
 
     sys.path.insert(0, "tools")
     import contract_sweep
 
-    assert contract_sweep._signed_rows is signed_canonical_rows
+    assert contract_sweep.compare_signed is compare_signed
 
 
 def test_t19_reads_state_not_a_recompute(spark):

@@ -32,8 +32,8 @@ from fantasy_premier_league_spark.plans import registry  # noqa: E402
 from fantasy_premier_league_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import (  # noqa: E402
     compare,
+    compare_signed,
     duck_connection,
-    signed_canonical_rows as _signed_rows,
 )
 
 
@@ -88,20 +88,10 @@ def main() -> int:
                 rows = df.count()  # rows-only queries: must still run
                 print(f"{n:3d} {name}: rows-only ({rows})", flush=True)
                 continue
-            compare(df, con, oracle)
-            if strict_zero:
-                s_rows = [tuple(r) for r in df.collect()]
-                rel = con.execute(oracle)
-                cols = [d[0] for d in rel.description]
-                s_canon = _signed_rows(cols, s_rows)
-                d_canon = _signed_rows(cols, rel.fetchall())
-                if s_canon != d_canon:
-                    diff = [
-                        (a, b)
-                        for a, b in zip(s_canon, d_canon)
-                        if a != b
-                    ][:3]
-                    raise AssertionError(f"signed-zero split: {diff}")
+            # compare_signed collects each side ONCE and layers the
+            # byte-level signed-zero multiset check on top; the r13
+            # form re-executed both engines a second time per query
+            (compare_signed if strict_zero else compare)(df, con, oracle)
             print(f"{n:3d} {name}: OK", flush=True)
         except Exception as ex:
             failures.append((name, str(ex).splitlines()[0][:160]))

@@ -22,8 +22,8 @@ from fantasy_premier_league_spark.session import get_spark  # noqa: E402
 from tests import fuzz_grammar as g  # noqa: E402
 from tests.oracle_harness import (  # noqa: E402
     compare,
+    compare_signed,
     duck_connection,
-    signed_canonical_rows,
 )
 
 AXES = [
@@ -61,19 +61,11 @@ def main() -> int:
             total += 1
             case = draw(seed)
             try:
-                df = build(spark, sf_dir, case)
-                compare(df, con, case["sql"])
-                if name == "signedzero":
-                    # this axis exists to see the class compare() erases:
-                    # re-canonicalize BYTE-wise with the zero sign kept
-                    s = signed_canonical_rows(
-                        df.columns, [tuple(r) for r in df.collect()]
-                    )
-                    rel = con.execute(case["sql"])
-                    d = signed_canonical_rows(
-                        [c[0] for c in rel.description], rel.fetchall()
-                    )
-                    assert s == d, "signed-zero split survived the pin"
+                # the signedzero axis exists to see the class compare()
+                # erases: compare_signed layers the byte-level check on
+                # the same single collection
+                check = compare_signed if name == "signedzero" else compare
+                check(build(spark, sf_dir, case), con, case["sql"])
             except AssertionError as e:
                 bad += 1
                 failures.append((name, seed, str(e).splitlines()[0][:160]))

@@ -139,11 +139,19 @@ def _shape_merge(spark, rows_per_sec: int):
     correctness gate proves, here priced per micro-batch."""
     from pyspark.sql import functions as F
 
+    from fantasy_premier_league_spark.functions.tuning import (
+        claim_session_tmpdir,
+    )
     from fantasy_premier_league_spark.streaming.queries import (
         make_dedup_history_sink,
     )
 
-    root = tempfile.mkdtemp(prefix="stream_latency_merge_")
+    # claimed scratch (wipe-at-claim + atexit removal): each batch
+    # lands a history version + an accepted partition, real data
+    # volume a bare mkdtemp would orphan on every invocation
+    root = claim_session_tmpdir(
+        "stream_latency_merge", spark.sparkContext.applicationId
+    )
     ingest = make_dedup_history_sink(
         os.path.join(root, "history"), os.path.join(root, "accepted")
     )
