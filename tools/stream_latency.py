@@ -31,7 +31,7 @@ using the real make_dedup_history_sink).
 Usage:
     python tools/stream_latency.py [--batches 24] [--trigger-ms 500]
                                    [--rows-per-sec 5000] [--json]
-                                   [--shape agg|join|merge]
+                                   [--shape agg|join|merge|pystate]
 
 Prints a markdown table (BASELINE.md records it) or one JSON line.
 """
@@ -165,7 +165,63 @@ def _shape_merge(spark, rows_per_sec: int):
     )
 
 
-SHAPES = {"agg": _shape_agg, "join": _shape_join, "merge": _shape_merge}
+def _shape_pystate(spark, rows_per_sec: int):
+    """fpl_t5 shape: applyInPandasWithState -- the Arrow-batched Python
+    state operator (streaming/pipeline.py:319), here a running
+    count/cent-sum over 1,000 keys so every micro-batch round-trips
+    ~all key groups through the Python worker. This prices the Arrow
+    state boundary per batch, the one state-op family the agg/join
+    rows (pure JVM state) cannot show -- the streaming twin of the
+    UDTF-vs-JVM pricing in BASELINE.md."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n", LongType()),
+            StructField("total", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    stream = (
+        _rate(spark, rows_per_sec)
+        .withColumn("key", F.col("value") % 1000)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return (
+        stream.writeStream.outputMode("update").format("noop"),
+        "rate -> 1000-key applyInPandasWithState count/sum -> noop (update)",
+    )
+
+
+SHAPES = {
+    "agg": _shape_agg,
+    "join": _shape_join,
+    "merge": _shape_merge,
+    "pystate": _shape_pystate,
+}
 
 
 def run(
