@@ -270,3 +270,15 @@ def test_t19_reads_state_not_a_recompute(spark):
         "bigint",
     ]
     assert df.columns == ["user_id", "n_events", "value_cents"]
+
+
+def test_stream_latency_shapes_registry():
+    """The latency harness's shape table backs the BASELINE.md
+    steady-state matrix (t4/join/merge/pystate); a renamed or dropped
+    shape silently orphans its recorded rows."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from stream_latency import SHAPES
+
+    assert sorted(SHAPES) == ["agg", "join", "merge", "pystate"]

@@ -22,11 +22,14 @@ setup) and is reported separately, not folded into the percentiles --
 steady state is what the p50/p95 claim is about.
 
 Round 14 (VERDICT r13 #4) extends the harness beyond the t4 aggregate
-to the two shapes BASELINE.md names as the next knees: ``--shape join``
+to the shapes BASELINE.md names as the next knees: ``--shape join``
 (the t7/t12 double-watermarked stream-stream interval join -- the
-widest state) and ``--shape merge`` (the t18 foreachBatch
+widest state), ``--shape merge`` (the t18 foreachBatch
 committed-snapshot MERGE ladder -- the highest per-batch fixed cost,
-using the real make_dedup_history_sink).
+using the real make_dedup_history_sink), and ``--shape pystate`` (the
+fpl_t5 applyInPandasWithState path -- the Arrow state boundary).
+``--partitions`` sets the state-partition count, the deployment lever
+the join-shape knee names (fixed at the first checkpoint).
 
 Usage:
     python tools/stream_latency.py [--batches 24] [--trigger-ms 500]
