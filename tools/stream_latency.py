@@ -296,6 +296,98 @@ def run(
     }
 
 
+def run_recovery(
+    n_warm: int,
+    trigger_ms: int,
+    rows_per_sec: int,
+    shape: str,
+    partitions: int = 8,
+) -> dict:
+    """Failover readout: warm a query's state store, stop it, restart
+    from the SAME checkpoint, and time recovery -- the operational
+    metric batch-0 cold-init does not cover (a restarted query must
+    reload committed state AND drain the offset backlog accumulated
+    while down). The rate source checkpoints offsets, so the first
+    post-restart batch carries the downtime's backlog; recovery time
+    here is start() -> that batch's commit."""
+    from fantasy_premier_league_spark.session import get_spark
+
+    spark = get_spark("stream-recovery")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    ckpt = tempfile.mkdtemp(prefix="stream_recovery_ckpt_")
+
+    def start_query():
+        writer, desc = SHAPES[shape](spark, rows_per_sec)
+        return (
+            writer.option("checkpointLocation", ckpt)
+            .trigger(processingTime=f"{trigger_ms} milliseconds")
+            .start(),
+            desc,
+        )
+
+    # phase 1: warm the state store
+    query, shape_desc = start_query()
+    seen: dict[int, dict] = {}
+    deadline = time.monotonic() + max(120, n_warm * trigger_ms / 1000 * 8)
+    while len(seen) < n_warm and time.monotonic() < deadline:
+        for p in query.recentProgress:
+            seen[p["batchId"]] = p
+        time.sleep(trigger_ms / 1000 / 4)
+    warm = [seen[b] for b in sorted(seen)]
+    state_rows = max(
+        (
+            int(p["stateOperators"][0]["numRowsTotal"])
+            for p in warm
+            if p.get("stateOperators")
+        ),
+        default=0,
+    )
+    query.stop()
+
+    # phase 2: restart from the same checkpoint, time to first commit
+    down_s = 2.0
+    time.sleep(down_s)  # accrue a deterministic-ish backlog window
+    t0 = time.monotonic()
+    query, _ = start_query()
+    first: dict | None = None
+    first_data: dict | None = None
+    first_ms = data_ms = float("nan")
+    deadline = time.monotonic() + 120
+    while first_data is None and time.monotonic() < deadline:
+        for p in sorted(query.recentProgress, key=lambda p: p["batchId"]):
+            if first is None:
+                first = p
+                first_ms = (time.monotonic() - t0) * 1000
+            # the rate source may commit a no-data housekeeping batch
+            # before the downtime backlog drains; the DATA batch is the
+            # user-visible recovery point
+            if first_data is None and int(p["numInputRows"]) > 0:
+                first_data = p
+                data_ms = (time.monotonic() - t0) * 1000
+        time.sleep(0.05)
+    query.stop()
+    spark.stop()
+    if first is None:
+        raise SystemExit("restarted query never committed a batch in 120 s")
+    return {
+        "shape": shape_desc,
+        "partitions": partitions,
+        "rows_per_sec": rows_per_sec,
+        "warm_batches": len(warm),
+        "state_rows_at_stop": state_rows,
+        "cold_init_ms": float(warm[0]["durationMs"]["triggerExecution"])
+        if warm
+        else float("nan"),
+        "downtime_s": down_s,
+        "recovery_first_commit_ms": round(first_ms, 1),
+        "recovery_first_data_ms": round(data_ms, 1),
+        "recovery_batch_rows": int(first_data["numInputRows"]) if first_data else 0,
+        "recovery_trigger_ms": float(
+            (first_data or first)["durationMs"]["triggerExecution"]
+        ),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=24)
@@ -303,8 +395,24 @@ def main() -> int:
     ap.add_argument("--rows-per-sec", type=int, default=5000)
     ap.add_argument("--shape", choices=sorted(SHAPES), default="agg")
     ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument(
+        "--recovery",
+        action="store_true",
+        help="measure restart-from-checkpoint recovery instead of steady-state",
+    )
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
+
+    if args.recovery:
+        out = run_recovery(
+            args.batches,
+            args.trigger_ms,
+            args.rows_per_sec,
+            args.shape,
+            args.partitions,
+        )
+        print(json.dumps(out, sort_keys=True))
+        return 0
 
     out = run(
         args.batches,
