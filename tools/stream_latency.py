@@ -227,19 +227,42 @@ SHAPES = {
 }
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _configure_state(spark, partitions: int, provider: str) -> None:
+    # state partitioning is FIXED at the query's first checkpoint --
+    # this knob IS the deployment lever the join-shape knee names
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    if provider == "rocksdb":
+        # the production state backend: on-disk store + CHANGELOG
+        # checkpointing (commits upload only the batch's delta; restart
+        # replays the changelog onto the last snapshot instead of
+        # reloading a full HDFS-backed state file per partition)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+
+
 def run(
     n_batches: int,
     trigger_ms: int,
     rows_per_sec: int,
     shape: str,
     partitions: int = 8,
+    provider: str = "hdfs",
 ) -> dict:
     from fantasy_premier_league_spark.session import get_spark
 
     spark = get_spark("stream-latency")
-    # state partitioning is FIXED at the query's first checkpoint --
-    # this knob IS the deployment lever the join-shape knee names
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    _configure_state(spark, partitions, provider)
 
     writer, shape_desc = SHAPES[shape](spark, rows_per_sec)
     ckpt = tempfile.mkdtemp(prefix="stream_latency_ckpt_")
@@ -282,6 +305,7 @@ def run(
     return {
         "shape": shape_desc,
         "partitions": partitions,
+        "state_provider": provider,
         "trigger_ms": trigger_ms,
         "rows_per_sec": rows_per_sec,
         "n_batches_steady": len(steady),
@@ -302,6 +326,7 @@ def run_recovery(
     rows_per_sec: int,
     shape: str,
     partitions: int = 8,
+    provider: str = "hdfs",
 ) -> dict:
     """Failover readout: warm a query's state store, stop it, restart
     from the SAME checkpoint, and time recovery -- the operational
@@ -313,7 +338,7 @@ def run_recovery(
     from fantasy_premier_league_spark.session import get_spark
 
     spark = get_spark("stream-recovery")
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    _configure_state(spark, partitions, provider)
     ckpt = tempfile.mkdtemp(prefix="stream_recovery_ckpt_")
 
     def start_query():
@@ -372,6 +397,7 @@ def run_recovery(
     return {
         "shape": shape_desc,
         "partitions": partitions,
+        "state_provider": provider,
         "rows_per_sec": rows_per_sec,
         "warm_batches": len(warm),
         "state_rows_at_stop": state_rows,
@@ -396,6 +422,9 @@ def main() -> int:
     ap.add_argument("--shape", choices=sorted(SHAPES), default="agg")
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument(
+        "--state-provider", choices=["hdfs", "rocksdb"], default="hdfs"
+    )
+    ap.add_argument(
         "--recovery",
         action="store_true",
         help="measure restart-from-checkpoint recovery instead of steady-state",
@@ -410,6 +439,7 @@ def main() -> int:
             args.rows_per_sec,
             args.shape,
             args.partitions,
+            args.state_provider,
         )
         print(json.dumps(out, sort_keys=True))
         return 0
@@ -420,6 +450,7 @@ def main() -> int:
         args.rows_per_sec,
         args.shape,
         args.partitions,
+        args.state_provider,
     )
     if args.json:
         print(json.dumps(out, sort_keys=True))
