@@ -35,6 +35,14 @@ Usage:
     python tools/stream_latency.py [--batches 24] [--trigger-ms 500]
                                    [--rows-per-sec 5000] [--json]
                                    [--shape agg|join|merge|pystate]
+                                   [--partitions 8]
+                                   [--state-provider hdfs|rocksdb]
+                                   [--recovery]
+
+``--recovery`` warms the state store, stops, restarts from the same
+checkpoint, and reports start() -> first committed data batch (the
+failover budget); ``--state-provider rocksdb`` swaps in the bundled
+RocksDBStateStoreProvider with changelog checkpointing.
 
 Prints a markdown table (BASELINE.md records it) or one JSON line.
 """
