@@ -271,6 +271,25 @@ def test_t19_reads_state_not_a_recompute(spark):
     ]
     assert df.columns == ["user_id", "n_events", "value_cents"]
 
+    # the sibling Spark-4 reader surface, gated from the SAME
+    # checkpoint without spending a registration slot: state-metadata
+    # must describe exactly the operator/partitioning t19 wrote
+    import os
+    import tempfile
+
+    tag = "".join(
+        c if c.isalnum() else "_" for c in "/root/testdata/sf0.001"
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"t19_state_reader_{tag}_{spark.sparkContext.applicationId}",
+        "ckpt",
+    )
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1
+    assert md[0]["operatorName"] == "stateStoreSave"
+    assert md[0]["numPartitions"] == 8  # the scoped_conf the query pins
+
 
 def test_stream_latency_shapes_registry():
     """The latency harness's shape table backs the BASELINE.md
