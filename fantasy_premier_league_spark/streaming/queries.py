@@ -1275,6 +1275,21 @@ def stream_dedup_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# checkpoint dirs claimed by t19 runs, keyed (applicationId, sf_dir):
+# the path contract tests consume via t19_checkpoint_path()
+_T19_CHECKPOINTS: dict[tuple[str, str], str] = {}
+
+
+def t19_checkpoint_path(spark: SparkSession, sf_dir: str) -> str:
+    """The checkpoint dir the last ``t19_state_store_reader`` run
+    claimed for this (session, sf_dir). Raises KeyError until the query
+    has run -- deliberately NOT a re-claim (claim wipes at claim, which
+    would delete the state the caller wants to read)."""
+    return _T19_CHECKPOINTS[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ]
+
+
 @register(
     "t19_state_store_reader",
     oracle="""
@@ -1295,6 +1310,13 @@ def state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _claim_session_tmpdir(
         f"t19_state_reader_{tag}", spark.sparkContext.applicationId
     )
+    # record the claimed checkpoint so tests (the state-metadata gate)
+    # read the path from the query's own contract instead of rebuilding
+    # the scratch layout + sanitization by hand (ADVICE r14 #3); a
+    # re-claim in the same session returns the identical path
+    _T19_CHECKPOINTS[
+        (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    ] = os.path.join(root, "ckpt")
     agg = (
         _events_stream(spark, sf_dir)
         .groupBy("user_id")

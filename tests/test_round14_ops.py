@@ -62,7 +62,9 @@ def unpinned_rounds(sql: str) -> int:
         after = sql[e : e + 40]
         if re.match(r"\s*AS\s+(BIGINT|INTEGER)\s*\)", after, re.IGNORECASE):
             continue
-        if re.match(r"\s*(/\s*[\d.]+\s*)?\+\s*0\b", after):
+        # (?![\d.]) -- NOT \b -- so real arithmetic like `+ 0.5` is not
+        # miscounted as a pin (\b sits between `0` and `.`; ADVICE r14 #2)
+        if re.match(r"\s*(/\s*[\d.]+\s*)?\+\s*0(?![\d.])", after):
             continue
         n += 1
     return n
@@ -273,18 +275,14 @@ def test_t19_reads_state_not_a_recompute(spark):
 
     # the sibling Spark-4 reader surface, gated from the SAME
     # checkpoint without spending a registration slot: state-metadata
-    # must describe exactly the operator/partitioning t19 wrote
-    import os
-    import tempfile
+    # must describe exactly the operator/partitioning t19 wrote. The
+    # path comes from the query's own contract, not a hand rebuild of
+    # the scratch layout (ADVICE r14 #3).
+    from fantasy_premier_league_spark.streaming.queries import (
+        t19_checkpoint_path,
+    )
 
-    tag = "".join(
-        c if c.isalnum() else "_" for c in "/root/testdata/sf0.001"
-    )
-    ckpt = os.path.join(
-        tempfile.gettempdir(),
-        f"t19_state_reader_{tag}_{spark.sparkContext.applicationId}",
-        "ckpt",
-    )
+    ckpt = t19_checkpoint_path(spark, "/root/testdata/sf0.001")
     md = spark.read.format("state-metadata").load(ckpt).collect()
     assert len(md) == 1
     assert md[0]["operatorName"] == "stateStoreSave"

@@ -140,6 +140,28 @@ def _shape_join(spark, rows_per_sec: int):
     )
 
 
+# One merge-scratch claim per Spark application: claim_session_tmpdir
+# WIPES at claim, so a second _shape_merge call in the same session --
+# run_recovery's phase-2 restart -- must reuse phase 1's dir, not
+# re-claim it. Re-claiming deleted the history/accepted snapshots the
+# checkpoint still recorded as committed, so the restarted MERGE ladder
+# measured against empty history (ADVICE r14 #1).
+_MERGE_SCRATCH: dict[str, str] = {}
+
+
+def _merge_scratch_root(spark) -> str:
+    from fantasy_premier_league_spark.functions.tuning import (
+        claim_session_tmpdir,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    if app_id not in _MERGE_SCRATCH:
+        _MERGE_SCRATCH[app_id] = claim_session_tmpdir(
+            "stream_latency_merge", app_id
+        )
+    return _MERGE_SCRATCH[app_id]
+
+
 def _shape_merge(spark, rows_per_sec: int):
     """t18 shape: foreachBatch committed-snapshot MERGE ladder -- the
     REAL make_dedup_history_sink (streaming/queries.py:1147), fed
@@ -150,19 +172,15 @@ def _shape_merge(spark, rows_per_sec: int):
     correctness gate proves, here priced per micro-batch."""
     from pyspark.sql import functions as F
 
-    from fantasy_premier_league_spark.functions.tuning import (
-        claim_session_tmpdir,
-    )
     from fantasy_premier_league_spark.streaming.queries import (
         make_dedup_history_sink,
     )
 
     # claimed scratch (wipe-at-claim + atexit removal): each batch
     # lands a history version + an accepted partition, real data
-    # volume a bare mkdtemp would orphan on every invocation
-    root = claim_session_tmpdir(
-        "stream_latency_merge", spark.sparkContext.applicationId
-    )
+    # volume a bare mkdtemp would orphan on every invocation --
+    # claimed ONCE per session so a recovery restart keeps the sink
+    root = _merge_scratch_root(spark)
     ingest = make_dedup_history_sink(
         os.path.join(root, "history"), os.path.join(root, "accepted")
     )
