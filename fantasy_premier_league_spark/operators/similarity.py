@@ -132,25 +132,17 @@ def _bucket_col(vec: Column) -> Column:
     )
 
 
-@register(
-    "ann_lsh_buckets",
-    oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
-    SELECT bucket, count(*) AS n_vectors,
-           CAST(min(vec_id) AS BIGINT) AS min_vec_id
-    FROM (
-      SELECT vec_id,
-             {b0} * 8 + {b1} * 4 + {b2} * 2 + {b3} AS bucket
-      FROM v
-    )
-    GROUP BY bucket ORDER BY bucket
-    """.format(
-        b0=_BIT_SQL.format(stride=1),
-        b1=_BIT_SQL.format(stride=2),
-        b2=_BIT_SQL.format(stride=4),
-        b3=_BIT_SQL.format(stride=8),
-    ),
-)
+# (`ann_lsh_buckets` -- the bare bucket-occupancy histogram -- was
+# retired as a REGISTRATION in r15 under the N=200 budget to make room
+# for the Python DataSource streaming WRITER
+# (s10_python_datasource_writer, the r14-verdict-named candidate;
+# sources/py_datasource.py). Coverage of the sign-LSH assignment
+# machinery continues through `ann_lsh_recall` below, whose Spark side
+# runs this identical `_bucket_col` over the identical full embeddings
+# table and whose oracle embeds the identical _BIT_SQL bucket CTE; the
+# one surface the bare query alone exposed -- the per-bucket occupancy
+# count -- is a groupBy projection of the shared assignment. Same
+# paired-swap precedent as text_winnowing (r14) and a3/a4 (r12).)
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     return (

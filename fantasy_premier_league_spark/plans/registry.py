@@ -48,30 +48,13 @@ ORACLES: dict[str, str] = {}
 
 # Queries whose implementing code changed this round AFTER their last
 # driver check -- update whenever a registered query's implementation
-# or oracle changes. The r13 list (the 4 signed-zero `+ 0` oracle
-# pins, machine-found by the sf0.1 fleet sweep) was consumed by the
-# r13 driver sample -- all 50 rows green, CORRECTNESS_r13.json -- and
-# pruned at the start of r14 (VERDICT r13 task #1).
-CHANGED_THIS_ROUND: list[str] = [
-    # r14 proactive signed-zero audit (ADVICE r13 #3): every remaining
-    # sign-crossing rounded OUTPUT measure gained the `+ 0` pin --
-    # classified by the rule in tests/test_round14_ops.py (integer-cast,
-    # provably-non-negative, zero-filtered, grid-coarse, and
-    # intermediate-only rounds are exempt; the rest must pin). Values
-    # are float-equal; the driver must re-verify the hash path.
-    "a10_win_chance",
-    "a8_composition_count",
-    "q9_product_profit",
-    "a5_rating_recurrence",
-    "fpl_a5_rating",
-    "fpl_a5_spec_rating",
-    "fpl_t5_stateful_stream",
-    "text_repetition_stats",
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "fpl_req1_win_prediction",
-    "fpl_req1_invalid_team_quirk",
-]
+# or oracle changes. The r14 list (the 12 signed-zero `+ 0` output-
+# measure pins from the fleet-wide round() audit) was consumed by the
+# r14 driver sample -- all 50 rows green, CORRECTNESS_r14.json -- and
+# pruned at the start of r15 (VERDICT r14 task #1). r15 keeps
+# CHANGED + NEW small so the 26 r10-vintage rows at the staleness
+# bound head the sample (VERDICT r14 task #4).
+CHANGED_THIS_ROUND: list[str] = []
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:
@@ -80,16 +63,17 @@ CHANGED_THIS_ROUND: list[str] = [
 # events_funnel_conversion -- got their first driver rows in
 # CORRECTNESS_r12, both green, and moved out at the start of r13.)
 NEW_THIS_ROUND: list[str] = [
-    # r14: the Spark-4 state-store READER (spark.read.format(
-    # "statestore") over a drained keyed aggregate's checkpoint --
-    # the state-inspection/migration surface); paired retirement:
-    # text_winnowing (coverage via dedup_winnowing_pairs, which runs
-    # the identical _winnow_selected pipeline) keeps N at 200.
-    "t19_state_store_reader",
+    # r15: the Python DataSource streaming WRITER
+    # (DataSourceStreamArrowWriter -- staged-file write, atomic
+    # manifest commit, idempotent batch replay; the connector surface
+    # the r14 verdict named). Paired retirement: ann_lsh_buckets
+    # (coverage via ann_lsh_recall, which runs the identical
+    # _bucket_col assignment over the same table) keeps N at 200.
+    "s10_python_datasource_writer",
 ]
-# (r13's addition -- text_udtf_chunk_windows, paired with the
-# dedup_simhash retirement to hold N=200 -- got its first driver row
-# in CORRECTNESS_r13, green, and moved out at the start of r14.)
+# (r14's addition -- t19_state_store_reader, paired with the
+# text_winnowing retirement to hold N=200 -- got its first driver row
+# in CORRECTNESS_r14, green, and moved out at the start of r15.)
 
 # Registration budget (r10 verdict #8): r12 deleted the two green r11
 # perceptron bisect probes (their registration comment said "delete

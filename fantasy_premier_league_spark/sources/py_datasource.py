@@ -324,3 +324,250 @@ def python_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# S10: the STREAMING WRITER half of the connector surface (Spark 4.1
+# ``DataSourceStreamArrowWriter``) -- the one public Python-DataSource
+# hook the repo did not yet gate (readers: batch S8, stream S9; writer:
+# this). The sink is a file feed with the two-phase commit protocol
+# every exactly-once custom sink at 100 TB runs:
+#
+# - ``write()`` runs ON EXECUTORS, once per task per micro-batch: Arrow
+#   RecordBatches stream through a single ParquetWriter into a
+#   uniquely-named STAGED file (no buffering of the whole task, no
+#   per-row Python tuples), and the returned commit message carries
+#   (staged path, row count).
+# - ``commit(messages, batchId)`` runs ON THE DRIVER only after every
+#   task succeeded: staged files are renamed into the committed prefix
+#   and one manifest-<batchId>.json is published ATOMICALLY (tmp +
+#   rename). The manifest IS the commit point: readers trust manifests,
+#   never directory listings, so a torn write is invisible.
+# - **idempotent replay**: after a crash-restart the checkpoint replays
+#   the last unacknowledged batch; commit() sees the manifest already
+#   published and DISCARDS the duplicate staged output instead of
+#   double-publishing -- the same committed-snapshot discipline as
+#   t18's MERGE sink (streaming/queries.py), here at the connector
+#   layer where a Kafka/warehouse sink would implement it.
+# - ``abort()`` deletes staged files; nothing partial ever reaches the
+#   committed prefix.
+#
+# Scale notes: one staged file per (task, batch) and an O(#tasks)
+# driver-side rename+manifest per batch -- the commit path carries file
+# NAMES, never data. On a cluster the root is shared storage and the
+# rename becomes the store's atomic commit primitive; manifests compact
+# periodically (here the read-back just globs them). The reference has
+# no writer surface at all (its sinks are foreachRDD prints and
+# saveAsTextFile, master.py:373-380); this is the Spark-4 shape of
+# that gap.
+# ---------------------------------------------------------------------------
+
+import dataclasses  # noqa: E402
+
+from pyspark.sql.datasource import WriterCommitMessage  # noqa: E402
+
+
+@dataclasses.dataclass
+class _FeedSinkCommit(WriterCommitMessage):
+    file: str | None
+    rows: int
+
+
+def _stream_writer_cls():
+    # lazy: DataSourceStreamArrowWriter is 4.1-only
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
+
+    class _EventsFeedSinkWriter(DataSourceStreamArrowWriter):
+        """Picklable per-query writer; ``write`` executes on executors,
+        ``commit``/``abort`` on the driver."""
+
+        def __init__(self, root: str) -> None:
+            self._root = root
+
+        # -- executor side -------------------------------------------------
+        def write(self, iterator):
+            import os
+            import uuid
+
+            import pyarrow.parquet as pq
+
+            staging = os.path.join(self._root, "staging")
+            os.makedirs(staging, exist_ok=True)
+            path = os.path.join(staging, f"part-{uuid.uuid4().hex}.parquet")
+            writer = None
+            rows = 0
+            try:
+                for batch in iterator:
+                    if writer is None:
+                        writer = pq.ParquetWriter(path, batch.schema)
+                    writer.write_batch(batch)
+                    rows += batch.num_rows
+            finally:
+                if writer is not None:
+                    writer.close()
+            if rows == 0:
+                # empty task: nothing staged, nothing to publish
+                return _FeedSinkCommit(file=None, rows=0)
+            return _FeedSinkCommit(file=path, rows=rows)
+
+        # -- driver side ---------------------------------------------------
+        def commit(self, messages, batchId: int) -> None:
+            import json
+            import os
+
+            committed = os.path.join(self._root, "committed")
+            os.makedirs(committed, exist_ok=True)
+            manifest = os.path.join(committed, f"manifest-{batchId}.json")
+            staged = [m for m in messages if m is not None and m.file]
+            if os.path.exists(manifest):
+                # replayed batch (restart re-ran the last epoch): the
+                # publish already happened; drop the duplicate staged
+                # output so rows land exactly once
+                for m in staged:
+                    if os.path.exists(m.file):
+                        os.remove(m.file)
+                return
+            files = []
+            for m in staged:
+                dst = os.path.join(
+                    committed,
+                    f"batch-{batchId}-{os.path.basename(m.file)}",
+                )
+                os.replace(m.file, dst)
+                files.append({"file": os.path.basename(dst), "rows": m.rows})
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"batch_id": batchId, "files": files}, fh, sort_keys=True
+                )
+            os.replace(tmp, manifest)  # the atomic commit point
+
+        def abort(self, messages, batchId: int) -> None:
+            import os
+
+            for m in messages:
+                if m is not None and m.file and os.path.exists(m.file):
+                    os.remove(m.file)
+
+    return _EventsFeedSinkWriter
+
+
+class EventsFeedSinkDataSource(DataSource):
+    """``df.writeStream.format("events_feed_sink").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "events_feed_sink"
+
+    def streamWriter(self, schema, overwrite):
+        return _stream_writer_cls()(self.options["path"])
+
+
+def register_feed_sink(spark) -> None:
+    """Idempotent per-session registration."""
+    if not getattr(spark, "_events_feed_sink_registered", False):
+        spark.dataSource.register(EventsFeedSinkDataSource)
+        spark._events_feed_sink_registered = True
+
+
+def committed_feed_files(root: str) -> list[str]:
+    """Files published by the sink's manifests -- the ONLY read surface
+    (staged/torn output is invisible by construction)."""
+    import glob as _glob
+    import json
+    import os
+
+    committed = os.path.join(root, "committed")
+    out: list[str] = []
+    for mf in sorted(_glob.glob(os.path.join(committed, "manifest-*.json"))):
+        with open(mf) as fh:
+            out.extend(
+                os.path.join(committed, f["file"])
+                for f in json.load(fh)["files"]
+            )
+    return out
+
+
+@register(
+    "s10_python_datasource_writer",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_value,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full custom-Python pipeline: the S9 stream READER drained through
+    the S10 stream WRITER, then the committed manifests read back and
+    aggregated. Count/sum/min/max per event_type against the batch
+    oracle gates exactly-once delivery at the ROW level -- a dropped
+    task, a double-published replay, or a read of staged output all
+    flip the totals."""
+    import ast
+    import os
+    import time
+    import uuid
+
+    from fantasy_premier_league_spark.functions import scoped_conf
+    from fantasy_premier_league_spark.functions.tuning import (
+        claim_session_tmpdir,
+    )
+
+    register_stream_feed_source(spark)
+    register_feed_sink(spark)
+    path = f"{sf_dir}/events.parquet"
+    import pyarrow.parquet as pq
+
+    total_rows = pq.ParquetFile(path).metadata.num_rows
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/"))
+    root = claim_session_tmpdir(
+        f"s10_feed_sink_{tag}", spark.sparkContext.applicationId
+    )
+    ckpt = os.path.join(root, "ckpt_" + uuid.uuid4().hex[:8])
+    stream = (
+        spark.readStream.format("events_stream_feed")
+        .option("path", path)
+        .load()
+    )
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "8"):
+        query = (
+            stream.writeStream.format("events_feed_sink")
+            .option("path", root)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        # drain until the reader's offset ladder reaches the table end
+        # (the s9 drain contract: _STREAM_BATCHES incremental batches)
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            query.processAllAvailable()
+            prog = query.lastProgress
+            if prog and prog["sources"][0]["endOffset"]:
+                end = ast.literal_eval(prog["sources"][0]["endOffset"])
+                if end.get("row", 0) >= total_rows:
+                    break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError("s10 feed sink did not drain within 300s")
+    finally:
+        query.stop()
+    files = committed_feed_files(root)
+    return (
+        spark.read.parquet(*files)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            rounded(F.sum(fixed_units(F.col("value"))) / 100.0, 2).alias(
+                "total_value"
+            ),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("event_type")
+    )

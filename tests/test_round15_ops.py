@@ -1,0 +1,111 @@
+"""Round-15 surfaces: the Python DataSource streaming WRITER's
+exactly-once commit protocol (sources/py_datasource.py S10).
+
+The registered query (s10_python_datasource_writer) gates row-level
+delivery differentially; these tests pin the PROTOCOL pieces the
+aggregate gate cannot isolate: idempotent replay discard, abort
+cleanup, and the manifest-only read surface. All driver-side logic, so
+they run without a SparkSession -- the writer's commit/abort execute on
+the driver in production too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+from fantasy_premier_league_spark.sources.py_datasource import (
+    _FeedSinkCommit,
+    _stream_writer_cls,
+    committed_feed_files,
+)
+
+
+def _batch(n: int, start: int = 0) -> pa.RecordBatch:
+    return pa.record_batch(
+        {"event_id": pa.array(range(start, start + n), type=pa.int64())}
+    )
+
+
+def _writer(tmp_path):
+    return _stream_writer_cls()(str(tmp_path))
+
+
+def test_write_stages_then_commit_publishes_atomically(tmp_path):
+    w = _writer(tmp_path)
+    msg = w.write(iter([_batch(3), _batch(2, start=3)]))
+    assert msg.rows == 5
+    assert os.path.dirname(msg.file).endswith("staging")
+    # staged output is invisible to the read surface until commit
+    assert committed_feed_files(str(tmp_path)) == []
+    w.commit([msg], batchId=0)
+    files = committed_feed_files(str(tmp_path))
+    assert len(files) == 1 and os.path.exists(files[0])
+    assert not os.path.exists(msg.file)  # staged name consumed by rename
+    manifest = json.load(
+        open(os.path.join(tmp_path, "committed", "manifest-0.json"))
+    )
+    assert manifest == {
+        "batch_id": 0,
+        "files": [{"file": os.path.basename(files[0]), "rows": 5}],
+    }
+
+
+def test_replayed_batch_commit_is_idempotent(tmp_path):
+    """The crash-restart path: the checkpoint replays the last
+    unacknowledged epoch, so commit() sees a batchId whose manifest is
+    already published and must DISCARD the duplicate staged output --
+    rows land exactly once, never twice."""
+    w = _writer(tmp_path)
+    first = w.write(iter([_batch(4)]))
+    w.commit([first], batchId=7)
+    published = committed_feed_files(str(tmp_path))
+
+    replay = w.write(iter([_batch(4)]))  # re-executed task, same data
+    assert os.path.exists(replay.file)
+    w.commit([replay], batchId=7)  # same epoch re-commits after restart
+    # duplicate staged file dropped; the committed set is unchanged
+    assert not os.path.exists(replay.file)
+    assert committed_feed_files(str(tmp_path)) == published
+
+
+def test_abort_removes_staged_never_committed(tmp_path):
+    w = _writer(tmp_path)
+    ok = w.write(iter([_batch(2)]))
+    # a failed task yields None in the driver's collected messages
+    w.abort([ok, None], batchId=3)
+    assert not os.path.exists(ok.file)
+    assert committed_feed_files(str(tmp_path)) == []
+    assert not os.path.exists(
+        os.path.join(tmp_path, "committed", "manifest-3.json")
+    )
+
+
+def test_empty_task_stages_nothing(tmp_path):
+    w = _writer(tmp_path)
+    msg = w.write(iter([]))
+    assert msg == _FeedSinkCommit(file=None, rows=0)
+    assert os.listdir(os.path.join(tmp_path, "staging")) == []
+    # commit of an all-empty batch still publishes the (empty) manifest:
+    # the epoch is acknowledged, so a restart will not replay it
+    w.commit([msg], batchId=1)
+    assert json.load(
+        open(os.path.join(tmp_path, "committed", "manifest-1.json"))
+    ) == {"batch_id": 1, "files": []}
+    assert committed_feed_files(str(tmp_path)) == []
+
+
+def test_read_surface_trusts_manifests_not_listings(tmp_path):
+    """A torn write -- a file present under committed/ but absent from
+    every manifest (e.g. a crash between rename and manifest publish of
+    a NEWER batch) -- must be invisible to readers."""
+    w = _writer(tmp_path)
+    msg = w.write(iter([_batch(3)]))
+    w.commit([msg], batchId=0)
+    stray = os.path.join(tmp_path, "committed", "batch-9-orphan.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"torn")
+    files = committed_feed_files(str(tmp_path))
+    assert len(files) == 1 and stray not in files
