@@ -167,12 +167,77 @@ HEADLINE = [
     "text_udtf_chunk_windows",
     # round 14 addition: the state-store reader surface (t19)
     "t19_state_store_reader",
+    # round 15 addition: the Python DataSource streaming WRITER (s10 --
+    # staged write, atomic manifest commit, idempotent replay; the
+    # retired ann_lsh_buckets was never a headline query)
+    "s10_python_datasource_writer",
 ]
 
 # Length of the comparable prefix above (r12: 23 = round-1's 24 minus
 # the retired a3_final_metrics; contract target re-based in BASELINE.md
 # "Re-based comparable contract" at the same time).
 N_COMPARABLE = 23
+
+
+class StealSampler:
+    """Background /proc/stat steal sampler, so every bench artifact
+    self-attributes its contention (VERDICT r14 task #3: BENCH_r14 read
+    3.74x purely from a co-tenant burst, and proving it environmental
+    took a judge autopsy because the artifact carried no timestamps and
+    no steal series). Samples ``[epoch_s, steal_pct]`` pairs at
+    ``interval_s``; per-query wall-clock windows recorded alongside let
+    a reader ask "was the hypervisor stealing cycles WHILE query X
+    ran?" from the artifact alone."""
+
+    def __init__(self, interval_s: float = 0.5):
+        import threading
+
+        self.interval_s = interval_s
+        self.samples: list[list[float]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    @staticmethod
+    def _read_cpu() -> tuple[int, int]:
+        """(total_jiffies, steal_jiffies) from the aggregate cpu line."""
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+
+    def _loop(self) -> None:
+        try:
+            prev_total, prev_steal = self._read_cpu()
+        except OSError:
+            return  # no /proc: leave the series empty, never crash bench
+        while not self._stop.wait(self.interval_s):
+            try:
+                total, steal = self._read_cpu()
+            except OSError:
+                return
+            dt = total - prev_total
+            pct = 100.0 * (steal - prev_steal) / dt if dt > 0 else 0.0
+            self.samples.append([round(time.time(), 2), round(pct, 2)])
+            prev_total, prev_steal = total, steal
+
+    def start(self) -> "StealSampler":
+        self._thread.start()
+        return self
+
+    def stop(self) -> list[list[float]]:
+        self._stop.set()
+        self._thread.join(timeout=2 * self.interval_s + 1)
+        return self.samples
+
+
+def steal_max_in_window(
+    samples: list[list[float]], start: float, end: float
+) -> float | None:
+    """Max steal%% sampled inside [start, end] -- the one-line read that
+    replaces the r14 run-order autopsy. None = no sample landed in the
+    window (sub-interval query): consult the neighboring samples."""
+    vals = [pct for ts, pct in samples if start <= ts <= end]
+    return round(max(vals), 2) if vals else None
 
 
 def main() -> None:
@@ -233,9 +298,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
+    windows: dict[str, list[float]] = {}
+    sampler = StealSampler().start()
     for name in selected:
         fn = queries[name]
         samples: list[float] = []
+        wall_start = time.time()
         for _ in range(repeats):
             start = time.perf_counter()
             try:
@@ -244,6 +312,7 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 - record and continue
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 break
+        windows[name] = [round(wall_start, 2), round(time.time(), 2)]
         if samples:
             samples.sort()
             timings[name] = round(samples[len(samples) // 2], 3)
@@ -252,6 +321,14 @@ def main() -> None:
                 "med": timings[name],
                 "max": round(samples[-1], 3),
             }
+    steal_samples = sampler.stop()
+    for name, (w0, w1) in windows.items():
+        if name in spread:
+            # per-query contention verdict inline: a spiked med/max with
+            # steal_max ~0 is code; with steal_max >> 0 it's the VM
+            peak = steal_max_in_window(steal_samples, w0, w1)
+            if peak is not None:
+                spread[name]["steal_max"] = peak
 
     total = round(sum(timings.values()), 3)
     # A partial run must not be readable as a speedup: the comparable
@@ -273,6 +350,18 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "sf": float(sf) if sf else sf_dir,
+        # self-attribution telemetry (VERDICT r14 #3): wall-clock query
+        # windows + the concurrent steal series. Schema pinned by
+        # tests/test_bench_contract.py; attribution mechanics smoked
+        # there under a synthetic steal burst.
+        "telemetry": {
+            "steal_interval_s": sampler.interval_s,
+            "steal_samples": steal_samples,
+            "steal_max_pct": round(
+                max((p for _, p in steal_samples), default=0.0), 2
+            ),
+            "query_windows": windows,
+        },
     }
     if errors:
         payload["errors"] = errors

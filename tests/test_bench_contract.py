@@ -58,6 +58,28 @@ def test_bench_exits_zero_and_prints_one_json_line():
     for s in payload["spread"].values():
         assert s["min"] <= s["med"] <= s["max"]
 
+    # Self-attribution telemetry (VERDICT r14 #3): the artifact must
+    # carry per-query wall-clock windows plus the concurrent steal
+    # series, so a contention burst is identifiable from the artifact
+    # alone -- no judge autopsy against run order.
+    tel = payload["telemetry"]
+    for key in ("steal_interval_s", "steal_samples", "steal_max_pct", "query_windows"):
+        assert key in tel, f"telemetry missing key {key}"
+    assert set(tel["query_windows"]) >= set(payload["queries"])
+    for w0, w1 in tel["query_windows"].values():
+        assert w0 <= w1
+    # the run spans minutes; the 0.5 s sampler must have real samples,
+    # each a [epoch_s, steal_pct] pair inside the run's wall window
+    assert len(tel["steal_samples"]) >= 10
+    run_start = min(w for w, _ in tel["query_windows"].values())
+    run_end = max(w for _, w in tel["query_windows"].values())
+    for ts, pct in tel["steal_samples"]:
+        assert run_start - 60 <= ts <= run_end + 60
+        assert 0.0 <= pct <= 100.0
+    assert tel["steal_max_pct"] == max(p for _, p in tel["steal_samples"])
+    # windows long enough to contain a sample carry the inline verdict
+    assert any("steal_max" in s for s in payload["spread"].values())
+
     # The LAST line is the driver-facing compact summary: it must parse
     # ALONE and fit comfortably inside the driver's ~2000-char stdout
     # tail capture (BENCH_r06 shipped parsed=null because the one full
@@ -98,3 +120,49 @@ def test_bench_exits_zero_and_prints_one_json_line():
     # at ~30 chars each stays far under the length cap)
     assert summary["comparable_n"] == 23
     assert len(summary["queries"]) == 23
+
+
+def test_steal_burst_is_identifiable_from_artifact_alone():
+    """Synthetic-load smoke for the attribution mechanics (VERDICT r14
+    #3 done-criterion): drive the sampler with a faked /proc/stat that
+    steals 40% of jiffies during one window, run two fake 'queries'
+    around it, and show the artifact fields alone name the burst window
+    -- exactly the read that took a run-order autopsy in r14."""
+    import time as _time
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    # fake cumulative cpu counters, /proc/stat-shaped: 100 jiffies per
+    # sample tick, steal 40/tick only while the main thread holds the
+    # burst flag up -- so burst attribution follows wall-clock exactly
+    # like a real co-tenant window does
+    burst_on = {"flag": False}
+
+    def fake_read_cpu():
+        fake_read_cpu.total += 100
+        fake_read_cpu.steal += 40 if burst_on["flag"] else 0
+        return fake_read_cpu.total, fake_read_cpu.steal
+
+    fake_read_cpu.total = 0
+    fake_read_cpu.steal = 0
+
+    sampler = bench.StealSampler(interval_s=0.02)
+    sampler._read_cpu = fake_read_cpu
+    t0 = _time.time()
+    sampler.start()
+    _time.sleep(0.15)  # quiet window: fake query A
+    a_end = _time.time()
+    burst_on["flag"] = True
+    _time.sleep(0.25)  # burst window: fake query B
+    b_end = _time.time()
+    burst_on["flag"] = False
+    samples = sampler.stop()
+    assert len(samples) >= 8, samples
+
+    quiet = bench.steal_max_in_window(samples, t0, a_end)
+    burst = bench.steal_max_in_window(samples, a_end, b_end)
+    # the burst window reads ~40% steal; the quiet window ~0 -- the
+    # artifact's spread[name]["steal_max"] is this exact computation
+    assert burst is not None and burst >= 20.0, (burst, samples)
+    assert quiet is None or quiet <= 5.0, (quiet, samples)
