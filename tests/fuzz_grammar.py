@@ -1430,3 +1430,159 @@ def build_signedzero_spark(spark: SparkSession, sf_dir: str, case: dict) -> Data
     return df.filter(_conj(case["pred_cols"])).groupBy(*case["keys"]).agg(
         *case["aggs"]
     )
+
+
+def draw_lateral_case(seed: int) -> dict:
+    """Seeded LATERAL / table-function cases (axis 19, round 15 -- the
+    VERDICT r13 #8 / r14 #6 carried axis): each case explodes a
+    correlated row-generated collection through Spark's lateral
+    table-function surface and aggregates over the generated rows,
+    while the oracle walks DuckDB's lateral twin. Four shapes:
+
+    - ``range``: inner explode of CASE-guarded sequence(1, n) with
+      n = CAST(col AS INT) % k -- n = 0 rows DROP (and the guard is
+      load-bearing: Spark's sequence(1, 0) DESCENDS instead of being
+      empty); oracle = ``, LATERAL (unnest(range(1, n+1)))``.
+    - ``range_outer``: explode_outer keeps empty-generator rows as one
+      null-padded row; oracle = ``LEFT JOIN LATERAL ... ON TRUE``.
+    - ``range_sql``: the same inner-range semantics through Spark's SQL
+      LATERAL *text* syntax (``FROM t, LATERAL explode(...) AS ex(i)``)
+      -- the one registered-surface spelling the grammar never drew
+      (VERDICT r14 "what's missing" #4).
+    - ``split_pos``: posexplode(split(str, sep)) -- token + 0-based
+      position; oracle indexes string_split by a lateral range (DuckDB
+      lacks WITH ORDINALITY), pinning the pos/ordinality alignment.
+
+    The generated rows feed the standing cent-grid aggregates, so
+    per-element correlated arithmetic (i * cents) is compared, not just
+    row multiplicity. The Arrow Python-UDTF lateral itself stays gated
+    by text_udtf_chunk_windows; this axis sweeps the generator/lateral
+    JOIN-semantics space around it."""
+    rng = random.Random(180_000 + seed)
+    shape = rng.choice(["range", "range_outer", "range_sql", "split_pos"])
+    table = "orders" if shape == "split_pos" else rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    keys = rng.sample(spec["keys"], rng.choice([1, 1, 2]))
+    cents = rng.choice(spec["cents"])
+    cents_sql = f"CAST(round({cents} * 100) AS BIGINT)"
+    sel = ", ".join(keys)
+    where = " AND ".join(pred_sql)
+
+    if shape == "split_pos":
+        sep = rng.choice(["-", " "])
+        sql = f"""
+        SELECT {sel},
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               min(u.tok) AS min_tok,
+               CAST(coalesce(sum((u.pos + 1) * {cents_sql}), 0) AS BIGINT)
+                 AS wpos_cents
+        FROM {table}, LATERAL (
+          SELECT string_split(o_orderpriority, '{sep}')[i + 1] AS tok,
+                 i AS pos
+          FROM unnest(range(0,
+                 len(string_split(o_orderpriority, '{sep}')))) r(i)
+        ) u
+        WHERE {where}
+        GROUP BY {sel}
+        """
+        return {
+            "shape": shape, "table": table, "keys": keys, "sep": sep,
+            "cents": cents, "pred_cols": pred_cols, "sql": sql,
+        }
+
+    ncol = {"lineitem": "l_quantity", "orders": "o_totalprice"}[table]
+    k = rng.choice([3, 4, 5, 6])
+    # floor() BEFORE the int cast: Spark's double->int cast TRUNCATES
+    # while DuckDB's ROUNDS, so a cents-bearing value like o_totalprice
+    # would disagree on n for half the rows; floor is exact on both
+    n_sql = f"CAST(floor({ncol}) AS INT) % {k}"
+    if shape == "range_outer":
+        lateral_sql = (
+            f"FROM {table} LEFT JOIN LATERAL "
+            f"(SELECT unnest(range(1, {n_sql} + 1)) AS i) u ON TRUE"
+        )
+    else:
+        lateral_sql = (
+            f"FROM {table}, LATERAL "
+            f"(SELECT unnest(range(1, {n_sql} + 1)) AS i) u"
+        )
+    sql = f"""
+    SELECT {sel},
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(coalesce(sum(u.i * {cents_sql}), 0) AS BIGINT) AS wsum_cents,
+           CAST(max(u.i) AS BIGINT) AS max_i
+    {lateral_sql}
+    WHERE {where}
+    GROUP BY {sel}
+    """
+    return {
+        "shape": shape, "table": table, "keys": keys, "ncol": ncol, "k": k,
+        "cents": cents, "pred_cols": pred_cols, "pred_sql": pred_sql,
+        "sql": sql,
+    }
+
+
+def build_lateral_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    keys, shape = case["keys"], case["shape"]
+    cents_int = F.round(F.col(case["cents"]) * 100).cast("long")
+
+    if shape == "split_pos":
+        base = df.filter(_conj(case["pred_cols"])).select(
+            *keys,
+            cents_int.alias("_c"),
+            F.split(F.col("o_orderpriority"), case["sep"]).alias("_toks"),
+        )
+        lat = base.select(
+            *keys, "_c",
+            F.posexplode(F.col("_toks")).alias("pos", "tok"),
+        )
+        return lat.groupBy(*keys).agg(
+            F.count("*").alias("n_tokens"),
+            F.min("tok").alias("min_tok"),
+            F.coalesce(
+                F.sum((F.col("pos") + 1).cast("long") * F.col("_c")),
+                F.lit(0).cast("long"),
+            ).alias("wpos_cents"),
+        )
+
+    n = F.floor(F.col(case["ncol"])).cast("int") % case["k"]
+    if shape == "range_sql":
+        # the SQL LATERAL text path: same semantics as `range`, spelled
+        # as Spark's comma-LATERAL table-function join
+        view = f"lat_sql_{case['table']}"
+        df.createOrReplaceTempView(view)
+        sel = ", ".join(keys)
+        n_sql = f"CAST(floor({case['ncol']}) AS INT) % {case['k']}"
+        return spark.sql(f"""
+        SELECT {sel},
+               count(*) AS n_rows,
+               coalesce(sum(CAST(i AS BIGINT)
+                 * CAST(round({case['cents']} * 100) AS BIGINT)), 0)
+                 AS wsum_cents,
+               CAST(max(i) AS BIGINT) AS max_i
+        FROM {view},
+        LATERAL explode(CASE WHEN {n_sql} >= 1
+                        THEN sequence(1, {n_sql})
+                        ELSE array() END) AS ex(i)
+        WHERE {' AND '.join(case['pred_sql'])}
+        GROUP BY {sel}
+        """)
+
+    gen = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = df.filter(_conj(case["pred_cols"])).select(
+        *keys, cents_int.alias("_c"), gen.alias("_g")
+    )
+    explode = F.explode_outer if shape == "range_outer" else F.explode
+    lat = base.select(*keys, "_c", explode("_g").alias("i"))
+    return lat.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.col("i").cast("long") * F.col("_c")),
+            F.lit(0).cast("long"),
+        ).alias("wsum_cents"),
+        F.max(F.col("i").cast("long")).alias("max_i"),
+    )

@@ -45,6 +45,7 @@ AXES = [
     ("rangeframe", g.draw_rangeframe_case, g.build_rangeframe_spark, 12),
     ("filteragg", g.draw_filteragg_case, g.build_filteragg_spark, 12),
     ("signedzero", g.draw_signedzero_case, g.build_signedzero_spark, 12),
+    ("lateral", g.draw_lateral_case, g.build_lateral_spark, 12),
 ]
 
 
