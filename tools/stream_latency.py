@@ -35,14 +35,20 @@ Usage:
     python tools/stream_latency.py [--batches 24] [--trigger-ms 500]
                                    [--rows-per-sec 5000] [--json]
                                    [--shape agg|join|merge|pystate]
-                                   [--partitions 8]
+                                   [--partitions 8] [--keys 1000]
                                    [--state-provider hdfs|rocksdb]
                                    [--recovery]
 
 ``--recovery`` warms the state store, stops, restarts from the same
 checkpoint, and reports start() -> first committed data batch (the
 failover budget); ``--state-provider rocksdb`` swaps in the bundled
-RocksDBStateStoreProvider with changelog checkpointing.
+RocksDBStateStoreProvider with changelog checkpointing. Round 15
+(VERDICT r14 stretch #8) adds a t19-shaped AUDIT phase to --recovery
+for the agg/join shapes: after the recovered query commits, the state
+store is read back via spark.read.format("statestore") WHILE the
+stream keeps running, reporting audit_read_ms, audit_state_rows, and
+the concurrent batches' p50 trigger (vs warm_p50_trigger_ms) -- the
+does-inspection-stall-the-stream readout.
 
 Prints a markdown table (BASELINE.md records it) or one JSON line.
 """
@@ -194,14 +200,23 @@ def _shape_merge(spark, rows_per_sec: int):
     )
 
 
+# pystate key cardinality: the r14 1000-key reading prices the Arrow
+# boundary in the small-state regime; --keys raises TOTAL state volume
+# (the regime where the HDFS provider's full-snapshot commits should
+# eventually lose to RocksDB's changelog -- VERDICT r14 stretch #9)
+_PYSTATE_KEYS = 1000
+
+
 def _shape_pystate(spark, rows_per_sec: int):
     """fpl_t5 shape: applyInPandasWithState -- the Arrow-batched Python
     state operator (streaming/pipeline.py:319), here a running
-    count/cent-sum over 1,000 keys so every micro-batch round-trips
-    ~all key groups through the Python worker. This prices the Arrow
-    state boundary per batch, the one state-op family the agg/join
-    rows (pure JVM state) cannot show -- the streaming twin of the
-    UDTF-vs-JVM pricing in BASELINE.md."""
+    count/cent-sum over _PYSTATE_KEYS keys (default 1,000: every
+    micro-batch round-trips ~all key groups through the Python
+    worker). This prices the Arrow state boundary per batch, the one
+    state-op family the agg/join rows (pure JVM state) cannot show --
+    the streaming twin of the UDTF-vs-JVM pricing in BASELINE.md. At
+    higher --keys the per-batch group count is bounded by batch rows,
+    and what grows is the STORE -- the state-volume axis."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -229,7 +244,7 @@ def _shape_pystate(spark, rows_per_sec: int):
 
     stream = (
         _rate(spark, rows_per_sec)
-        .withColumn("key", F.col("value") % 1000)
+        .withColumn("key", F.col("value") % _PYSTATE_KEYS)
         .groupBy("key")
         .applyInPandasWithState(
             update,
@@ -241,7 +256,8 @@ def _shape_pystate(spark, rows_per_sec: int):
     )
     return (
         stream.writeStream.outputMode("update").format("noop"),
-        "rate -> 1000-key applyInPandasWithState count/sum -> noop (update)",
+        f"rate -> {_PYSTATE_KEYS}-key applyInPandasWithState count/sum"
+        " -> noop (update)",
     )
 
 
@@ -416,16 +432,60 @@ def run_recovery(
                 first_data = p
                 data_ms = (time.monotonic() - t0) * 1000
         time.sleep(0.05)
+
+    # phase 3: the t19-shaped OPERATIONAL audit (VERDICT r14 stretch
+    # #8) -- read the state store back as a batch DataFrame WHILE the
+    # recovered query keeps running, and price both sides: how long the
+    # inspection scan takes, and whether the live stream's trigger
+    # latency moves while it runs. The statestore batch source reads
+    # the newest COMMITTED snapshot, so the only possible interference
+    # is resource contention, which is exactly what this measures.
+    audit: dict = {}
+    if first_data is not None and shape in ("agg", "join"):
+        pre_ids = {p["batchId"] for p in query.recentProgress}
+        t_a = time.monotonic()
+        try:
+            reader = spark.read.format("statestore").option("path", ckpt)
+            if shape == "join":
+                # stream-stream join state is per-side; the left side
+                # carries the probe rows (both sides are symmetric here)
+                reader = reader.option("joinSide", "left")
+            audit_rows = reader.load().count()
+            audit_ms = (time.monotonic() - t_a) * 1000
+            # let the batches that overlapped the read finish committing
+            time.sleep(max(1.0, trigger_ms / 1000))
+            during = [
+                p
+                for p in query.recentProgress
+                if p["batchId"] not in pre_ids
+            ]
+            trig = [
+                float(p["durationMs"]["triggerExecution"]) for p in during
+            ]
+            audit = {
+                "audit_state_rows": int(audit_rows),
+                "audit_read_ms": round(audit_ms, 1),
+                "audit_concurrent_batches": len(during),
+                "audit_p50_trigger_ms": round(_pct(trig, 0.50), 1)
+                if trig
+                else float("nan"),
+            }
+        except Exception as exc:  # the reader surface, not the harness
+            audit = {"audit_error": f"{type(exc).__name__}: {str(exc)[:160]}"}
     query.stop()
     spark.stop()
     if first is None:
         raise SystemExit("restarted query never committed a batch in 120 s")
-    return {
+    warm_trig = [float(p["durationMs"]["triggerExecution"]) for p in warm[1:]]
+    out = {
         "shape": shape_desc,
         "partitions": partitions,
         "state_provider": provider,
         "rows_per_sec": rows_per_sec,
         "warm_batches": len(warm),
+        "warm_p50_trigger_ms": round(_pct(warm_trig, 0.50), 1)
+        if warm_trig
+        else float("nan"),
         "state_rows_at_stop": state_rows,
         "cold_init_ms": float(warm[0]["durationMs"]["triggerExecution"])
         if warm
@@ -438,15 +498,24 @@ def run_recovery(
             (first_data or first)["durationMs"]["triggerExecution"]
         ),
     }
+    out.update(audit)
+    return out
 
 
 def main() -> int:
+    global _PYSTATE_KEYS
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=24)
     ap.add_argument("--trigger-ms", type=int, default=500)
     ap.add_argument("--rows-per-sec", type=int, default=5000)
     ap.add_argument("--shape", choices=sorted(SHAPES), default="agg")
     ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument(
+        "--keys",
+        type=int,
+        default=_PYSTATE_KEYS,
+        help="pystate shape key cardinality (state-volume lever)",
+    )
     ap.add_argument(
         "--state-provider", choices=["hdfs", "rocksdb"], default="hdfs"
     )
@@ -457,6 +526,8 @@ def main() -> int:
     )
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
+
+    _PYSTATE_KEYS = args.keys
 
     if args.recovery:
         out = run_recovery(
