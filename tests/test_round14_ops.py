@@ -111,6 +111,9 @@ NONNEG_ROUNDS: dict[str, int] = {
     "rollup_revenue": 1,
     "s8_python_datasource_feed": 1,
     "s9_python_stream_feed": 1,
+    # r15 writer twin of s8/s9: total_value sums events.value, which is
+    # >= 0.01 by generation -- never sign-crossing
+    "s10_python_datasource_writer": 1,
     "salted_skew_join": 1,
     "session_windows": 1,
     "sql_frontend_q20_nested_in": 1,  # acctbal cent grid (1e2 rescale)
