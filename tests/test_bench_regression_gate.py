@@ -91,6 +91,32 @@ def test_real_regression_moves_the_floor_and_flags(tmp_path):
     assert "REGRESSION broken" in out and "min-of-spread" in out
 
 
+def test_flagged_regression_carries_steal_annotation(tmp_path):
+    """r15: a flagged row whose window recorded hypervisor steal must
+    carry the telemetry inline (annotation ONLY -- rc stays 1, nothing
+    is waived); a clean-window flag must not."""
+    base = _payload(
+        _PEERS | {"hot": 0.42, "cold": 0.42},
+        {
+            "hot": {"min": 0.419, "med": 0.42, "max": 0.63},
+            "cold": {"min": 0.419, "med": 0.42, "max": 0.63},
+        },
+    )
+    cur = _payload(
+        _PEERS | {"hot": 1.3, "cold": 1.3},
+        {
+            "hot": {"min": 1.1, "med": 1.3, "max": 1.6, "steal_max": 11.5},
+            "cold": {"min": 1.1, "med": 1.3, "max": 1.6, "steal_max": 0.0},
+        },
+    )
+    rc, out = _run(tmp_path, base, cur)
+    assert rc == 1  # annotated, NOT waived
+    hot = [ln for ln in out.splitlines() if ln.startswith("REGRESSION hot")]
+    cold = [ln for ln in out.splitlines() if ln.startswith("REGRESSION cold")]
+    assert hot and "steal_max 11.5% in-window" in hot[0]
+    assert cold and "steal_max" not in cold[0]
+
+
 def test_no_spread_recorded_median_alone_flags(tmp_path):
     base = _payload(_PEERS | {"legacy": 0.42})
     cur = _payload(_PEERS | {"legacy": 0.74})

@@ -74,6 +74,19 @@ COMPARABLE_MAX_RATIO = 2.0
 MIN_ABS_GROWTH = 0.15
 
 
+def _steal_note(spread_entry: dict | None) -> str:
+    """Contention annotation from the run's OWN telemetry (r15,
+    VERDICT r14 #3): a flagged ratio whose wall-clock window recorded
+    hypervisor steal carries the evidence inline, so the adjudication
+    that took a run-order autopsy in r14 becomes part of the gate
+    output. Annotation only -- it NEVER waives; the solo-floor protocol
+    stays the named outcome path."""
+    peak = (spread_entry or {}).get("steal_max")
+    if peak is None or peak < 1.0:
+        return ""
+    return f" [telemetry: steal_max {peak:.1f}% in-window]"
+
+
 def _committed_base(cur_text: str) -> tuple[str, dict] | None:
     """Newest committed BENCH_DETAIL.json whose content differs from
     the current file (the previous round's spread)."""
@@ -190,6 +203,7 @@ def main() -> int:
                 f"{name}: {prev:.2f}s -> {med:.2f}s ({ratio:.2f}x raw, "
                 f"{ratio / drift:.2f}x drift-adjusted) "
                 f"[SUPPRESSED: min-of-spread {cmin / bmin:.2f}x]"
+                + _steal_note(c_spread.get(name))
             )
             continue
         if median_flagged:
@@ -199,6 +213,7 @@ def main() -> int:
             )
             if cmin is not None and bmin:
                 row += f" [min-of-spread {cmin / bmin:.2f}x]"
+            row += _steal_note(c_spread.get(name))
             waiver = WAIVERS.get(name)
             # ADVICE r12: with an explicit --base PATH, rev-prefix
             # matching is meaningless (base_label is a file path, and
