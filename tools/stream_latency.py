@@ -300,6 +300,7 @@ def run(
     shape: str,
     partitions: int = 8,
     provider: str = "hdfs",
+    deadline_s: float | None = None,
 ) -> dict:
     from fantasy_premier_league_spark.session import get_spark
 
@@ -315,9 +316,16 @@ def run(
     )
     # wait until n_batches micro-batches have committed rows; poll
     # lastProgress rather than sleeping a fixed wall time so a loaded
-    # machine yields MORE wait, not fewer batches
+    # machine yields MORE wait, not fewer batches. --deadline-s
+    # overrides the default budget for shapes whose whole point is a
+    # deep per-batch wall (the pystate 100k+/key state-volume runs
+    # commit ~30 s batches -- r15 stretch #9)
     seen: dict[int, dict] = {}
-    deadline = time.monotonic() + max(120, n_batches * trigger_ms / 1000 * 6)
+    deadline = time.monotonic() + (
+        deadline_s
+        if deadline_s is not None
+        else max(120, n_batches * trigger_ms / 1000 * 6)
+    )
     while len(seen) < n_batches and time.monotonic() < deadline:
         for p in query.recentProgress:
             seen[p["batchId"]] = p
@@ -520,6 +528,12 @@ def main() -> int:
         "--state-provider", choices=["hdfs", "rocksdb"], default="hdfs"
     )
     ap.add_argument(
+        "--deadline-s",
+        type=float,
+        default=None,
+        help="steady-state wall budget override (deep-batch shapes)",
+    )
+    ap.add_argument(
         "--recovery",
         action="store_true",
         help="measure restart-from-checkpoint recovery instead of steady-state",
@@ -548,6 +562,7 @@ def main() -> int:
         args.shape,
         args.partitions,
         args.state_provider,
+        args.deadline_s,
     )
     if args.json:
         print(json.dumps(out, sort_keys=True))
