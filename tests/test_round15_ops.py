@@ -97,6 +97,91 @@ def test_empty_task_stages_nothing(tmp_path):
     assert committed_feed_files(str(tmp_path)) == []
 
 
+def test_s10_sink_exactly_once_across_restart(spark, tmp_path):
+    """The t18-style proof in anger: stop the stream MID-LADDER after
+    at least one committed epoch, restart from the same checkpoint (the
+    engine replays the last unacknowledged batch), and verify the
+    committed read surface holds row-exact totals -- the replay's
+    duplicate staged output must be discarded by the manifest check,
+    never double-published."""
+    import glob
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from fantasy_premier_league_spark.sources.py_datasource import (
+        committed_feed_files,
+        register_feed_sink,
+        register_stream_feed_source,
+    )
+    from tests.conftest import SF_SMOKE
+
+    register_stream_feed_source(spark)
+    register_feed_sink(spark)
+    path = f"{SF_SMOKE}/events.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("events_stream_feed")
+            .option("path", path)
+            .load()
+            .writeStream.format("events_feed_sink")
+            .option("path", root)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # phase 1: let at least one epoch publish, then kill mid-ladder
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if glob.glob(os.path.join(root, "committed", "manifest-*.json")):
+            break
+        time.sleep(0.1)
+    else:
+        raise TimeoutError("no epoch committed in 120 s")
+    q.stop()
+    n_manifests_phase1 = len(
+        glob.glob(os.path.join(root, "committed", "manifest-*.json"))
+    )
+
+    # phase 2: restart from the same checkpoint and drain to the end
+    import ast
+
+    q = start()
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            q.processAllAvailable()
+            prog = q.lastProgress
+            if prog and prog["sources"][0]["endOffset"]:
+                end = ast.literal_eval(prog["sources"][0]["endOffset"])
+                if end.get("row", 0) >= total:
+                    break
+            time.sleep(0.1)
+        else:
+            raise TimeoutError("restart did not drain in 120 s")
+    finally:
+        q.stop()
+
+    files = committed_feed_files(root)
+    got = spark.read.parquet(*files)
+    # event_id is unique in the events table, so count == countDistinct
+    # proves no row was dropped or double-published across the restart
+    n, nd = got.selectExpr(
+        "count(*)", "count(distinct event_id)"
+    ).first()
+    assert (n, nd) == (total, total), (
+        f"exactly-once broken across restart: rows={n} distinct={nd} "
+        f"expected {total} (manifests at stop: {n_manifests_phase1})"
+    )
+
+
 def test_read_surface_trusts_manifests_not_listings(tmp_path):
     """A torn write -- a file present under committed/ but absent from
     every manifest (e.g. a crash between rename and manifest publish of
