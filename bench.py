@@ -408,6 +408,10 @@ def main() -> None:
         "repeats": repeats,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        # run-wide contention headline: the driver records ONLY this
+        # line, so the artifact it keeps must self-attribute too --
+        # the per-window detail lives in BENCH_DETAIL.json telemetry
+        "steal_max_pct": payload["telemetry"]["steal_max_pct"],
         "queries": {n: timings[n] for n in HEADLINE[:N_COMPARABLE] if n in timings},
         "sf": payload["sf"],
     }

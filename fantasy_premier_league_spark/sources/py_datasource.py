@@ -452,8 +452,55 @@ def _stream_writer_cls():
     return _EventsFeedSinkWriter
 
 
+def _batch_writer_cls():
+    # lazy like the stream twin; DataSourceArrowWriter is 4.0+
+    from pyspark.sql.datasource import DataSourceArrowWriter
+
+    stream_cls = _stream_writer_cls()
+
+    class _EventsFeedBatchWriter(DataSourceArrowWriter):
+        """The BATCH quadrant of the same sink: identical staged-file /
+        manifest protocol, one epoch per job. `overwrite` clears the
+        committed prefix at commit time (driver-side, after every task
+        succeeded -- a failed overwrite job must not have half-deleted
+        the previous contents)."""
+
+        _EPOCH = "batch"  # manifest-batch.json: one publish per job
+
+        def __init__(self, root: str, overwrite: bool) -> None:
+            self._root = root
+            self._overwrite = overwrite
+            self._delegate = stream_cls(root)
+
+        def write(self, iterator):
+            return self._delegate.write(iterator)
+
+        def commit(self, messages) -> None:
+            import os
+            import shutil
+
+            committed = os.path.join(self._root, "committed")
+            if self._overwrite and os.path.isdir(committed):
+                shutil.rmtree(committed)
+            elif os.path.exists(
+                os.path.join(committed, f"manifest-{self._EPOCH}.json")
+            ):
+                raise ValueError(
+                    "events_feed_sink: batch epoch already committed at "
+                    f"{committed}; use mode('overwrite') to replace it"
+                )
+            self._delegate.commit(messages, self._EPOCH)
+
+        def abort(self, messages) -> None:
+            self._delegate.abort(messages, self._EPOCH)
+
+    return _EventsFeedBatchWriter
+
+
 class EventsFeedSinkDataSource(DataSource):
-    """``df.writeStream.format("events_feed_sink").option("path", ...)``."""
+    """``df.writeStream.format("events_feed_sink").option("path", ...)``
+    (streaming) and ``df.write.format("events_feed_sink")`` (batch) --
+    the two writer quadrants share one staged-file/manifest protocol."""
 
     @classmethod
     def name(cls) -> str:
@@ -461,6 +508,9 @@ class EventsFeedSinkDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite):
         return _stream_writer_cls()(self.options["path"])
+
+    def writer(self, schema, overwrite):
+        return _batch_writer_cls()(self.options["path"], overwrite)
 
 
 def register_feed_sink(spark) -> None:

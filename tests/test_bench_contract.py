@@ -96,10 +96,12 @@ def test_bench_exits_zero_and_prints_one_json_line():
         "comparable_subtotal",
         "n_queries",
         "n_errors",
+        "steal_max_pct",
         "queries",
         "sf",
     ):
         assert key in summary, f"compact summary missing key {key}"
+    assert summary["steal_max_pct"] == payload["telemetry"]["steal_max_pct"]
     assert summary["value"] == payload["value"]
     assert summary["n_errors"] == 0
 

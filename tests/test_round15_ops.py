@@ -182,6 +182,53 @@ def test_s10_sink_exactly_once_across_restart(spark, tmp_path):
     )
 
 
+def test_batch_writer_quadrant_roundtrip(spark, tmp_path):
+    """The BATCH half of the custom sink (DataSource.writer -- the last
+    Python-DataSource quadrant: batch/stream x read/write), gated
+    without spending a registration slot, the state-metadata precedent.
+    Same staged/manifest protocol; plus the batch-only semantics: a
+    second append-mode job must refuse (epoch already committed) and
+    mode('overwrite') must replace the committed contents atomically."""
+    from fantasy_premier_league_spark.sources.py_datasource import (
+        committed_feed_files,
+        register_feed_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    register_feed_sink(spark)
+    root = str(tmp_path / "batch_sink")
+    src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # Python data sources accept only Append/Overwrite save modes
+    src.write.format("events_feed_sink").option("path", root).mode(
+        "append"
+    ).save()
+    got = spark.read.parquet(*committed_feed_files(root))
+    assert got.count() == src.count()
+    assert (
+        got.selectExpr("count(distinct event_id)").first()[0] == src.count()
+    )
+
+    # append without overwrite: the committed epoch must refuse, and
+    # the refusal must leave the published contents untouched
+    import pytest
+
+    before = sorted(committed_feed_files(root))
+    with pytest.raises(Exception, match="already committed"):
+        src.limit(5).write.format("events_feed_sink").option(
+            "path", root
+        ).mode("append").save()
+    assert sorted(committed_feed_files(root)) == before
+
+    # overwrite: replaces the epoch wholesale
+    src.limit(7).write.format("events_feed_sink").option(
+        "path", root
+    ).mode("overwrite").save()
+    got2 = spark.read.parquet(*committed_feed_files(root))
+    assert got2.count() == 7
+
+
 def test_read_surface_trusts_manifests_not_listings(tmp_path):
     """A torn write -- a file present under committed/ but absent from
     every manifest (e.g. a crash between rename and manifest publish of
