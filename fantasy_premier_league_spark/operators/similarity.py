@@ -133,24 +133,16 @@ def _bucket_col(vec: Column) -> Column:
 
 
 # (`ann_lsh_buckets` -- the bare bucket-occupancy histogram -- was
-# retired as a REGISTRATION in r15 under the N=200 budget to make room
-# for the Python DataSource streaming WRITER
-# (s10_python_datasource_writer, the r14-verdict-named candidate;
-# sources/py_datasource.py). Coverage of the sign-LSH assignment
-# machinery continues through `ann_lsh_recall` below, whose Spark side
-# runs this identical `_bucket_col` over the identical full embeddings
-# table and whose oracle embeds the identical _BIT_SQL bucket CTE; the
-# one surface the bare query alone exposed -- the per-bucket occupancy
-# count -- is a groupBy projection of the shared assignment. Same
-# paired-swap precedent as text_winnowing (r14) and a3/a4 (r12).)
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vectors(spark, sf_dir)
-    return (
-        v.select("vec_id", _bucket_col(F.col("vec")).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
-        .orderBy("bucket")
-    )
+# retired in r15 under the N=200 budget to make room for the Python
+# DataSource streaming WRITER (s10_python_datasource_writer, the
+# r14-verdict-named candidate; sources/py_datasource.py). The function
+# body was deleted with the registration (the text_winnowing r14
+# precedent). Coverage of the sign-LSH assignment machinery continues
+# through `ann_lsh_recall` below, whose Spark side runs the identical
+# `_bucket_col` over the identical full embeddings table and whose
+# oracle embeds the identical _BIT_SQL bucket CTE; the one surface the
+# bare query alone exposed -- the per-bucket occupancy count -- was a
+# groupBy projection of the shared assignment.)
 
 
 # ---------------------------------------------------------------------------
@@ -164,8 +156,8 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_COS = 0.35  # synthetic corpus tops out ~0.51; 0.35 is selective
 
-# 8 hyperplane bits for the near-dup prefilter (vs 4 for the coarse
-# bucket-histogram operator above): bucket count is THE pruning lever.
+# 8 hyperplane bits for the near-dup prefilter (vs the 4-bit coarse
+# assignment _bucket_col above): bucket count is THE pruning lever.
 # 4 bits / 16 buckets leaves ~1/16 of the n^2 pair space as candidates
 # (measured: 5k vectors -> 1.6M candidate pairs, ~7 s at sf0.1); 8
 # bits / 256 buckets cuts candidate density ~16x further at the usual

@@ -54,7 +54,14 @@ ORACLES: dict[str, str] = {}
 # pruned at the start of r15 (VERDICT r14 task #1). r15 keeps
 # CHANGED + NEW small so the 26 r10-vintage rows at the staleness
 # bound head the sample (VERDICT r14 task #4).
-CHANGED_THIS_ROUND: list[str] = []
+CHANGED_THIS_ROUND: list[str] = [
+    # r15 review: the events_stream_feed reader gained the restart
+    # canary (partitions() raises on a backward batch instead of
+    # silently re-delivering after a >= 2-epoch restart -- a measured
+    # duplicate-delivery hazard). s9's single-lifetime drain semantics
+    # are unchanged; the driver must re-verify the hash path.
+    "s9_python_stream_feed",
+]
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:

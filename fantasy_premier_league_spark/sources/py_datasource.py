@@ -202,6 +202,29 @@ def _stream_reader_cls():
             return {"row": self._cur}
 
         def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+            if end["row"] < start["row"]:
+                # Restart canary (review r15, reproduced empirically):
+                # the ladder is SELF-generated, and the Python stream
+                # API never hands the reader the checkpoint's committed
+                # offset (python_streaming_source_runner speaks only
+                # initialOffset/latestOffset/partitions/commit). After
+                # a restart with >= 2 committed epochs, a fresh reader's
+                # latestOffset() regresses below the committed start,
+                # the engine plans this BACKWARD batch, records the
+                # regressed end in the WAL, and the re-grown ladder then
+                # RE-DELIVERS already-published ranges under new
+                # batchIds -- silent duplicates (measured: 1250/1000
+                # rows). A self-offset feed cannot be restart-safe on
+                # this API by construction (Kafka-likes are: the BROKER
+                # owns offsets); fail loudly instead of corrupting.
+                raise ValueError(
+                    "events_stream_feed: offset ladder regressed across "
+                    f"a restart (committed start {start['row']} > latest "
+                    f"{end['row']}). This finite self-offset demo feed "
+                    "supports one query lifetime; restart-safe pipelines "
+                    "should feed from a source that owns its offsets "
+                    "(file source, Kafka-like)."
+                )
             return [_RowRangePartition(start["row"], end["row"])]
 
         def read(self, partition: _RowRangePartition):
@@ -398,6 +421,8 @@ def _stream_writer_cls():
             rows = 0
             try:
                 for batch in iterator:
+                    if batch.num_rows == 0:
+                        continue  # never stage a file for empty batches
                     if writer is None:
                         writer = pq.ParquetWriter(path, batch.schema)
                     writer.write_batch(batch)
@@ -478,10 +503,21 @@ def _batch_writer_cls():
         def commit(self, messages) -> None:
             import os
             import shutil
+            import uuid
 
             committed = os.path.join(self._root, "committed")
             if self._overwrite and os.path.isdir(committed):
-                shutil.rmtree(committed)
+                # hide-then-publish, never delete-then-publish: ONE
+                # atomic rename makes the old epoch invisible to
+                # committed_feed_files (which reads committed/ only);
+                # a crash before the new publish leaves the previous
+                # contents recoverable in the trash dir rather than
+                # half-deleted (review r15 -- the manifest-is-the-
+                # commit-point rule extended to overwrite)
+                trash = os.path.join(
+                    self._root, f"committed.trash-{uuid.uuid4().hex}"
+                )
+                os.replace(committed, trash)
             elif os.path.exists(
                 os.path.join(committed, f"manifest-{self._EPOCH}.json")
             ):
@@ -489,7 +525,11 @@ def _batch_writer_cls():
                     "events_feed_sink: batch epoch already committed at "
                     f"{committed}; use mode('overwrite') to replace it"
                 )
+            else:
+                trash = None
             self._delegate.commit(messages, self._EPOCH)
+            if self._overwrite and trash is not None:
+                shutil.rmtree(trash, ignore_errors=True)
 
         def abort(self, messages) -> None:
             self._delegate.abort(messages, self._EPOCH)

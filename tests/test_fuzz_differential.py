@@ -280,16 +280,20 @@ def test_fuzz_lateral_axis_reaches_empty_generators(spark):
         case = draw_lateral_case(seed)
         if "ncol" not in case:
             continue
+        # count UNDER the case's own WHERE -- a table-wide count could
+        # pass while every differential case's predicate excludes all
+        # n = 0 rows, leaving the hazard untested (review r15)
         tbl = f"{SF_SMOKE}/{case['table']}.parquet"
         n0 = con.execute(
             f"SELECT count(*) FROM '{tbl}' "
-            f"WHERE CAST(floor({case['ncol']}) AS INT) % {case['k']} = 0"
+            f"WHERE ({' AND '.join(case['pred_sql'])}) "
+            f"AND CAST(floor({case['ncol']}) AS INT) % {case['k']} = 0"
         ).fetchone()[0]
         hits += n0
     con.close()
     assert hits > 0, (
-        "no lateral seed reaches an empty generator -- the axis has "
-        "drifted off its inner-vs-outer hazard"
+        "no lateral seed reaches an empty generator under its own "
+        "predicate -- the axis has drifted off its inner-vs-outer hazard"
     )
 
 

@@ -377,6 +377,7 @@ def run_recovery(
     shape: str,
     partitions: int = 8,
     provider: str = "hdfs",
+    deadline_s: float | None = None,
 ) -> dict:
     """Failover readout: warm a query's state store, stop it, restart
     from the SAME checkpoint, and time recovery -- the operational
@@ -400,10 +401,16 @@ def run_recovery(
             desc,
         )
 
-    # phase 1: warm the state store
+    # phase 1: warm the state store (--deadline-s overrides both
+    # phases' budgets for deep-batch shapes, same as steady-state run())
     query, shape_desc = start_query()
     seen: dict[int, dict] = {}
-    deadline = time.monotonic() + max(120, n_warm * trigger_ms / 1000 * 8)
+    phase_budget = (
+        deadline_s
+        if deadline_s is not None
+        else max(120, n_warm * trigger_ms / 1000 * 8)
+    )
+    deadline = time.monotonic() + phase_budget
     while len(seen) < n_warm and time.monotonic() < deadline:
         for p in query.recentProgress:
             seen[p["batchId"]] = p
@@ -427,7 +434,9 @@ def run_recovery(
     first: dict | None = None
     first_data: dict | None = None
     first_ms = data_ms = float("nan")
-    deadline = time.monotonic() + 120
+    deadline = time.monotonic() + (
+        deadline_s if deadline_s is not None else 120
+    )
     while first_data is None and time.monotonic() < deadline:
         for p in sorted(query.recentProgress, key=lambda p: p["batchId"]):
             if first is None:
@@ -483,7 +492,10 @@ def run_recovery(
     query.stop()
     spark.stop()
     if first is None:
-        raise SystemExit("restarted query never committed a batch in 120 s")
+        raise SystemExit(
+            "restarted query never committed a batch within the "
+            f"{deadline_s if deadline_s is not None else 120:.0f} s budget"
+        )
     warm_trig = [float(p["durationMs"]["triggerExecution"]) for p in warm[1:]]
     out = {
         "shape": shape_desc,
@@ -551,6 +563,7 @@ def main() -> int:
             args.shape,
             args.partitions,
             args.state_provider,
+            args.deadline_s,
         )
         print(json.dumps(out, sort_keys=True))
         return 0
