@@ -179,6 +179,20 @@ HEADLINE = [
 N_COMPARABLE = 23
 
 
+# One wall-clock epoch captured at import, then everything timestamped
+# off the monotonic clock (ADVICE r15): an NTP step or slew mid-run
+# would shift time.time()-based steal samples relative to query windows
+# and mis-attribute (or drop) in-window steal. Monotonic deltas
+# re-anchored to the single epoch keep attribution slew-immune while
+# artifact timestamps stay readable as epoch seconds.
+_WALL_EPOCH = time.time()
+_MONO_EPOCH = time.monotonic()
+
+
+def _wall_anchored_now() -> float:
+    return _WALL_EPOCH + (time.monotonic() - _MONO_EPOCH)
+
+
 class StealSampler:
     """Background /proc/stat steal sampler, so every bench artifact
     self-attributes its contention (VERDICT r14 task #3: BENCH_r14 read
@@ -217,7 +231,7 @@ class StealSampler:
                 return
             dt = total - prev_total
             pct = 100.0 * (steal - prev_steal) / dt if dt > 0 else 0.0
-            self.samples.append([round(time.time(), 2), round(pct, 2)])
+            self.samples.append([round(_wall_anchored_now(), 2), round(pct, 2)])
             prev_total, prev_steal = total, steal
 
     def start(self) -> "StealSampler":
@@ -238,6 +252,66 @@ def steal_max_in_window(
     window (sub-interval query): consult the neighboring samples."""
     vals = [pct for ts, pct in samples if start <= ts <= end]
     return round(max(vals), 2) if vals else None
+
+
+def pick_cleanest(peaks: list[float]) -> int:
+    """Index of the attempt to keep under --until-clean: the lowest
+    steal peak, ties broken toward the EARLIEST attempt (identical
+    contention -> prefer the first-measured plans). Pure so the
+    selection rule is unit-testable without a Spark session."""
+    return min(range(len(peaks)), key=lambda i: (peaks[i], i))
+
+
+def measure_once(
+    spark, queries, selected: list[str], sf_dir: str, repeats: int
+) -> dict:
+    """One full measurement pass over ``selected``: per-query medians,
+    spread, errors, wall windows, and the concurrent steal series."""
+    timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
+    windows: dict[str, list[float]] = {}
+    sampler = StealSampler().start()
+    for name in selected:
+        fn = queries[name]
+        samples: list[float] = []
+        wall_start = _wall_anchored_now()
+        for _ in range(repeats):
+            start = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - start)
+            except Exception as exc:  # noqa: BLE001 - record and continue
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                break
+        windows[name] = [round(wall_start, 2), round(_wall_anchored_now(), 2)]
+        if samples:
+            samples.sort()
+            timings[name] = round(samples[len(samples) // 2], 3)
+            spread[name] = {
+                "min": round(samples[0], 3),
+                "med": timings[name],
+                "max": round(samples[-1], 3),
+            }
+    steal_samples = sampler.stop()
+    for name, (w0, w1) in windows.items():
+        if name in spread:
+            # per-query contention verdict inline: a spiked med/max with
+            # steal_max ~0 is code; with steal_max >> 0 it's the VM
+            peak = steal_max_in_window(steal_samples, w0, w1)
+            if peak is not None:
+                spread[name]["steal_max"] = peak
+    return {
+        "timings": timings,
+        "spread": spread,
+        "errors": errors,
+        "windows": windows,
+        "steal_samples": steal_samples,
+        "steal_max_pct": round(
+            max((p for _, p in steal_samples), default=0.0), 2
+        ),
+        "steal_interval_s": sampler.interval_s,
+    }
 
 
 def main() -> None:
@@ -295,40 +369,52 @@ def main() -> None:
         )
     else:
         selected = HEADLINE
-    timings: dict[str, float] = {}
-    spread: dict[str, dict[str, float]] = {}
-    errors: dict[str, str] = {}
-    windows: dict[str, list[float]] = {}
-    sampler = StealSampler().start()
-    for name in selected:
-        fn = queries[name]
-        samples: list[float] = []
-        wall_start = time.time()
-        for _ in range(repeats):
-            start = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - start)
-            except Exception as exc:  # noqa: BLE001 - record and continue
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                break
-        windows[name] = [round(wall_start, 2), round(time.time(), 2)]
-        if samples:
-            samples.sort()
-            timings[name] = round(samples[len(samples) // 2], 3)
-            spread[name] = {
-                "min": round(samples[0], 3),
-                "med": timings[name],
-                "max": round(samples[-1], 3),
-            }
-    steal_samples = sampler.stop()
-    for name, (w0, w1) in windows.items():
-        if name in spread:
-            # per-query contention verdict inline: a spiked med/max with
-            # steal_max ~0 is code; with steal_max >> 0 it's the VM
-            peak = steal_max_in_window(steal_samples, w0, w1)
-            if peak is not None:
-                spread[name]["steal_max"] = peak
+
+    # --until-clean (VERDICT r15 #6): the r15 committed artifact was
+    # hand-selected as cleanest-of-nine during an afternoon of
+    # hypervisor steal bursts, keyed on telemetry.steal_max_pct. That
+    # selection loop is now CODE: re-measure until the run-wide steal
+    # peak is below SPARK_GRAFT_BENCH_CLEAN_PCT (default 1.0%) or
+    # SPARK_GRAFT_BENCH_CLEAN_ATTEMPTS (default 5) attempts, keep the
+    # cleanest attempt, and record the full selection trail in the
+    # artifact so a reader sees every discarded attempt's peak.
+    until_clean = "--until-clean" in sys.argv[1:]
+    clean_pct = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_PCT", "1.0"))
+    max_attempts = (
+        max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_ATTEMPTS", "5")))
+        if until_clean
+        else 1
+    )
+    results: list[dict] = []
+    for attempt in range(max_attempts):
+        result = measure_once(spark, queries, selected, sf_dir, repeats)
+        results.append(result)
+        if result["steal_max_pct"] < clean_pct:
+            break
+        if until_clean and attempt + 1 < max_attempts:
+            print(
+                f"bench: attempt {attempt + 1} contaminated "
+                f"(steal_max {result['steal_max_pct']}% >= {clean_pct}%), "
+                "re-measuring",
+                file=sys.stderr,
+            )
+    kept = pick_cleanest([r["steal_max_pct"] for r in results])
+    chosen = results[kept]
+    timings = chosen["timings"]
+    spread = chosen["spread"]
+    errors = chosen["errors"]
+    windows = chosen["windows"]
+    steal_samples = chosen["steal_samples"]
+    sampler_interval = chosen["steal_interval_s"]
+    selection = None
+    if until_clean:
+        selection = {
+            "mode": "until_clean",
+            "threshold_pct": clean_pct,
+            "max_attempts": max_attempts,
+            "kept_attempt": kept + 1,
+            "attempt_steal_max_pct": [r["steal_max_pct"] for r in results],
+        }
 
     total = round(sum(timings.values()), 3)
     # A partial run must not be readable as a speedup: the comparable
@@ -355,14 +441,14 @@ def main() -> None:
         # tests/test_bench_contract.py; attribution mechanics smoked
         # there under a synthetic steal burst.
         "telemetry": {
-            "steal_interval_s": sampler.interval_s,
+            "steal_interval_s": sampler_interval,
             "steal_samples": steal_samples,
-            "steal_max_pct": round(
-                max((p for _, p in steal_samples), default=0.0), 2
-            ),
+            "steal_max_pct": chosen["steal_max_pct"],
             "query_windows": windows,
         },
     }
+    if selection is not None:
+        payload["telemetry"]["selection"] = selection
     if errors:
         payload["errors"] = errors
     # Full payload (per-query medians + min/med/max spread) first, for

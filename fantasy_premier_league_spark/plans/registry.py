@@ -55,12 +55,21 @@ ORACLES: dict[str, str] = {}
 # CHANGED + NEW small so the 26 r10-vintage rows at the staleness
 # bound head the sample (VERDICT r14 task #4).
 CHANGED_THIS_ROUND: list[str] = [
-    # r15 review: the events_stream_feed reader gained the restart
-    # canary (partitions() raises on a backward batch instead of
-    # silently re-delivering after a >= 2-epoch restart -- a measured
-    # duplicate-delivery hazard). s9's single-lifetime drain semantics
-    # are unchanged; the driver must re-verify the hash path.
+    # r16: the events_stream_feed reader gained an offset-owning mode
+    # (sidecar cursor file under the feed root -- the "broker owns
+    # offsets" contract; VERDICT r15 task #3). s9's registered query
+    # path now resumes from the persisted cursor across reader
+    # lifetimes; the driver must re-verify the hash path.
+    # (r15's s9 canary entry was consumed by CORRECTNESS_r15 -- green
+    # -- and pruned at the start of r16.)
     "s9_python_stream_feed",
+    # r16: the t16 ladder was split into module-level stage functions
+    # (t16_stage_plan/run_ingest/run_state/serve) so the stage study
+    # times the same code the registered query runs (VERDICT r15
+    # stretch #8). Pure refactor, but the implementation moved -- the
+    # driver must re-verify. (t16 was already in the r16 head as an
+    # r11-vintage row, so this displaces nothing.)
+    "t16_fpl_pipeline_roundtrip",
 ]
 
 # Queries first registered this round (no driver row exists yet).
@@ -69,18 +78,13 @@ CHANGED_THIS_ROUND: list[str] = [
 # (r12's two additions -- docs_quality_percentile_filter,
 # events_funnel_conversion -- got their first driver rows in
 # CORRECTNESS_r12, both green, and moved out at the start of r13.)
-NEW_THIS_ROUND: list[str] = [
-    # r15: the Python DataSource streaming WRITER
-    # (DataSourceStreamArrowWriter -- staged-file write, atomic
-    # manifest commit, idempotent batch replay; the connector surface
-    # the r14 verdict named). Paired retirement: ann_lsh_buckets
-    # (coverage via ann_lsh_recall, which runs the identical
-    # _bucket_col assignment over the same table) keeps N at 200.
-    "s10_python_datasource_writer",
-]
-# (r14's addition -- t19_state_store_reader, paired with the
-# text_winnowing retirement to hold N=200 -- got its first driver row
-# in CORRECTNESS_r14, green, and moved out at the start of r15.)
+NEW_THIS_ROUND: list[str] = []
+# (r15's addition -- s10_python_datasource_writer, paired with the
+# ann_lsh_buckets retirement to hold N=200 -- got its first driver row
+# in CORRECTNESS_r15, green, and moved out at the start of r16. r16
+# registers nothing: the 13 r11-vintage rows sit AT the staleness
+# bound and 42 r12 rows are right behind them, so the whole head
+# budget goes to rotation -- VERDICT r15 task #2.)
 
 # Registration budget (r10 verdict #8): r12 deleted the two green r11
 # perceptron bisect probes (their registration comment said "delete

@@ -134,6 +134,19 @@ def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # executors would read them in parallel (same 1:N shape as the batch
 # reader's row groups). State lives in the checkpoint (offsets log),
 # so a restarted query resumes from the committed row offset.
+#
+# Restart safety (r16, VERDICT r15 #3): the Python stream API never
+# hands a FRESH reader the checkpoint's committed offset
+# (python_streaming_source_runner speaks only initialOffset /
+# latestOffset / partitions / commit), so a purely self-offset ladder
+# regrows from 0 after a restart and re-delivers committed ranges --
+# measured at 1250/1000 rows in r15 and fenced by the partitions()
+# canary. The fix is the contract real feeds implement: the SOURCE owns
+# its offsets. With .option("cursor", <sidecar file>), commit(end)
+# atomically persists the acknowledged position under the feed root and
+# a fresh reader's initialOffset()/latestOffset() resume from it --
+# the broker-owns-offsets shape (Kafka group offsets, Kinesis
+# checkpoints). The canary stays armed for the cursor-less demo mode.
 # ---------------------------------------------------------------------------
 
 _STREAM_BATCHES = 4
@@ -178,10 +191,19 @@ def _stream_reader_cls():
     from pyspark.sql.datasource import DataSourceStreamReader
 
     class _EventsStreamFeedReader(DataSourceStreamReader):
-        def __init__(self, path: str) -> None:
+        def __init__(self, path: str, cursor: str | None = None) -> None:
             self._path = path
             self._n: int | None = None
             self._cur = 0
+            # Offset-owning mode (r16, VERDICT r15 #3): `cursor` names a
+            # sidecar file the SOURCE itself commits its ladder position
+            # to -- the "broker owns offsets" contract Kafka-likes
+            # implement. A fresh reader resumes from the persisted
+            # cursor, so the restart regression the cursor-less canary
+            # below fences cannot occur: the ladder regrows from the
+            # source's own committed position, not from 0.
+            self._cursor = cursor
+            self._cursor_loaded = cursor is None
 
         def _total(self) -> int:
             if self._n is None:
@@ -190,12 +212,38 @@ def _stream_reader_cls():
                 self._n = pq.ParquetFile(self._path).metadata.num_rows
             return self._n
 
+        def _cursor_row(self) -> int:
+            """Best-effort read of the sidecar cursor (0 when absent --
+            a brand-new feed)."""
+            import json
+            import os
+
+            if self._cursor and os.path.exists(self._cursor):
+                with open(self._cursor) as fh:
+                    return int(json.load(fh)["row"])
+            return 0
+
+        def _load_cursor_once(self) -> None:
+            if not self._cursor_loaded:
+                self._cur = max(self._cur, self._cursor_row())
+                self._cursor_loaded = True
+
         def initialOffset(self) -> dict:
-            return {"row": 0}
+            # cursor mode: a query started WITHOUT a checkpoint still
+            # resumes from the source's committed position (the Kafka
+            # group-offset analogy); cursor-less mode starts at 0.
+            # MUST be the PERSISTED cursor, never the in-memory ladder
+            # head: the engine calls latestOffset() BEFORE
+            # initialOffset() on a fresh query (observed in the runner
+            # trace), so the head is already one chunk ahead -- echoing
+            # it back would plan batch 0 as (chunk, chunk) and silently
+            # skip the first chunk of the feed.
+            return {"row": self._cursor_row() if self._cursor else 0}
 
         def latestOffset(self) -> dict:
             # serve ceil(n/_STREAM_BATCHES) rows per micro-batch: the
             # incremental-offset ladder, scale-independent batch count
+            self._load_cursor_once()
             total = self._total()
             chunk = -(-total // _STREAM_BATCHES)
             self._cur = min(self._cur + chunk, total)
@@ -217,13 +265,19 @@ def _stream_reader_cls():
                 # rows). A self-offset feed cannot be restart-safe on
                 # this API by construction (Kafka-likes are: the BROKER
                 # owns offsets); fail loudly instead of corrupting.
+                # With .option("cursor", <sidecar file>) the source DOES
+                # own its offsets and this branch is unreachable short
+                # of a deleted/stale cursor file -- the canary then
+                # still fences the corruption.
                 raise ValueError(
                     "events_stream_feed: offset ladder regressed across "
                     f"a restart (committed start {start['row']} > latest "
-                    f"{end['row']}). This finite self-offset demo feed "
-                    "supports one query lifetime; restart-safe pipelines "
-                    "should feed from a source that owns its offsets "
-                    "(file source, Kafka-like)."
+                    f"{end['row']}). Without a cursor option this finite "
+                    "self-offset demo feed supports one query lifetime; "
+                    "restart-safe pipelines should set "
+                    '.option("cursor", <sidecar file>) so the source '
+                    "owns its offsets (the broker-owns-offsets contract)"
+                    ", or feed from a file source / Kafka-like."
                 )
             return [_RowRangePartition(start["row"], end["row"])]
 
@@ -245,7 +299,24 @@ def _stream_reader_cls():
             yield from sliced.to_batches()
 
         def commit(self, end: dict) -> None:
-            pass
+            # cursor mode: the source commits its own position -- tmp +
+            # os.replace, the same atomic-publish discipline as the S10
+            # manifest. A reader of the cursor never sees a torn write,
+            # and a fresh reader (restart OR brand-new query) resumes
+            # from exactly the last acknowledged epoch end.
+            if self._cursor:
+                import json
+                import os
+
+                self._cur = max(self._cur, int(end["row"]))
+                # monotonic: never regress a cursor written by a later
+                # incarnation (e.g. a manually rolled-back checkpoint
+                # replaying an old epoch against a newer cursor)
+                row = max(int(end["row"]), self._cursor_row())
+                tmp = self._cursor + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump({"row": row}, fh)
+                os.replace(tmp, self._cursor)
 
     return _EventsStreamFeedReader
 
@@ -261,7 +332,9 @@ class EventsStreamFeedDataSource(DataSource):
         return "event_id bigint, user_id bigint, event_type string, value double"
 
     def streamReader(self, schema):
-        return _stream_reader_cls()(self.options["path"])
+        return _stream_reader_cls()(
+            self.options["path"], self.options.get("cursor")
+        )
 
 
 def register_stream_feed_source(spark) -> None:
@@ -285,7 +358,10 @@ def register_stream_feed_source(spark) -> None:
 def python_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the custom Python stream source and gate the totals
     against the batch oracle (order-insensitive aggregates, so the
-    4-batch incremental delivery is invisible to the result)."""
+    4-batch incremental delivery is invisible to the result). Runs in
+    offset-owning mode (r16): the reader commits its ladder position to
+    a sidecar cursor file, the restart-safe contract -- so the gated
+    path IS the production-shaped one, not the cursor-less demo."""
     import ast
     import os
     import shutil
@@ -302,9 +378,11 @@ def python_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_rows = pq.ParquetFile(path).metadata.num_rows
     name = "s9_feed_" + uuid.uuid4().hex[:8]
     ckpt = os.path.join(tempfile.gettempdir(), name + "_ckpt")
+    cursor = os.path.join(tempfile.gettempdir(), name + "_cursor.json")
     stream = (
         spark.readStream.format("events_stream_feed")
         .option("path", path)
+        .option("cursor", cursor)
         .load()
         .groupBy("event_type")
         .agg(
@@ -337,6 +415,9 @@ def python_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+        for p in (cursor, cursor + ".tmp"):
+            if os.path.exists(p):
+                os.remove(p)
     return (
         spark.table(name)
         .select(
@@ -427,6 +508,17 @@ def _stream_writer_cls():
                         writer = pq.ParquetWriter(path, batch.schema)
                     writer.write_batch(batch)
                     rows += batch.num_rows
+            except BaseException:
+                # a task that dies mid-iteration produces NO commit
+                # message, so neither commit() nor abort() could ever
+                # name this file -- unlink it here or staging/ grows
+                # without bound across failed/retried tasks (ADVICE r15)
+                if writer is not None:
+                    writer.close()
+                    writer = None
+                if os.path.exists(path):
+                    os.remove(path)
+                raise
             finally:
                 if writer is not None:
                     writer.close()
@@ -501,35 +593,58 @@ def _batch_writer_cls():
             return self._delegate.write(iterator)
 
         def commit(self, messages) -> None:
+            import glob
             import os
             import shutil
             import uuid
 
             committed = os.path.join(self._root, "committed")
-            if self._overwrite and os.path.isdir(committed):
-                # hide-then-publish, never delete-then-publish: ONE
-                # atomic rename makes the old epoch invisible to
-                # committed_feed_files (which reads committed/ only);
-                # a crash before the new publish leaves the previous
-                # contents recoverable in the trash dir rather than
-                # half-deleted (review r15 -- the manifest-is-the-
-                # commit-point rule extended to overwrite)
-                trash = os.path.join(
-                    self._root, f"committed.trash-{uuid.uuid4().hex}"
+            if self._overwrite:
+                # sweep leftovers of prior CRASHED overwrites (ADVICE
+                # r15: a stranded trash/next dir is invisible to
+                # readers but an unbounded disk leak) -- nothing ever
+                # reads these, so each overwrite commit is the pruner
+                for stale in glob.glob(
+                    os.path.join(self._root, "committed.trash-*")
+                ) + glob.glob(os.path.join(self._root, "committed.next-*")):
+                    shutil.rmtree(stale, ignore_errors=True)
+                # Build the NEW epoch COMPLETELY in a side dir first
+                # (staged renames + manifest publish all land there),
+                # then swap: hide old -> publish new as two renames.
+                # A concurrent committed_feed_files reader can see an
+                # empty sink only in the instant between those renames
+                # (previously the window spanned the whole per-file
+                # rename + manifest write); POSIX offers no two-dir
+                # atomic exchange, so that residual instant is the
+                # floor without renameat2(RENAME_EXCHANGE). A crash
+                # inside the window strands dirs the NEXT overwrite
+                # sweeps, and the old epoch stays recoverable in trash
+                # until then -- never half-deleted.
+                next_root = os.path.join(
+                    self._root, f"committed.next-{uuid.uuid4().hex}"
                 )
-                os.replace(committed, trash)
-            elif os.path.exists(
+                type(self._delegate)(next_root).commit(
+                    messages, self._EPOCH
+                )
+                trash = None
+                if os.path.isdir(committed):
+                    trash = os.path.join(
+                        self._root, f"committed.trash-{uuid.uuid4().hex}"
+                    )
+                    os.replace(committed, trash)
+                os.replace(os.path.join(next_root, "committed"), committed)
+                if trash is not None:
+                    shutil.rmtree(trash, ignore_errors=True)
+                shutil.rmtree(next_root, ignore_errors=True)
+                return
+            if os.path.exists(
                 os.path.join(committed, f"manifest-{self._EPOCH}.json")
             ):
                 raise ValueError(
                     "events_feed_sink: batch epoch already committed at "
                     f"{committed}; use mode('overwrite') to replace it"
                 )
-            else:
-                trash = None
             self._delegate.commit(messages, self._EPOCH)
-            if self._overwrite and trash is not None:
-                shutil.rmtree(trash, ignore_errors=True)
 
         def abort(self, messages) -> None:
             self._delegate.abort(messages, self._EPOCH)
@@ -562,14 +677,31 @@ def register_feed_sink(spark) -> None:
 
 def committed_feed_files(root: str) -> list[str]:
     """Files published by the sink's manifests -- the ONLY read surface
-    (staged/torn output is invisible by construction)."""
+    (staged/torn output is invisible by construction). Manifests are
+    ordered by PARSED batch id, not lexicographically (ADVICE r15:
+    manifest-10 must not order before manifest-2), so an ordered
+    consumer or batch-id-based compaction sees epochs in commit order;
+    the batch quadrant's non-numeric "batch" epoch sorts after every
+    numeric stream epoch."""
     import glob as _glob
     import json
     import os
 
+    def _epoch_key(path: str) -> tuple[int, int, str]:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        tag = stem.split("-", 1)[1]
+        try:
+            return (0, int(tag), "")
+        except ValueError:
+            return (1, 0, tag)
+
     committed = os.path.join(root, "committed")
     out: list[str] = []
-    for mf in sorted(_glob.glob(os.path.join(committed, "manifest-*.json"))):
+    manifests = sorted(
+        _glob.glob(os.path.join(committed, "manifest-*.json")),
+        key=_epoch_key,
+    )
+    for mf in manifests:
         with open(mf) as fh:
             out.extend(
                 os.path.join(committed, f["file"])

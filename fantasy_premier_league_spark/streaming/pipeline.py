@@ -176,7 +176,12 @@ def latest_committed_version(root: str, batch_id: int) -> "str | None":
     return prevs[-1] if prevs else None
 
 
-def make_state_sink(rating_dir: str, profile_root: str):
+def make_state_sink(
+    rating_dir: str,
+    profile_root: str,
+    marks: list | None = None,
+    persist_batch: bool = True,
+):
     """K3 + K4 foreachBatch sink over the streaming player state
     (shared by t16_fpl_pipeline_roundtrip and the restart-idempotency
     test, so the test exercises the REAL sink).
@@ -192,15 +197,45 @@ def make_state_sink(rating_dir: str, profile_root: str):
     the merge base (players absent from the partial write would be
     silently dropped) -- it re-reads v{batch_id-1} and reproduces the
     identical snapshot.
+
+    ``marks`` (r16 stage study): when given, each batch appends
+    ``{"batch_id", "rating_s", "merge_s"}`` so the K4 write and the K3
+    MERGE are priced separately -- both actions re-execute the
+    micro-batch's stateful-fold plan (foreachBatch DataFrames are not
+    materialized between actions), which is exactly the double-run the
+    study quantifies.
     """
+    import time as _time
+
     from pyspark.sql import Window
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # The K4 write and the K3 MERGE are two ACTIONS on batch_df,
+        # and foreachBatch DataFrames are not materialized between
+        # actions -- without a persist each action re-executes the
+        # micro-batch's whole stateful-fold plan. Caching costs only
+        # the touched-groups output (bounded per batch) and cut the
+        # t16 state stage to 0.60x in the r16 stage study
+        # (tools/t16_stage_study.py; BASELINE.md "Round 16").
+        # persist_batch=False exists for that study's before/after row.
+        if not persist_batch:
+            _sink_inner(batch_df, batch_id)
+            return
+        batch_df.persist()
+        try:
+            _sink_inner(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _sink_inner(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        t0 = _time.perf_counter()
         batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
         ).partitionBy("batch_id").parquet(rating_dir)
+        t_rating = _time.perf_counter()
         wlast = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
         latest = (
             batch_df.withColumn("rn", F.row_number().over(wlast))
@@ -226,6 +261,15 @@ def make_state_sink(rating_dir: str, profile_root: str):
         merged.write.mode("overwrite").parquet(
             os.path.join(profile_root, f"v{batch_id:05d}")
         )
+        if marks is not None:
+            t_end = _time.perf_counter()
+            marks.append(
+                {
+                    "batch_id": batch_id,
+                    "rating_s": t_rating - t0,
+                    "merge_s": t_end - t_rating,
+                }
+            )
 
     return sink
 

@@ -915,166 +915,205 @@ def _t16_oracle() -> str:
     """
 
 
-def _register_pipeline_roundtrip() -> None:
+def t16_stage_plan(spark: SparkSession) -> dict:
+    """Shared setup for the t16 ladder (r16, VERDICT r15 stretch #8:
+    the ladder is split into module-level stage functions so
+    tools/t16_stage_study.py times the SAME code the registered query
+    runs): fixture stream dir, per-session sink root, and the trigger
+    sizing that keeps the stateful drain a 4-batch ladder.
+
+    Honors SPARK_GRAFT_FPL_FIXTURES (scaled fixture dirs) like the
+    batch pipeline; triggers size to the file count so the BATCH COUNT
+    stays constant under stream-volume scaling -- the study then
+    measures data scaling, not batch-count overhead."""
     import glob as _glob
 
-    from fantasy_premier_league_spark.sources import fpl_fixtures
+    from fantasy_premier_league_spark.operators.pipeline import (
+        FIXTURES as _fixtures_root,
+    )
 
-    @register("t16_fpl_pipeline_roundtrip", oracle=_t16_oracle())
-    def t16_fpl_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from pyspark.sql import Window
+    stream_dir = os.path.join(_fixtures_root, "stream")
+    n_stream_files = len(_glob.glob(os.path.join(stream_dir, "*.jsonl")))
+    # per-session sink dir + stale-sibling prune + atexit removal:
+    # the shared lifecycle contract lives in _claim_session_tmpdir
+    out_dir = _claim_session_tmpdir(
+        "t16_roundtrip", spark.sparkContext.applicationId
+    )
+    return {
+        "stream_dir": stream_dir,
+        "out_dir": out_dir,
+        "n_stream_files": n_stream_files,
+        "state_fpt": max(3, -(-n_stream_files // 4)),  # ceil: 4-batch ladder
+    }
 
-        from fantasy_premier_league_spark.operators.pipeline import INIT_CHEMISTRY
-        from fantasy_premier_league_spark.streaming.pipeline import (
-            run_ingest_sinks,
-            stream_source,
-            streaming_player_state,
+
+def t16_run_ingest(spark: SparkSession, plan: dict) -> None:
+    """Stage 1 -- K2 + event feed: idempotent batch_id partitions (T8).
+    The ingest sink needs no per-match cadence, so the whole fixture
+    drains in one batch; the stateful ladder below keeps multi-batch."""
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        run_ingest_sinks,
+        stream_source,
+    )
+
+    run_ingest_sinks(
+        stream_source(
+            spark,
+            plan["stream_dir"],
+            max_files_per_trigger=max(64, plan["n_stream_files"]),
+        ),
+        plan["out_dir"],
+        os.path.join(plan["out_dir"], "_ckpt_ingest"),
+    ).awaitTermination()
+
+
+def t16_run_state(spark: SparkSession, plan: dict, sink=None) -> None:
+    """Stage 2 -- the stateful fold drained through the K3 + K4 sink
+    (shared with the restart-idempotency test -- streaming/pipeline.py
+    make_state_sink documents the committed-snapshot MERGE rule).
+    ``sink`` overrides the foreachBatch callable (the stage study wraps
+    the real sink with per-batch timing marks).
+
+    3 match files per micro-batch: still a genuine multi-batch
+    incremental run (4 batches, 4 profile snapshot versions) at a
+    third of the per-batch fixed cost; file order is path order, so
+    matches still arrive chronologically and the state fold's
+    per-batch matchId sort preserves the recurrence order."""
+    from fantasy_premier_league_spark.streaming.pipeline import (
+        make_state_sink,
+        stream_source,
+        streaming_player_state,
+    )
+
+    out_dir = plan["out_dir"]
+    if sink is None:
+        sink = make_state_sink(
+            os.path.join(out_dir, "rating"), os.path.join(out_dir, "profile")
         )
-
-        # honors SPARK_GRAFT_FPL_FIXTURES (scaled fixture dirs) like the
-        # batch pipeline; triggers below size to the file count so the
-        # BATCH COUNT stays constant under stream-volume scaling -- the
-        # study then measures data scaling, not batch-count overhead
-        from fantasy_premier_league_spark.operators.pipeline import (
-            FIXTURES as _fixtures_root,
-        )
-
-        stream_dir = os.path.join(_fixtures_root, "stream")
-        n_stream_files = len(_glob.glob(os.path.join(stream_dir, "*.jsonl")))
-        state_fpt = max(3, -(-n_stream_files // 4))  # ceil: 4-batch ladder
-        # per-session sink dir + stale-sibling prune + atexit removal:
-        # the shared lifecycle contract lives in _claim_session_tmpdir
-        out_dir = _claim_session_tmpdir(
-            "t16_roundtrip", spark.sparkContext.applicationId
-        )
-        rating_dir = os.path.join(out_dir, "rating")
-        profile_root = os.path.join(out_dir, "profile")
-        events_dir = os.path.join(out_dir, "events")
-
-        # K2 + event feed: idempotent batch_id partitions (T8). The
-        # ingest sink needs no per-match cadence, so the whole fixture
-        # drains in one batch; the stateful query below keeps the
-        # multi-batch ladder.
-        run_ingest_sinks(
-            stream_source(
-                spark, stream_dir, max_files_per_trigger=max(64, n_stream_files)
-            ),
-            out_dir,
-            os.path.join(out_dir, "_ckpt_ingest"),
-        ).awaitTermination()
-
-        # K3 + K4 sink (shared with the restart-idempotency test --
-        # streaming/pipeline.py make_state_sink documents the
-        # committed-snapshot MERGE rule)
-        from fantasy_premier_league_spark.streaming.pipeline import (
-            make_state_sink,
-        )
-
-        sink = make_state_sink(rating_dir, profile_root)
-
-        # 3 match files per micro-batch: still a genuine multi-batch
-        # incremental run (4 batches, 4 profile snapshot versions) at a
-        # third of the per-batch fixed cost; file order is path order,
-        # so matches still arrive chronologically and the state fold's
-        # per-batch matchId sort preserves the recurrence order
-        with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
-            (
-                streaming_player_state(
-                    stream_source(spark, stream_dir, max_files_per_trigger=state_fpt)
+    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+        (
+            streaming_player_state(
+                stream_source(
+                    spark,
+                    plan["stream_dir"],
+                    max_files_per_trigger=plan["state_fpt"],
                 )
-                .writeStream.foreachBatch(sink)
-                .option(
-                    "checkpointLocation", os.path.join(out_dir, "_ckpt_state")
-                )
-                .trigger(availableNow=True)
-                .start()
-                .awaitTermination()
             )
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", os.path.join(out_dir, "_ckpt_state")
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
-        # ---- serving: every input below comes from the sink tables ----
-        rating = spark.read.parquet(rating_dir)
-        profile = spark.read.parquet(
-            sorted(_glob.glob(os.path.join(profile_root, "v*")))[-1]
+
+def t16_serve(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Stage 3 -- serving: every input comes from the sink tables."""
+    import glob as _glob
+
+    from pyspark.sql import Window
+
+    from fantasy_premier_league_spark.operators.pipeline import INIT_CHEMISTRY
+
+    rating_dir = os.path.join(out_dir, "rating")
+    profile_root = os.path.join(out_dir, "profile")
+    events_dir = os.path.join(out_dir, "events")
+
+    # ---- serving: every input below comes from the sink tables ----
+    rating = spark.read.parquet(rating_dir)
+    profile = spark.read.parquet(
+        sorted(_glob.glob(os.path.join(profile_root, "v*")))[-1]
+    )
+    teams = (
+        spark.read.parquet(events_dir)
+        .select("playerId", "matchId", "teamId")
+        .distinct()
+    )
+    wf = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
+    final = (
+        rating.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select("playerId", F.col("rating").alias("final_rating"))
+    )
+    trace = rating.select("playerId", "matchId", "delta").join(
+        teams, ["playerId", "matchId"]
+    )
+    a, b = trace.alias("a"), trace.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.matchId") == F.col("b.matchId"))
+        & (F.col("a.playerId") < F.col("b.playerId")),
+    ).select(
+        F.col("a.playerId").alias("p1"),
+        F.col("b.playerId").alias("p2"),
+        F.abs((F.col("a.delta") + F.col("b.delta")) / 2).alias("mag"),
+        (
+            ((F.col("a.delta") > 0) & (F.col("b.delta") > 0))
+            | ((F.col("a.delta") < 0) & (F.col("b.delta") < 0))
+        ).alias("same_sign"),
+        (F.col("a.teamId") == F.col("b.teamId")).alias("same_team"),
+    )
+    chem_expr = F.lit(INIT_CHEMISTRY) + F.sum(
+        F.when(F.col("same_team") == F.col("same_sign"), F.col("mag")).otherwise(
+            -F.col("mag")
         )
-        teams = (
-            spark.read.parquet(events_dir)
-            .select("playerId", "matchId", "teamId")
-            .distinct()
+    )
+    chem = pairs.groupBy("p1", "p2").agg(
+        rounded(F.greatest(F.lit(0.0), F.least(F.lit(1.0), chem_expr)), 6).alias(
+            "chemistry"
         )
-        wf = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
-        final = (
-            rating.withColumn("rn", F.row_number().over(wf))
-            .filter(F.col("rn") == 1)
-            .select("playerId", F.col("rating").alias("final_rating"))
-        )
-        trace = rating.select("playerId", "matchId", "delta").join(
-            teams, ["playerId", "matchId"]
-        )
-        a, b = trace.alias("a"), trace.alias("b")
-        pairs = a.join(
-            b,
-            (F.col("a.matchId") == F.col("b.matchId"))
-            & (F.col("a.playerId") < F.col("b.playerId")),
-        ).select(
-            F.col("a.playerId").alias("p1"),
-            F.col("b.playerId").alias("p2"),
-            F.abs((F.col("a.delta") + F.col("b.delta")) / 2).alias("mag"),
+    )
+    # per-pair values are 6-dp-rounded on both engines, so the
+    # per-player sum runs on exact scaled integers (order-free)
+    chem_pp = (
+        chem.select(F.col("p1").alias("playerId"), "chemistry")
+        .unionByName(chem.select(F.col("p2").alias("playerId"), "chemistry"))
+        .groupBy("playerId")
+        .agg(
             (
-                ((F.col("a.delta") > 0) & (F.col("b.delta") > 0))
-                | ((F.col("a.delta") < 0) & (F.col("b.delta") < 0))
-            ).alias("same_sign"),
-            (F.col("a.teamId") == F.col("b.teamId")).alias("same_team"),
+                F.sum(F.round(F.col("chemistry") * 1000000).cast("long")).cast(
+                    "long"
+                )
+                / 1000000.0
+            ).alias("chem_sum")
         )
-        chem_expr = F.lit(INIT_CHEMISTRY) + F.sum(
-            F.when(F.col("same_team") == F.col("same_sign"), F.col("mag")).otherwise(
-                -F.col("mag")
-            )
-        )
-        chem = pairs.groupBy("p1", "p2").agg(
-            rounded(F.greatest(F.lit(0.0), F.least(F.lit(1.0), chem_expr)), 6).alias(
-                "chemistry"
-            )
-        )
-        # per-pair values are 6-dp-rounded on both engines, so the
-        # per-player sum runs on exact scaled integers (order-free)
-        chem_pp = (
-            chem.select(F.col("p1").alias("playerId"), "chemistry")
-            .unionByName(chem.select(F.col("p2").alias("playerId"), "chemistry"))
-            .groupBy("playerId")
-            .agg(
-                (
-                    F.sum(F.round(F.col("chemistry") * 1000000).cast("long")).cast(
-                        "long"
-                    )
-                    / 1000000.0
-                ).alias("chem_sum")
-            )
-        )
-        return (
-            final.join(
-                profile.select(
-                    "playerId",
-                    "pass_accuracy",
-                    "fouls",
-                    "goals",
-                    "own_goals",
-                    "shots_on_target",
-                ),
+    )
+    return (
+        final.join(
+            profile.select(
                 "playerId",
-            )
-            .join(chem_pp, "playerId")
-            .select(
-                "playerId",
-                rounded(F.col("final_rating"), 6).alias("final_rating"),
-                rounded(F.col("pass_accuracy"), 6).alias("pass_accuracy"),
+                "pass_accuracy",
                 "fouls",
                 "goals",
                 "own_goals",
                 "shots_on_target",
-                rounded(F.col("chem_sum"), 6).alias("chem_sum"),
-            )
-            .orderBy("playerId")
+            ),
+            "playerId",
         )
+        .join(chem_pp, "playerId")
+        .select(
+            "playerId",
+            rounded(F.col("final_rating"), 6).alias("final_rating"),
+            rounded(F.col("pass_accuracy"), 6).alias("pass_accuracy"),
+            "fouls",
+            "goals",
+            "own_goals",
+            "shots_on_target",
+            rounded(F.col("chem_sum"), 6).alias("chem_sum"),
+        )
+        .orderBy("playerId")
+    )
+
+
+def _register_pipeline_roundtrip() -> None:
+    @register("t16_fpl_pipeline_roundtrip", oracle=_t16_oracle())
+    def t16_fpl_pipeline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        plan = t16_stage_plan(spark)
+        t16_run_ingest(spark, plan)
+        t16_run_state(spark, plan)
+        return t16_serve(spark, plan["out_dir"])
 
 
 _register_pipeline_roundtrip()

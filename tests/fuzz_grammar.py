@@ -1586,3 +1586,153 @@ def build_lateral_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFra
         ).alias("wsum_cents"),
         F.max(F.col("i").cast("long")).alias("max_i"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Axis 20 (round 16): multi-table JOIN CHAINS -- customer ⋈ orders ⋈
+# lineitem with INDEPENDENTLY drawn inner/left steps and residual
+# predicates at drawn positions (ON-clause vs WHERE). Axes 2/16 cover
+# joins pairwise; a chain is where join REORDERING and NULL PROPAGATION
+# interact: a left step null-extends the middle table's join key, the
+# next step then joins ON that NULL (left keeps the row null-extended
+# twice over, inner drops it), and a WHERE-placed residual on a
+# null-extendable column deterministically inner-izes the step on both
+# engines. Value rules: group keys and the cent sum come from the
+# always-present customer side; per-level counts are null-skipping on
+# both engines; the orders-side cent sum rides under coalesce (SQL SUM
+# and F.sum both skip NULLs identically).
+# ---------------------------------------------------------------------------
+
+_CUSTOMER_SPEC = {
+    "num": {"c_acctbal": (-500.0, 9000.0)},
+    "str": {
+        "c_mktsegment": [
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+        ],
+    },
+    "ts": {},
+    "keys": ["c_mktsegment", "c_nationkey"],
+    "cents": ["c_acctbal"],
+}
+
+
+def draw_joinchain_case(seed: int) -> dict:
+    rng = random.Random(190_000 + seed)
+    how1 = rng.choice(["inner", "left"])  # customer -> orders
+    how2 = rng.choice(["inner", "left"])  # (chain) -> lineitem
+    # residual placement per level: "on" = pre-join (ON-clause
+    # semantics), "where" = post-join conjunct (inner-izes a left step)
+    o_place = rng.choice(["on", "where"])
+    l_place = rng.choice(["on", "where"])
+    # Structural hazard coverage (the first free draw left all 12
+    # seeds with an effectively-inner LAST step, so no null-extended
+    # row could ever SURVIVE to the aggregate and the axis's vacuity
+    # check failed on arrival): pin every third seed to an
+    # outer-preserving last step, every sixth to the full double-null
+    # propagation chain. Overrides AFTER the rng.choice calls keep the
+    # remaining draw sequence identical, so the other seeds' cases are
+    # untouched.
+    if seed % 3 == 0:
+        how2, l_place = "left", "on"
+    if seed % 6 == 0:
+        how1, o_place = "left", "on"
+    o_spec, l_spec = _TABLES["orders"], _TABLES["lineitem"]
+    # customer predicates stay cheap: one draw, no ts domain
+    c_col, (c_lo, c_hi) = "c_acctbal", _CUSTOMER_SPEC["num"]["c_acctbal"]
+    c_lit = round(rng.uniform(c_lo, c_hi), 2)
+    c_op = rng.choice(_OPS)
+    c_pred_col = {
+        "<": F.col(c_col) < c_lit, "<=": F.col(c_col) <= c_lit,
+        ">": F.col(c_col) > c_lit, ">=": F.col(c_col) >= c_lit,
+    }[c_op]
+    c_sql = f"c.{c_col} {c_op} {c_lit}"
+    o_cols, o_sql = _predicates(rng, o_spec)
+    l_cols, l_sql = _predicates(rng, l_spec)
+    keys = rng.sample(_CUSTOMER_SPEC["keys"], rng.choice([1, 1, 2]))
+
+    on1 = "c.c_custkey = o.o_custkey"
+    on2 = "o.o_orderkey = l.l_orderkey"
+    where = [c_sql]
+    o_text = " AND ".join(f"o.{p}" for p in o_sql)
+    l_text = " AND ".join(f"l.{p}" for p in l_sql)
+    if o_place == "on":
+        on1 += f" AND {o_text}"
+    else:
+        where.append(o_text)
+    if l_place == "on":
+        on2 += f" AND {l_text}"
+    else:
+        where.append(l_text)
+    j1 = "JOIN" if how1 == "inner" else "LEFT JOIN"
+    j2 = "JOIN" if how2 == "inner" else "LEFT JOIN"
+    sel_keys = ", ".join(f"c.{k}" for k in keys)
+    sql = f"""
+    SELECT {sel_keys},
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+           CAST(coalesce(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)), 0)
+                AS BIGINT) AS sum_c_cents,
+           CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS sum_o_cents
+    FROM customer c {j1} orders o ON {on1} {j2} lineitem l ON {on2}
+    WHERE {' AND '.join(where)}
+    GROUP BY {sel_keys}
+    """
+    return {
+        "how1": how1,
+        "how2": how2,
+        "o_place": o_place,
+        "l_place": l_place,
+        "keys": keys,
+        "c_pred_col": c_pred_col,
+        "o_pred_cols": o_cols,
+        "l_pred_cols": l_cols,
+        "sql": sql,
+    }
+
+
+def build_joinchain_spark(
+    spark: SparkSession, sf_dir: str, case: dict
+) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        case["c_pred_col"]
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    o_pred = _conj(case["o_pred_cols"])
+    l_pred = _conj(case["l_pred_cols"])
+    # "on" placement = pre-filter the right side (the DataFrame-native
+    # spelling of ON-clause residuals, for BOTH join types); "where"
+    # placement = post-join filter (null-extended rows drop, exactly
+    # the SQL WHERE-conjunct inner-izing both engines perform)
+    o_side = orders.filter(o_pred) if case["o_place"] == "on" else orders
+    j1 = cust.join(
+        o_side,
+        cust["c_custkey"] == o_side["o_custkey"],
+        "inner" if case["how1"] == "inner" else "left_outer",
+    )
+    if case["o_place"] == "where":
+        j1 = j1.filter(o_pred)
+    l_side = lineitem.filter(l_pred) if case["l_place"] == "on" else lineitem
+    j2 = j1.join(
+        l_side,
+        j1["o_orderkey"] == l_side["l_orderkey"],
+        "inner" if case["how2"] == "inner" else "left_outer",
+    )
+    if case["l_place"] == "where":
+        j2 = j2.filter(l_pred)
+    return j2.groupBy(*case["keys"]).agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.col("o_orderkey")).alias("n_orders"),
+        F.count(F.col("l_orderkey")).alias("n_items"),
+        F.coalesce(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("sum_c_cents"),
+        F.coalesce(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("sum_o_cents"),
+    )

@@ -124,6 +124,64 @@ def test_bench_exits_zero_and_prints_one_json_line():
     assert len(summary["queries"]) == 23
 
 
+def test_pick_cleanest_selection_rule():
+    """--until-clean keeps the LOWEST-steal attempt, ties toward the
+    earliest (VERDICT r15 #6: the r15 cleanest-of-nine hand selection,
+    now code)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert bench.pick_cleanest([7.6]) == 0
+    assert bench.pick_cleanest([17.9, 0.4, 2.2]) == 1
+    assert bench.pick_cleanest([3.0, 1.5, 1.5]) == 1  # tie -> earliest
+    assert bench.pick_cleanest([0.0, 0.0]) == 0
+
+
+def test_until_clean_records_selection_trail():
+    """End-to-end: with --until-clean and an unreachable cleanliness
+    threshold (CLEAN_PCT=0 -- steal can never be negative) bench must
+    run exactly CLEAN_ATTEMPTS measurement passes, keep the cleanest,
+    and record the whole selection trail in the artifact. BENCH_ONLY
+    narrows to one cheap query so the re-measure loop stays fast."""
+    detail_out = os.path.join(REPO, "BENCH_DETAIL.untilclean.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_REPEATS="1",
+        SPARK_GRAFT_BENCH_ONLY="a2a3_pricing_summary",
+        SPARK_GRAFT_BENCH_CLEAN_PCT="0",
+        SPARK_GRAFT_BENCH_CLEAN_ATTEMPTS="2",
+        BENCH_DETAIL_OUT=detail_out,
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--until-clean"],
+            capture_output=True,
+            text=True,
+            timeout=560,
+            env=env,
+            cwd=REPO,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        payload = json.loads(
+            [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][0]
+        )
+        sel = payload["telemetry"]["selection"]
+        assert sel["mode"] == "until_clean"
+        assert sel["max_attempts"] == 2
+        assert len(sel["attempt_steal_max_pct"]) == 2
+        peaks = sel["attempt_steal_max_pct"]
+        assert sel["kept_attempt"] == peaks.index(min(peaks)) + 1
+        # the kept attempt's telemetry is what ships
+        assert payload["telemetry"]["steal_max_pct"] == min(peaks)
+        # the discarded attempt must be visible to a reader: both
+        # entries recorded even though only one attempt's numbers ship
+        assert payload["queries"].keys() == {"a2a3_pricing_summary"}
+    finally:
+        if os.path.exists(detail_out):
+            os.remove(detail_out)
+
+
 def test_steal_burst_is_identifiable_from_artifact_alone():
     """Synthetic-load smoke for the attribution mechanics (VERDICT r14
     #3 done-criterion): drive the sampler with a faked /proc/stat that

@@ -297,6 +297,49 @@ def test_fuzz_lateral_axis_reaches_empty_generators(spark):
     )
 
 
+JOINCHAIN_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", JOINCHAIN_SEEDS)
+def test_fuzz_joinchain_matches_duckdb(spark, duck, seed):
+    """Axis 20 (round 16, VERDICT r15 stretch #7): 3-table
+    customer ⋈ orders ⋈ lineitem chains with independently drawn
+    inner/left steps and ON-vs-WHERE residual placement -- the axis
+    where join reordering meets null propagation THROUGH a chain (a
+    left step null-extends the middle join key; the next step joins ON
+    that NULL; a WHERE residual on a null-extendable column inner-izes
+    deterministically on both engines). Axes 2/16 cover these hazards
+    only pairwise."""
+    from tests.fuzz_grammar import build_joinchain_spark, draw_joinchain_case
+
+    case = draw_joinchain_case(seed)
+    df = build_joinchain_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
+def test_fuzz_joinchain_axis_reaches_null_extension(spark, duck):
+    """The chain axis's distinguishing hazard -- rows flowing through a
+    LEFT step null-extended (n_rows > n_orders, or n_orders > n_items)
+    -- must actually occur across the seeds, or every drawn chain
+    degenerated to inner-join behavior and the axis is vacuous."""
+    from tests.fuzz_grammar import draw_joinchain_case
+
+    extended = 0
+    for seed in JOINCHAIN_SEEDS:
+        case = draw_joinchain_case(seed)
+        if case["how1"] == "inner" and case["how2"] == "inner":
+            continue
+        for row in duck.execute(case["sql"]).fetchall():
+            keys = len(case["keys"])
+            n_rows, n_orders, n_items = row[keys], row[keys + 1], row[keys + 2]
+            if n_rows > n_orders or n_orders > n_items:
+                extended += 1
+    assert extended > 0, (
+        "no joinchain seed produced a null-extended row -- every drawn "
+        "chain degenerated to inner semantics on the testdata"
+    )
+
+
 def test_fuzz_signedzero_axis_hits_the_window(spark, duck):
     """The axis must not pass vacuously: across the 12 seeds, the
     UNPINNED oracle spelling must actually produce at least one -0.0
@@ -369,6 +412,9 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
 
     sqls += [draw_signedzero_case(s)["sql"] for s in SIGNEDZERO_SEEDS]
     sqls += [draw_lateral_case(s)["sql"] for s in LATERAL_SEEDS]
+    from tests.fuzz_grammar import draw_joinchain_case
+
+    sqls += [draw_joinchain_case(s)["sql"] for s in JOINCHAIN_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()

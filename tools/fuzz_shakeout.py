@@ -46,6 +46,7 @@ AXES = [
     ("filteragg", g.draw_filteragg_case, g.build_filteragg_spark, 12),
     ("signedzero", g.draw_signedzero_case, g.build_signedzero_spark, 12),
     ("lateral", g.draw_lateral_case, g.build_lateral_spark, 12),
+    ("joinchain", g.draw_joinchain_case, g.build_joinchain_spark, 12),
 ]
 
 
