@@ -133,18 +133,27 @@ def run_ingest_sinks(
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         stamped = batch_df.withColumn("batch_id", F.lit(batch_id))
-        stamped.filter(F.col("wyId").isNotNull()).select(
-            "batch_id", "wyId", "label", "dateutc", "duration", "winner",
-            "venue", "gameweek", F.to_json(F.struct("teamsData")).alias("teams_json"),
-        ).write.mode("overwrite").partitionBy("batch_id").parquet(
-            os.path.join(out_dir, "match_log")
-        )
-        stamped.filter(F.col("eventId").isNotNull()).select(
-            "batch_id", "id", "eventId", "subEventId", "playerId", "matchId",
-            "teamId", F.col("tags.id").alias("tag_ids"),
-        ).write.mode("overwrite").partitionBy("batch_id").parquet(
-            os.path.join(out_dir, "events")
-        )
+        # two write actions below -- without a persist each re-runs the
+        # source scan + from_json parse (the same double-execution the
+        # r16 t16 stage study priced in make_state_sink; at scale this
+        # is the full feed parse, once per sink instead of per action)
+        stamped.persist()
+        try:
+            stamped.filter(F.col("wyId").isNotNull()).select(
+                "batch_id", "wyId", "label", "dateutc", "duration", "winner",
+                "venue", "gameweek",
+                F.to_json(F.struct("teamsData")).alias("teams_json"),
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                os.path.join(out_dir, "match_log")
+            )
+            stamped.filter(F.col("eventId").isNotNull()).select(
+                "batch_id", "id", "eventId", "subEventId", "playerId",
+                "matchId", "teamId", F.col("tags.id").alias("tag_ids"),
+            ).write.mode("overwrite").partitionBy("batch_id").parquet(
+                os.path.join(out_dir, "events")
+            )
+        finally:
+            stamped.unpersist()
 
     return (
         parsed.writeStream.foreachBatch(write_batch)
