@@ -512,9 +512,15 @@ def _stream_writer_cls():
                 # a task that dies mid-iteration produces NO commit
                 # message, so neither commit() nor abort() could ever
                 # name this file -- unlink it here or staging/ grows
-                # without bound across failed/retried tasks (ADVICE r15)
+                # without bound across failed/retried tasks (ADVICE r15).
+                # close() itself may re-raise on the very fault that got
+                # us here (ENOSPC flushing the footer) -- the unlink must
+                # still run (review r16)
                 if writer is not None:
-                    writer.close()
+                    try:
+                        writer.close()
+                    except Exception:
+                        pass
                     writer = None
                 if os.path.exists(path):
                     os.remove(path)
@@ -603,11 +609,22 @@ def _batch_writer_cls():
                 # sweep leftovers of prior CRASHED overwrites (ADVICE
                 # r15: a stranded trash/next dir is invisible to
                 # readers but an unbounded disk leak) -- nothing ever
-                # reads these, so each overwrite commit is the pruner
+                # reads these, so each overwrite commit is the pruner.
+                # AGE-GATED (review r16): a concurrent overwrite's
+                # in-flight committed.next-* build must not be yanked
+                # mid-commit; a crashed job's leftovers stop changing,
+                # so anything older than an hour is safely dead
+                import time as _t
+
+                cutoff = _t.time() - 3600
                 for stale in glob.glob(
                     os.path.join(self._root, "committed.trash-*")
                 ) + glob.glob(os.path.join(self._root, "committed.next-*")):
-                    shutil.rmtree(stale, ignore_errors=True)
+                    try:
+                        if os.path.getmtime(stale) < cutoff:
+                            shutil.rmtree(stale, ignore_errors=True)
+                    except OSError:
+                        pass  # already gone (the other job finished)
                 # Build the NEW epoch COMPLETELY in a side dir first
                 # (staged renames + manifest publish all land there),
                 # then swap: hide old -> publish new as two renames.

@@ -1603,16 +1603,12 @@ def build_lateral_spark(spark: SparkSession, sf_dir: str, case: dict) -> DataFra
 # and F.sum both skip NULLs identically).
 # ---------------------------------------------------------------------------
 
+# only what the chain axis draws: one numeric predicate domain and the
+# group-key pool (no str/ts/cents mimicry of _TABLES -- the always-
+# present-side aggregates are fixed by the axis's value rules)
 _CUSTOMER_SPEC = {
     "num": {"c_acctbal": (-500.0, 9000.0)},
-    "str": {
-        "c_mktsegment": [
-            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
-        ],
-    },
-    "ts": {},
     "keys": ["c_mktsegment", "c_nationkey"],
-    "cents": ["c_acctbal"],
 }
 
 

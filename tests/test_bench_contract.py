@@ -135,6 +135,10 @@ def test_pick_cleanest_selection_rule():
     assert bench.pick_cleanest([17.9, 0.4, 2.2]) == 1
     assert bench.pick_cleanest([3.0, 1.5, 1.5]) == 1  # tie -> earliest
     assert bench.pick_cleanest([0.0, 0.0]) == 0
+    # an error-free attempt beats a cleaner one that dropped a query
+    # (errors null comparable_subtotal -- review r16)
+    assert bench.pick_cleanest([1.0, 5.0], had_errors=[True, False]) == 1
+    assert bench.pick_cleanest([5.0, 1.0], had_errors=[True, True]) == 1
 
 
 def test_until_clean_records_selection_trail():
