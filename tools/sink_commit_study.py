@@ -18,10 +18,14 @@ the read-back is the production committed_feed_files.
 
 Usage:
     python tools/sink_commit_study.py [--tasks 8,64,256,1024]
-        [--manifests 4,32,128,512] [--repeats 5]
+        [--manifests 4,32,128,512] [--repeats 5] [--anchor]
 
 Prints two BASELINE.md-ready markdown tables: commit wall vs #tasks at
-fixed total rows, and read-back wall vs #manifests.
+fixed total rows, and read-back wall vs #manifests. ``--anchor`` also
+runs a REAL batch write through Spark (sf0.01 events repartitioned to
+each task count, mode overwrite) so the driver-side numbers can be
+read against an end-to-end job wall: the serial commit section should
+be invisible inside it at every task count.
 """
 
 from __future__ import annotations
@@ -107,11 +111,47 @@ def readback_wall(n_manifests: int, repeats: int) -> tuple[list[float], int]:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def anchor_wall(tasks: list[int], repeats: int) -> list[tuple[int, float]]:
+    """End-to-end batch write through Spark at each task count: the
+    full pipeline (scan -> repartition shuffle -> executor staged
+    writes -> driver commit). Overwrite mode so each repeat replaces
+    the epoch."""
+    from fantasy_premier_league_spark.session import get_spark
+    from fantasy_premier_league_spark.sources.py_datasource import (
+        register_feed_sink,
+    )
+
+    spark = get_spark("sink-commit-anchor")
+    register_feed_sink(spark)
+    src = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src.count()  # warm the scan
+    out = []
+    root_base = tempfile.mkdtemp(prefix="sink_anchor_")
+    try:
+        for n in tasks:
+            root = os.path.join(root_base, f"n{n}")
+            walls = []
+            for r in range(repeats):
+                t0 = time.perf_counter()
+                src.repartition(n).write.format("events_feed_sink").option(
+                    "path", root
+                ).mode("overwrite").save()
+                walls.append(time.perf_counter() - t0)
+            out.append((n, statistics.median(walls)))
+    finally:
+        shutil.rmtree(root_base, ignore_errors=True)
+        spark.stop()
+    return out
+
+
 def main() -> None:
     args = sys.argv[1:]
     tasks = [8, 64, 256, 1024]
     manifests = [4, 32, 128, 512]
     repeats = 5
+    anchor = False
     while args:
         flag = args.pop(0)
         if flag == "--tasks":
@@ -120,6 +160,8 @@ def main() -> None:
             manifests = [int(s) for s in args.pop(0).split(",")]
         elif flag == "--repeats":
             repeats = int(args.pop(0))
+        elif flag == "--anchor":
+            anchor = True
         else:
             raise SystemExit(f"unknown flag {flag}")
 
@@ -143,6 +185,19 @@ def main() -> None:
         walls, n_files = readback_wall(m, repeats)
         med = statistics.median(walls) * 1000
         print(f"| {m} | {n_files} | {med:.2f} | {med / m:.3f} |")
+
+    if anchor:
+        print()
+        print("| #tasks | end-to-end job med (s) | driver commit share |")
+        print("|---|---|---|")
+        for n, wall in anchor_wall(tasks, repeats):
+            # commit share read from the driver-side table's per-task
+            # slope (~12-35 us/task incl. floor); recompute exactly
+            commit_ms = statistics.median(commit_wall(n, repeats)) * 1000
+            print(
+                f"| {n} | {wall:.2f} | {commit_ms:.1f} ms = "
+                f"{100 * commit_ms / 1000 / wall:.2f}% |"
+            )
 
 
 if __name__ == "__main__":
