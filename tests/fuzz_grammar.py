@@ -1732,3 +1732,82 @@ def build_joinchain_spark(
             F.lit(0).cast("long"),
         ).alias("sum_o_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Axis 21 (round 16): MULTIPLE DISTINCT aggregates in one grouped
+# query -- count(DISTINCT a) + count(DISTINCT b) + sum(DISTINCT cents)
+# over drawn predicates and keys. Spark's planner can only execute one
+# distinct-column-set per physical aggregate, so multi-distinct queries
+# are rewritten through an Expand node (one duplicated input stream per
+# distinct set, then a two-phase aggregate); DuckDB computes the
+# distinct sets directly. That rewrite is exactly the machinery worth
+# differential coverage: a miscounted null stream, a dropped duplicate,
+# or a grouping-key mixup in the Expand would flip the counts while
+# every single-distinct axis stays green. Value rules: counts BIGINT
+# both sides; the distinct sum runs on the integer cent grid (a
+# DISTINCT set of BIGINTs sums exactly on both engines); count(*)
+# rides along as the non-distinct anchor inside the same Expand.
+# ---------------------------------------------------------------------------
+
+
+def draw_multidistinct_case(seed: int) -> dict:
+    rng = random.Random(210_000 + seed)
+    table = rng.choice(sorted(_TABLES))
+    spec = _TABLES[table]
+    pred_cols, pred_sql = _predicates(rng, spec)
+    keys = rng.sample(spec["keys"], rng.choice([1, 1, 2]))
+    # two distinct-count targets, drawn from the key-like, low-card
+    # string, and date columns NOT used as group keys (distinct-of-a-
+    # group-key is constant 1 per group -- legal but vacuous; the ts
+    # columns keep the pool >= 2 even when a draw takes both of a
+    # table's keys, and count(DISTINCT timestamp) is exact on both
+    # engines)
+    candidates = [
+        c
+        for c in spec["distinct"] + sorted(spec["str"]) + sorted(spec["ts"])
+        if c not in keys
+    ]
+    dcols = rng.sample(candidates, 2)
+    cents = rng.choice(spec["cents"])
+    cents_int = F.round(F.col(cents) * 100).cast("long")
+    cents_sql = f"CAST(round({cents} * 100) AS BIGINT)"
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.countDistinct(F.col(dcols[0])).alias("nd1"),
+        F.countDistinct(F.col(dcols[1])).alias("nd2"),
+        F.coalesce(
+            F.sum_distinct(cents_int), F.lit(0).cast("long")
+        ).alias("sum_d_cents"),
+    ]
+    sel = ", ".join(keys)
+    sql = f"""
+    SELECT {sel},
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {dcols[0]}) AS BIGINT) AS nd1,
+           CAST(count(DISTINCT {dcols[1]}) AS BIGINT) AS nd2,
+           CAST(coalesce(sum(DISTINCT {cents_sql}), 0) AS BIGINT)
+             AS sum_d_cents
+    FROM {table} WHERE {' AND '.join(pred_sql)}
+    GROUP BY {sel}
+    """
+    return {
+        "table": table,
+        "keys": keys,
+        "dcols": dcols,
+        "pred_cols": pred_cols,
+        "pred_sql": pred_sql,
+        "agg_cols": aggs,
+        "sql": sql,
+    }
+
+
+def build_multidistinct_spark(
+    spark: SparkSession, sf_dir: str, case: dict
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{case['table']}.parquet")
+    return (
+        df.filter(_conj(case["pred_cols"]))
+        .groupBy(*case["keys"])
+        .agg(*case["agg_cols"])
+    )

@@ -340,6 +340,52 @@ def test_fuzz_joinchain_axis_reaches_null_extension(spark, duck):
     )
 
 
+MULTIDISTINCT_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", MULTIDISTINCT_SEEDS)
+def test_fuzz_multidistinct_matches_duckdb(spark, duck, seed):
+    """Axis 21 (round 16): multiple DISTINCT aggregates in one grouped
+    query -- Spark executes these through an Expand rewrite (one
+    duplicated stream per distinct set + two-phase aggregate), DuckDB
+    directly; the rewrite's bookkeeping (null streams, duplicate
+    elimination, grouping-key routing) is the surface under test. The
+    distinct sum stays on the integer cent grid, so every output is
+    exact on both engines."""
+    from tests.fuzz_grammar import (
+        build_multidistinct_spark,
+        draw_multidistinct_case,
+    )
+
+    case = draw_multidistinct_case(seed)
+    df = build_multidistinct_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
+def test_fuzz_multidistinct_plans_expand(spark):
+    """The axis exists to exercise the Expand rewrite -- prove the
+    drawn plans actually contain it (two distinct column sets in one
+    aggregate force it; if a grammar edit ever collapsed the draws to
+    one distinct set, the axis would silently stop covering the
+    machinery it names). Explain-only."""
+    from tests.fuzz_grammar import (
+        build_multidistinct_spark,
+        draw_multidistinct_case,
+    )
+    from tests.test_plan_quality import plan_of
+
+    expanded = 0
+    for seed in MULTIDISTINCT_SEEDS[:4]:
+        case = draw_multidistinct_case(seed)
+        plan = plan_of(build_multidistinct_spark(spark, SF_SMOKE, case))
+        if "Expand" in plan:
+            expanded += 1
+    assert expanded == 4, (
+        f"only {expanded}/4 sampled multidistinct plans contain Expand -- "
+        "the axis no longer exercises the multi-distinct rewrite"
+    )
+
+
 def test_fuzz_signedzero_axis_hits_the_window(spark, duck):
     """The axis must not pass vacuously: across the 12 seeds, the
     UNPINNED oracle spelling must actually produce at least one -0.0
@@ -412,9 +458,10 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
 
     sqls += [draw_signedzero_case(s)["sql"] for s in SIGNEDZERO_SEEDS]
     sqls += [draw_lateral_case(s)["sql"] for s in LATERAL_SEEDS]
-    from tests.fuzz_grammar import draw_joinchain_case
+    from tests.fuzz_grammar import draw_joinchain_case, draw_multidistinct_case
 
     sqls += [draw_joinchain_case(s)["sql"] for s in JOINCHAIN_SEEDS]
+    sqls += [draw_multidistinct_case(s)["sql"] for s in MULTIDISTINCT_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()

@@ -47,6 +47,7 @@ AXES = [
     ("signedzero", g.draw_signedzero_case, g.build_signedzero_spark, 12),
     ("lateral", g.draw_lateral_case, g.build_lateral_spark, 12),
     ("joinchain", g.draw_joinchain_case, g.build_joinchain_spark, 12),
+    ("multidistinct", g.draw_multidistinct_case, g.build_multidistinct_spark, 12),
 ]
 
 
