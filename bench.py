@@ -319,14 +319,49 @@ def measure_once(
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
-    from fantasy_premier_league_spark.plans.registry import all_queries
+def _resolve_selected(queries: dict) -> tuple[list[str], str | None]:
+    """Query selection from $SPARK_GRAFT_BENCH_ONLY (None = the full
+    headline surface). Exits 2 on an empty or typo'd subset -- a typo'd
+    name must not become a silent gap."""
+    # Opt-in subset (comma-separated names) for the sf1 scaling study:
+    # only the named heavies run, and the comparable subtotal is
+    # nulled below because the baseline prefix did not all run.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if not only:
+        return HEADLINE, None
+    # drop falsy tokens so a trailing/double comma is harmless
+    # rather than a confusing "unknown query: ['']" abort
+    only_set = {s.strip() for s in only.split(",") if s.strip()}
+    if not only_set:  # ',' or whitespace: a silent 0-query "pass"
+        print("bench: BENCH_ONLY set but names no queries", file=sys.stderr)
+        raise SystemExit(2)
+    unknown = only_set - set(queries)
+    if unknown:
+        print(
+            f"bench: unknown BENCH_ONLY queries: {sorted(unknown)}",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    # scale studies may name ANY registered query, not just the
+    # headline surface (e.g. the fpl_req1 chain); headline order
+    # first, then the extras in name order
+    selected = [n for n in HEADLINE if n in only_set] + sorted(
+        n for n in only_set if n not in HEADLINE
+    )
+    return selected, only
+
+
+def run_attempt(
+    queries: dict, selected: list[str], sf_dir: str, repeats: int
+) -> dict:
+    """One complete measurement attempt: fresh SparkSession, the
+    standard warmup ladder, one measure_once() pass. Under
+    --until-clean every attempt runs this in its OWN subprocess, so
+    attempt N is warmth-identical to attempt 1 and to a single-attempt
+    round's artifact."""
     from fantasy_premier_league_spark.session import get_spark
 
     spark = get_spark("fpl-spark-bench")
-    queries = all_queries()
-
     # Warmup on the smallest SF so per-query numbers measure the plan,
     # not one-time process startup. Three distinct cold paths exist:
     # JVM/codegen (any query), the Python worker pool (first pandas-UDF
@@ -336,7 +371,79 @@ def main() -> None:
         queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+    result = measure_once(spark, queries, selected, sf_dir, repeats)
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    return result
 
+
+def _spawn_attempt() -> dict:
+    """Run one attempt in a FRESH subprocess (VERDICT r16 task #4: the
+    in-process re-measure loop gave attempts 2..N a fully-warm JVM /
+    Python-worker-pool / page cache, so a kept attempt > 1 read faster
+    than any single-attempt round could). The child inherits the
+    environment, measures once, and returns its measure_once() dict via
+    a sidecar JSON file; a crashed child becomes a recorded error
+    attempt (pick_cleanest never keeps it unless every attempt died)."""
+    import subprocess
+    import tempfile
+
+    fd, path = tempfile.mkstemp(prefix="bench-attempt-", suffix=".json")
+    os.close(fd)
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ATTEMPT_OUT=path)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if proc.returncode == 0 and os.path.getsize(path) > 0:
+            with open(path) as fh:
+                return json.load(fh)
+        return {
+            "timings": {},
+            "spread": {},
+            "errors": {
+                "__attempt__": (
+                    f"attempt subprocess rc={proc.returncode}: "
+                    f"{proc.stderr[-300:]}"
+                )
+            },
+            "windows": {},
+            "steal_samples": [],
+            # sorts after any real attempt under pick_cleanest, and the
+            # had_errors flag already disqualifies it vs error-free runs
+            "steal_max_pct": 999.0,
+            "steal_interval_s": 0.5,
+        }
+    finally:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+def main() -> None:
+    # Strict argv (ADVICE r16): a bare membership test silently ignored
+    # misspelled flags, degrading the run to a single attempt with no
+    # selection trail and no warning -- same strictness BENCH_ONLY
+    # typos already get.
+    argv = sys.argv[1:]
+    unknown_flags = [a for a in argv if a != "--until-clean"]
+    if unknown_flags:
+        print(
+            f"bench: unknown arguments: {unknown_flags} "
+            "(the only accepted flag is --until-clean)",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    until_clean = "--until-clean" in argv
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     # One broken query must not zero out the whole bench artifact: time
     # what runs, record what fails, and ALWAYS emit the JSON line.
     # (BENCH_r04 was lost entirely to one AnalysisException; BENCH_r03
@@ -348,32 +455,23 @@ def main() -> None:
     # in-session (plans warm after the first) and "queries" reports the
     # per-query MEDIAN; min/median/max spread ships alongside.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    # Opt-in subset (comma-separated names) for the sf1 scaling study:
-    # only the named heavies run, and the comparable-24 subtotal is
-    # nulled below because the baseline prefix did not all run.
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if only:
-        # drop falsy tokens so a trailing/double comma is harmless
-        # rather than a confusing "unknown query: ['']" abort
-        only_set = {s.strip() for s in only.split(",") if s.strip()}
-        if not only_set:  # ',' or whitespace: a silent 0-query "pass"
-            print("bench: BENCH_ONLY set but names no queries", file=sys.stderr)
-            raise SystemExit(2)
-        unknown = only_set - set(queries)
-        if unknown:  # a typo'd name must not become a silent gap
-            print(
-                f"bench: unknown BENCH_ONLY queries: {sorted(unknown)}",
-                file=sys.stderr,
-            )
-            raise SystemExit(2)
-        # scale studies may name ANY registered query, not just the
-        # headline surface (e.g. the fpl_req1 chain); headline order
-        # first, then the extras in name order
-        selected = [n for n in HEADLINE if n in only_set] + sorted(
-            n for n in only_set if n not in HEADLINE
-        )
-    else:
-        selected = HEADLINE
+
+    from fantasy_premier_league_spark.plans.registry import all_queries
+
+    queries = all_queries()
+    selected, only = _resolve_selected(queries)
+
+    attempt_out = os.environ.get("SPARK_GRAFT_BENCH_ATTEMPT_OUT")
+    if attempt_out:
+        # CHILD mode (internal, set only by _spawn_attempt): run one
+        # isolated attempt, write the raw result to the sidecar, exit 0.
+        # No artifact lines -- the parent composes those from the kept
+        # attempt.
+        result = run_attempt(queries, selected, sf_dir, repeats)
+        with open(attempt_out, "w") as fh:
+            json.dump(result, fh)
+        sys.stdout.flush()
+        os._exit(0)
 
     # --until-clean (VERDICT r15 #6): the r15 committed artifact was
     # hand-selected as cleanest-of-nine during an afternoon of
@@ -382,15 +480,11 @@ def main() -> None:
     # peak is below SPARK_GRAFT_BENCH_CLEAN_PCT (default 1.0%) or
     # SPARK_GRAFT_BENCH_CLEAN_ATTEMPTS (default 5) attempts, keep the
     # cleanest attempt, and record the full selection trail in the
-    # artifact so a reader sees every discarded attempt's peak.
-    # Known bias (review r16, documented not hidden): attempts after
-    # the first run in a fully-warm process (JVM codegen, Python worker
-    # pool, page cache over the SF parquet), so a kept attempt > 1
-    # reads somewhat faster than a single-attempt round's artifact;
-    # telemetry.selection.kept_attempt makes that visible, and causal
-    # per-query claims should lean on solo floors / stage studies, not
-    # cross-round bench deltas alone.
-    until_clean = "--until-clean" in sys.argv[1:]
+    # artifact so a reader sees every discarded attempt's peak. Every
+    # attempt runs in its own subprocess (VERDICT r16 task #4), so all
+    # attempts are warmth-comparable: no in-process warm-JVM bias, and
+    # a kept attempt N is apples-to-apples with attempt 1 and with
+    # prior single-attempt rounds.
     clean_pct = float(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_PCT", "1.0"))
     max_attempts = (
         max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CLEAN_ATTEMPTS", "5")))
@@ -399,15 +493,19 @@ def main() -> None:
     )
     results: list[dict] = []
     for attempt in range(max_attempts):
-        result = measure_once(spark, queries, selected, sf_dir, repeats)
+        result = (
+            _spawn_attempt()
+            if until_clean
+            else run_attempt(queries, selected, sf_dir, repeats)
+        )
         results.append(result)
-        if result["steal_max_pct"] < clean_pct:
+        if not result["errors"] and result["steal_max_pct"] < clean_pct:
             break
         if until_clean and attempt + 1 < max_attempts:
             print(
                 f"bench: attempt {attempt + 1} contaminated "
-                f"(steal_max {result['steal_max_pct']}% >= {clean_pct}%), "
-                "re-measuring",
+                f"(steal_max {result['steal_max_pct']}% >= {clean_pct}% "
+                f"or errors={sorted(result['errors'])}), re-measuring",
                 file=sys.stderr,
             )
     kept = pick_cleanest(
@@ -425,10 +523,15 @@ def main() -> None:
     if until_clean:
         selection = {
             "mode": "until_clean",
+            # every attempt ran in its own subprocess -- warmth-
+            # comparable with attempt 1 and with single-attempt rounds
+            # (VERDICT r16 task #4)
+            "isolation": "subprocess-per-attempt",
             "threshold_pct": clean_pct,
             "max_attempts": max_attempts,
             "kept_attempt": kept + 1,
             "attempt_steal_max_pct": [r["steal_max_pct"] for r in results],
+            "attempt_had_errors": [bool(r["errors"]) for r in results],
         }
 
     total = round(sum(timings.values()), 3)

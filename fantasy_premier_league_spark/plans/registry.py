@@ -55,21 +55,19 @@ ORACLES: dict[str, str] = {}
 # CHANGED + NEW small so the 26 r10-vintage rows at the staleness
 # bound head the sample (VERDICT r14 task #4).
 CHANGED_THIS_ROUND: list[str] = [
-    # r16: the events_stream_feed reader gained an offset-owning mode
-    # (sidecar cursor file under the feed root -- the "broker owns
-    # offsets" contract; VERDICT r15 task #3). s9's registered query
-    # path now resumes from the persisted cursor across reader
-    # lifetimes; the driver must re-verify the hash path.
-    # (r15's s9 canary entry was consumed by CORRECTNESS_r15 -- green
-    # -- and pruned at the start of r16.)
-    "s9_python_stream_feed",
-    # r16: the t16 ladder was split into module-level stage functions
-    # (t16_stage_plan/run_ingest/run_state/serve) so the stage study
-    # times the same code the registered query runs (VERDICT r15
-    # stretch #8). Pure refactor, but the implementation moved -- the
-    # driver must re-verify. (t16 was already in the r16 head as an
-    # r11-vintage row, so this displaces nothing.)
-    "t16_fpl_pipeline_roundtrip",
+    # r17: empty. The r16 entries (s9_python_stream_feed cursor mode,
+    # t16_fpl_pipeline_roundtrip stage split) were consumed by the r16
+    # driver sample -- both green, CORRECTNESS_r16.json -- and pruned
+    # here (VERDICT r16 task #1). r17 registers and changes nothing so
+    # the whole head budget goes to rotation: the 6 r12-vintage rows
+    # (q7_volume_shipping, q8_market_share, q18_large_orders,
+    # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
+    # sql_frontend_running_total) plus 44 of the 45 r13 rows. One r13
+    # row slips to r18 by arithmetic (51 candidates, 50 slots) -- the
+    # rotation's registration-order tiebreak makes the slipped row the
+    # LAST-registered r13-vintage query -- computed from the artifacts:
+    # text_udtf_chunk_windows, which heads the r18 sample instead. That
+    # slip is recorded intent (VERDICT r16 task #3), not an oversight.
 ]
 
 # Queries first registered this round (no driver row exists yet).

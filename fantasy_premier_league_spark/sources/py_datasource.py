@@ -143,8 +143,10 @@ def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measured at 1250/1000 rows in r15 and fenced by the partitions()
 # canary. The fix is the contract real feeds implement: the SOURCE owns
 # its offsets. With .option("cursor", <sidecar file>), commit(end)
-# atomically persists the acknowledged position under the feed root and
-# a fresh reader's initialOffset()/latestOffset() resume from it --
+# atomically persists the acknowledged position at that caller-chosen
+# path (the registered s9 query uses a per-run tempdir sidecar; a real
+# deployment would co-locate it with the feed) and a fresh reader's
+# initialOffset()/latestOffset() resume from it --
 # the broker-owns-offsets shape (Kafka group offsets, Kinesis
 # checkpoints). The canary stays armed for the cursor-less demo mode.
 # ---------------------------------------------------------------------------
@@ -649,6 +651,18 @@ def _batch_writer_cls():
                         self._root, f"committed.trash-{uuid.uuid4().hex}"
                     )
                     os.replace(committed, trash)
+                    # os.replace does NOT touch the moved dir's own
+                    # mtime, so trash would inherit the OLD epoch's
+                    # write time and a crash in the hide->publish
+                    # window would leave the only surviving copy
+                    # instantly sweep-eligible despite the 1-hour
+                    # grace (ADVICE r16; same top-level-stat pitfall
+                    # claim_session_tmpdir documents). Stamp it now so
+                    # the age gate measures time-since-hide.
+                    try:
+                        os.utime(trash)
+                    except OSError:
+                        pass
                 os.replace(os.path.join(next_root, "committed"), committed)
                 if trash is not None:
                     shutil.rmtree(trash, ignore_errors=True)

@@ -141,12 +141,28 @@ def test_pick_cleanest_selection_rule():
     assert bench.pick_cleanest([5.0, 1.0], had_errors=[True, True]) == 1
 
 
+def test_unknown_flag_exits_2():
+    """A misspelled flag must abort loudly (ADVICE r16): the old bare
+    membership test silently degraded '--until-clena' to a single
+    attempt with no selection trail."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--until-clena"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd=REPO,
+    )
+    assert proc.returncode == 2, proc.stderr[-500:]
+    assert "unknown arguments" in proc.stderr
+
+
 def test_until_clean_records_selection_trail():
     """End-to-end: with --until-clean and an unreachable cleanliness
     threshold (CLEAN_PCT=0 -- steal can never be negative) bench must
-    run exactly CLEAN_ATTEMPTS measurement passes, keep the cleanest,
-    and record the whole selection trail in the artifact. BENCH_ONLY
-    narrows to one cheap query so the re-measure loop stays fast."""
+    run exactly CLEAN_ATTEMPTS measurement passes -- each in its OWN
+    subprocess (VERDICT r16 #4) -- keep the cleanest, and record the
+    whole selection trail in the artifact. BENCH_ONLY narrows to one
+    cheap query so the re-measure loop stays fast."""
     detail_out = os.path.join(REPO, "BENCH_DETAIL.untilclean.json")
     env = dict(
         os.environ,
@@ -172,12 +188,23 @@ def test_until_clean_records_selection_trail():
         )
         sel = payload["telemetry"]["selection"]
         assert sel["mode"] == "until_clean"
+        # every attempt isolated in a fresh subprocess -- the artifact
+        # must say so (warm-bias removal, VERDICT r16 #4)
+        assert sel["isolation"] == "subprocess-per-attempt"
         assert sel["max_attempts"] == 2
-        assert len(sel["attempt_steal_max_pct"]) == 2
         peaks = sel["attempt_steal_max_pct"]
-        assert sel["kept_attempt"] == peaks.index(min(peaks)) + 1
+        had_errors = sel["attempt_had_errors"]
+        assert len(peaks) == 2 and len(had_errors) == 2
+        # ADVICE r16: assert the kept attempt via pick_cleanest's OWN
+        # rule -- error-free first, then lowest steal -- not min(peaks),
+        # which is wrong whenever an attempt records a query error
+        sys.path.insert(0, REPO)
+        import bench
+
+        kept = bench.pick_cleanest(peaks, had_errors)
+        assert sel["kept_attempt"] == kept + 1
         # the kept attempt's telemetry is what ships
-        assert payload["telemetry"]["steal_max_pct"] == min(peaks)
+        assert payload["telemetry"]["steal_max_pct"] == peaks[kept]
         # the discarded attempt must be visible to a reader: both
         # entries recorded even though only one attempt's numbers ship
         assert payload["queries"].keys() == {"a2a3_pricing_summary"}
@@ -213,12 +240,26 @@ def test_steal_burst_is_identifiable_from_artifact_alone():
 
     sampler = bench.StealSampler(interval_s=0.02)
     sampler._read_cpu = fake_read_cpu
+
+    # Event-driven windows (not fixed sleeps): under heavy machine load
+    # -- e.g. the subprocess bench tests in this module -- the sampler
+    # thread can be starved, so waiting for SAMPLE COUNTS keeps each
+    # window guaranteed non-empty without timing sensitivity.
+    def wait_for_samples(n: int, timeout_s: float = 30.0) -> None:
+        deadline = _time.time() + timeout_s
+        while len(sampler.samples) < n and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert len(sampler.samples) >= n, (
+            f"sampler produced {len(sampler.samples)} < {n} samples "
+            f"in {timeout_s}s"
+        )
+
     t0 = _time.time()
     sampler.start()
-    _time.sleep(0.15)  # quiet window: fake query A
+    wait_for_samples(4)  # quiet window: fake query A
     a_end = _time.time()
     burst_on["flag"] = True
-    _time.sleep(0.25)  # burst window: fake query B
+    wait_for_samples(len(sampler.samples) + 6)  # burst window: fake query B
     b_end = _time.time()
     burst_on["flag"] = False
     samples = sampler.stop()
