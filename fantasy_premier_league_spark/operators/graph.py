@@ -249,15 +249,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangle_counts_plan(spark, sf_dir)
+
+
+def triangle_counts_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    cache_edges: bool = True,
+    node_mode: str = "explode",
+) -> DataFrame:
+    """The registered query's full plan with the two study knobs
+    exposed, so tools/triangle_stage_study.py times the SAME code the
+    registered query runs (the t16-study discipline).
+
+    Defaults flipped in r17 after the study priced the pre-r17 shape
+    (cache_edges=False, node_mode="union") at 1.9x the fixed one at
+    sf0.1 (9.06 -> 4.80 s end-to-end): the union-mode node expansion
+    re-ran the wedge+closing enumeration 2.18x (three plan branches,
+    partially deduped by ReuseExchange), and the uncached edge subtree
+    ran ~2x inside the orientation action. Same results, same oracle --
+    only the physical plan changed. At 100 TB the explode form matters
+    more, not less: triplicating the wedge join there triplicates the
+    dominant shuffle."""
     small = _copurchase_is_small(spark, sf_dir)
-    triangles = _oriented_triangles(_copurchase_edges(spark, sf_dir, small), small)
-    nodes = (
-        triangles.select(F.col("a").alias("node"))
-        .unionByName(triangles.select(F.col("v").alias("node")))
-        .unionByName(triangles.select(F.col("w").alias("node")))
+    triangles = _oriented_triangles(
+        _copurchase_edges(spark, sf_dir, small), small, cache_edges
     )
+    return _triangle_top_nodes(triangles, node_mode)
+
+
+def _triangle_nodes(triangles: DataFrame, mode: str = "union") -> DataFrame:
+    """Per-triangle vertex expansion (3 node rows per triangle).
+
+    mode="union" (the pre-r17 shape) references the `triangles` plan in
+    THREE unionByName branches -- the wedge+closing join subtree appears
+    three times in the physical plan, and only ReuseExchange-level reuse
+    mitigates the triplication; mode="explode" emits the same three rows
+    from ONE pass via explode(array(a, v, w)) -- a JVM-side Generate,
+    no Python. tools/triangle_stage_study.py prices both (VERDICT r16
+    task #5: check specifically for hidden re-execution)."""
+    if mode == "union":
+        return (
+            triangles.select(F.col("a").alias("node"))
+            .unionByName(triangles.select(F.col("v").alias("node")))
+            .unionByName(triangles.select(F.col("w").alias("node")))
+        )
+    return triangles.select(
+        F.explode(F.array("a", "v", "w")).alias("node")
+    )
+
+
+def _triangle_top_nodes(triangles: DataFrame, node_mode: str = "union") -> DataFrame:
     return (
-        nodes.groupBy("node")
+        _triangle_nodes(triangles, node_mode)
+        .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "node")
         .limit(20)
@@ -299,7 +344,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str, small: bool = True) -> D
 _TRI_HINT_CAP = 5_000_000  # oriented edges; above this, hash builds OOM
 
 
-def _oriented_triangles(edges: DataFrame, small: bool = True) -> DataFrame:
+def _oriented_triangles(
+    edges: DataFrame, small: bool = True, cache_edges: bool = False
+) -> DataFrame:
     """Triangles (a, v, w) of a canonical edge list via degree-ordered
     orientation: each counted once at its lowest-(degree, id) vertex.
 
@@ -310,8 +357,17 @@ def _oriented_triangles(edges: DataFrame, small: bool = True) -> DataFrame:
     sort-merge -- a forced hash build died at sf10 with "cannot
     acquire memory to build hash relation" (hash builds are not
     spillable), and the wedge spill volume there also demonstrates why
-    DOULION is the tier that actually runs at that density. The
-    decision reads one count off the already-checkpointed edge list."""
+    DOULION is the tier that actually runs at that density.
+
+    cache_edges: the `edges` plan feeds BOTH the degree aggregate and
+    the rank-annotation join, so inside the single orientation action
+    its subtree (lineitem distinct + per-order self-join + pair
+    distinct) appears twice; True localCheckpoints it first so the pair
+    generation runs once. Priced by tools/triangle_stage_study.py
+    (VERDICT r16 task #5 -- the uncached-intermediate-consumed-twice
+    class the t16 study found in the state sink)."""
+    if cache_edges:
+        edges = edges.localCheckpoint()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -415,7 +471,14 @@ def graph_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     )
-    sampled = edges.filter(keep)
+    # r17: materialize the sampled edge list ONCE -- it previously fed
+    # the sampled_edges count, the degree aggregate, and the rank join
+    # as three re-executions of the full edge build + sample filter
+    # (the same uncached-intermediate class the r17 triangle study
+    # priced at ~2x on the exact path); the checkpoint is 1/p of the
+    # edge list, strictly smaller than the orientation checkpoint the
+    # enumeration already keeps
+    sampled = edges.filter(keep).localCheckpoint()
     triangles = _oriented_triangles(sampled, small)
     return sampled.agg(F.count("*").alias("sampled_edges")).crossJoin(
         triangles.agg(

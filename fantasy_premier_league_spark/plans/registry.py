@@ -55,20 +55,33 @@ ORACLES: dict[str, str] = {}
 # CHANGED + NEW small so the 26 r10-vintage rows at the staleness
 # bound head the sample (VERDICT r14 task #4).
 CHANGED_THIS_ROUND: list[str] = [
-    # r17: empty. The r16 entries (s9_python_stream_feed cursor mode,
-    # t16_fpl_pipeline_roundtrip stage split) were consumed by the r16
-    # driver sample -- both green, CORRECTNESS_r16.json -- and pruned
-    # here (VERDICT r16 task #1). r17 registers and changes nothing so
-    # the whole head budget goes to rotation: the 6 r12-vintage rows
-    # (q7_volume_shipping, q8_market_share, q18_large_orders,
-    # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-    # sql_frontend_running_total) plus 44 of the 45 r13 rows. One r13
-    # row slips to r18 by arithmetic (51 candidates, 50 slots) -- the
-    # rotation's registration-order tiebreak makes the slipped row the
-    # LAST-registered r13-vintage query -- computed from the artifacts:
-    # text_udtf_chunk_windows, which heads the r18 sample instead. That
-    # slip is recorded intent (VERDICT r16 task #3), not an oversight.
+    # r17: the triangle-counting physical plans changed (VERDICT r16
+    # task #5's study found two hidden re-executions: the 3-branch
+    # unionByName node expansion re-ran the wedge+closing enumeration
+    # 2.18x, and the uncached edge subtree ran ~2x inside the
+    # orientation action; fix = explode(array(a,v,w)) + edge/sample
+    # localCheckpoint, end-to-end 0.53x at sf0.1). Same results, same
+    # oracles -- but the implementation moved, so the driver must
+    # re-verify the hash path.
+    "graph_triangle_counts",
+    "graph_triangle_doulion",
 ]
+# (The r16 entries -- s9_python_stream_feed cursor mode,
+# t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
+# driver sample, both green in CORRECTNESS_r16.json, and pruned here
+# per VERDICT r16 task #1. r17 registers NOTHING, so after the two
+# CHANGED rows the head budget goes to rotation: the 6 r12-vintage rows
+# (q7_volume_shipping, q8_market_share, q18_large_orders,
+# sql_frontend_lateral_topn, sql_frontend_recursive_spine,
+# sql_frontend_running_total) plus 42 of the 45 r13 rows. Three r13
+# rows slip to r18 by arithmetic (53 candidates, 50 slots; the verdict
+# budgeted one slip, the two CHANGED triangle rows add two more -- a
+# deliberate trade for fixing the top committed wall, t16-precedent):
+# the rotation's registration-order tiebreak makes the slipped rows the
+# LAST-registered r13-vintage queries -- computed from the artifacts:
+# q21_waiting_supplier, q22_idle_customers, text_udtf_chunk_windows;
+# they become stale at r18 and head that sample automatically.
+# Recorded intent, not an oversight.)
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:

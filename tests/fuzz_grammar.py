@@ -1811,3 +1811,165 @@ def build_multidistinct_spark(
         .groupBy(*case["keys"])
         .agg(*case["agg_cols"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Axis 22 (round 17, VERDICT r16 stretch #8): WINDOWED AGGREGATES OVER
+# JOIN RESULTS -- a drawn orders ⋈ lineitem join feeding drawn window
+# functions, with the partition key taken from EITHER side and frames
+# from the existing ROWS/RANGE pools. Axes 2/3/16/20 cover joins and
+# windows separately; the composition is its own surface: Spark plans a
+# window-after-join as join exchange -> window exchange on the partition
+# key (AQE may fuse or re-split them), and a LEFT join feeds the window
+# null-extended right-side rows, so a right-side partition key routes
+# them into the NULL partition and a right-side value column enters the
+# frame as NULL. Value rules: the windowed value is coalesce(cents, 0)
+# on BOTH engines (null-extended rows contribute identically); ROWS
+# frames order by the total order (cents, o_orderkey, l_linenumber)
+# with the possibly-NULL l_linenumber pinned ASC NULLS FIRST on both
+# engines (Spark's asc default; DuckDB's default is NULLS LAST -- the
+# exact divergence the pin exists to neutralize); RANGE frames order by
+# the cent value alone and are tie-insensitive by construction.
+# ---------------------------------------------------------------------------
+
+
+def draw_winjoin_case(seed: int) -> dict:
+    rng = random.Random(220_000 + seed)
+    how = rng.choice(["inner", "inner", "left"])
+    part = rng.choice(
+        ["o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus"]
+    )
+    # Structural hazard coverage (joinchain precedent): guarantee the
+    # axis's distinguishing composition -- null-extended rows flowing
+    # into a RIGHT-side partition key -- actually occurs across the 12
+    # seeds instead of depending on the free draw. Overrides after the
+    # rng.choice calls keep the rest of the sequence identical.
+    if seed % 4 == 1:
+        how = "left"
+        part = "l_returnflag" if seed % 8 == 1 else "l_linestatus"
+    o_spec, l_spec = _TABLES["orders"], _TABLES["lineitem"]
+    o_cols, o_sql = _predicates(rng, o_spec)
+    l_cols, l_sql = _predicates(rng, l_spec)
+    val = rng.choice(["o_totalprice", "l_extendedprice", "l_quantity"])
+    val_q = f"{'o' if val.startswith('o_') else 'l'}.{val}"
+    # coalesce on BOTH engines: a left join null-extends right-side
+    # cents, and pinning 0 keeps every window input exact and non-null
+    cents = F.coalesce(F.round(F.col(val) * 100).cast("long"), F.lit(0))
+    cents_sql = f"coalesce(CAST(round({val_q} * 100) AS BIGINT), 0)"
+    part_q = f"{'o' if part.startswith('o_') else 'l'}.{part}"
+    # total order for ROWS frames: unique after the join ((o_orderkey,
+    # l_linenumber) is unique; an unmatched order row appears once with
+    # NULL l_linenumber), NULL placement pinned explicitly
+    total_order = [
+        cents.asc(),
+        F.col("o_orderkey").asc(),
+        F.col("l_linenumber").asc_nulls_first(),
+    ]
+    total_order_sql = (
+        f"{cents_sql} ASC, o.o_orderkey ASC, l.l_linenumber ASC NULLS FIRST"
+    )
+    w_rows = Window.partitionBy(part).orderBy(*total_order)
+    w_range = Window.partitionBy(part).orderBy(cents.asc())
+    picks = rng.sample(
+        ["row_number", "run_sum", "rank", "range_sum", "range_cnt"],
+        rng.randint(2, 3),
+    )
+    out_cols, out_sql = [], []
+    for i, p in enumerate(picks):
+        alias = f"w{i}"
+        if p == "row_number":
+            out_cols.append(F.row_number().over(w_rows).alias(alias))
+            out_sql.append(
+                f"CAST(row_number() OVER (PARTITION BY {part_q} ORDER BY "
+                f"{total_order_sql}) AS INTEGER) AS {alias}"
+            )
+        elif p == "run_sum":
+            out_cols.append(
+                F.sum(cents)
+                .over(w_rows.rowsBetween(Window.unboundedPreceding, 0))
+                .alias(alias)
+            )
+            out_sql.append(
+                f"CAST(sum({cents_sql}) OVER (PARTITION BY {part_q} ORDER BY "
+                f"{total_order_sql} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+                f"CURRENT ROW) AS BIGINT) AS {alias}"
+            )
+        elif p == "rank":
+            # ties over the value alone: tied rows share a rank on both
+            # engines regardless of physical order
+            out_cols.append(F.rank().over(w_range).alias(alias))
+            out_sql.append(
+                f"CAST(rank() OVER (PARTITION BY {part_q} ORDER BY "
+                f"{cents_sql}) AS INTEGER) AS {alias}"
+            )
+        elif p == "range_sum":
+            k = rng.randint(100, 100_000)
+            out_cols.append(
+                F.sum(cents).over(w_range.rangeBetween(-k, 0)).alias(alias)
+            )
+            out_sql.append(
+                f"CAST(sum({cents_sql}) OVER (PARTITION BY {part_q} ORDER BY"
+                f" {cents_sql} RANGE BETWEEN {k} PRECEDING AND CURRENT ROW)"
+                f" AS BIGINT) AS {alias}"
+            )
+        else:
+            k = rng.randint(100, 100_000)
+            out_cols.append(
+                F.count(F.lit(1))
+                .over(w_range.rangeBetween(-k, 0))
+                .alias(alias)
+            )
+            out_sql.append(
+                f"CAST(count(*) OVER (PARTITION BY {part_q} ORDER BY"
+                f" {cents_sql} RANGE BETWEEN {k} PRECEDING AND CURRENT ROW)"
+                f" AS BIGINT) AS {alias}"
+            )
+    o_text = " AND ".join(f"o.{p}" for p in o_sql)
+    l_text = " AND ".join(f"l.{p}" for p in l_sql)
+    if how == "inner":
+        join_sql = (
+            f"FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            f"WHERE {o_text} AND {l_text}"
+        )
+    else:
+        # left: right-side predicates live in the ON clause (a WHERE
+        # conjunct would inner-ize the join and erase the NULL
+        # partition this axis exists to cover)
+        join_sql = (
+            f"FROM orders o LEFT JOIN lineitem l ON "
+            f"o.o_orderkey = l.l_orderkey AND {l_text} WHERE {o_text}"
+        )
+    sql = (
+        f"SELECT o.o_orderkey, l.l_linenumber, {part_q}, "
+        + ", ".join(out_sql)
+        + f" {join_sql}"
+    )
+    return {
+        "how": how,
+        "part": part,
+        "o_pred_cols": o_cols,
+        "l_pred_cols": l_cols,
+        "out_cols": out_cols,
+        "sql": sql,
+    }
+
+
+def build_winjoin_spark(
+    spark: SparkSession, sf_dir: str, case: dict
+) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        _conj(case["o_pred_cols"])
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        _conj(case["l_pred_cols"])
+    )
+    # pre-filtering the right side then joining is the DataFrame-native
+    # ON-clause spelling for both join types (build_join_spark precedent)
+    joined = orders.join(
+        lineitem,
+        orders["o_orderkey"] == lineitem["l_orderkey"],
+        "inner" if case["how"] == "inner" else "left_outer",
+    )
+    return joined.select(
+        "o_orderkey", "l_linenumber", case["part"], *case["out_cols"]
+    )

@@ -386,6 +386,48 @@ def test_fuzz_multidistinct_plans_expand(spark):
     )
 
 
+WINJOIN_SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", WINJOIN_SEEDS)
+def test_fuzz_winjoin_matches_duckdb(spark, duck, seed):
+    """Axis 22 (round 17, VERDICT r16 stretch #8): windowed aggregates
+    over join results -- drawn orders ⋈ lineitem joins feeding drawn
+    window functions, partition keys from either side, frames from the
+    existing ROWS/RANGE pools. The composition surface axes 3/20 cover
+    only separately: Spark's window-after-join exchange planning, the
+    NULL partition a left join feeds a right-side partition key, and
+    the ASC NULLS FIRST pin on the possibly-null ROWS tiebreak column
+    (Spark's asc default vs DuckDB's NULLS LAST default)."""
+    from tests.fuzz_grammar import build_winjoin_spark, draw_winjoin_case
+
+    case = draw_winjoin_case(seed)
+    df = build_winjoin_spark(spark, SF_SMOKE, case)
+    compare(df, duck, case["sql"])
+
+
+def test_fuzz_winjoin_axis_reaches_null_partition(spark, duck):
+    """The axis's distinguishing hazard -- a null-extended right-side
+    row flowing INTO the window (NULL l_linenumber in the output, NULL
+    partition when the key is right-side) -- must actually occur across
+    the seeds, or every drawn case degenerated to inner behavior and
+    the composition axis is vacuous."""
+    from tests.fuzz_grammar import draw_winjoin_case
+
+    null_extended = 0
+    for seed in WINJOIN_SEEDS:
+        case = draw_winjoin_case(seed)
+        if case["how"] != "left":
+            continue
+        for row in duck.execute(case["sql"]).fetchall():
+            if row[1] is None:  # l_linenumber of a null-extended row
+                null_extended += 1
+    assert null_extended > 0, (
+        "no winjoin seed produced a null-extended row into the window -- "
+        "the axis has drifted off its left-join composition hazard"
+    )
+
+
 def test_fuzz_signedzero_axis_hits_the_window(spark, duck):
     """The axis must not pass vacuously: across the 12 seeds, the
     UNPINNED oracle spelling must actually produce at least one -0.0
@@ -462,6 +504,9 @@ def test_fuzz_set_is_not_vacuous(spark, duck):
 
     sqls += [draw_joinchain_case(s)["sql"] for s in JOINCHAIN_SEEDS]
     sqls += [draw_multidistinct_case(s)["sql"] for s in MULTIDISTINCT_SEEDS]
+    from tests.fuzz_grammar import draw_winjoin_case
+
+    sqls += [draw_winjoin_case(s)["sql"] for s in WINJOIN_SEEDS]
     nonempty = 0
     for sql in sqls:
         rows = duck.execute(sql).fetchall()

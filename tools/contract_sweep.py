@@ -12,6 +12,7 @@ doc 3533's log-ratio mean rounded to -0.0 in DuckDB and +0.0 in Spark
 Usage:
     python tools/contract_sweep.py [sf_dir]   # default /root/testdata/sf0.1
     python tools/contract_sweep.py .scale/sf1 --queries a,b,c   # subset
+    python tools/contract_sweep.py --strict-zero --out SWEEP_r17.json
 
 Comparison is the repo harness's own (type families + canonical rows,
 which intentionally normalizes signed zero like the parity suite); add
@@ -19,10 +20,21 @@ which intentionally normalizes signed zero like the parity suite); add
 driver's float normalization would see. --queries (comma-separated)
 restricts the sweep, e.g. the approximation/threshold tier at a
 make_scale.py-built sf1.
+
+--out writes a committed-artifact JSON (VERDICT r16 task #2: closing-run
+gates were prose-only -- the stdout-only sweep left SURVEY's wall claims
+unverifiable after the fact). The artifact carries per-query status, the
+sf_dir, the strict-zero flag, and the wall;
+tests/test_closing_artifacts.py requires the NEWEST SWEEP_r{N}.json to
+be git-tracked, divergence-free, and to cover EXACTLY the registered
+fleet, so a registration change forces a fresh committed sweep. --out is
+refused with --queries: a subset run must never masquerade as fleet
+coverage.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -41,6 +53,7 @@ def main() -> int:
     argv = sys.argv[1:]
     only: set[str] | None = None
     strict_zero = False
+    out_path: str | None = None
     args: list[str] = []
     i = 0
     while i < len(argv):
@@ -56,16 +69,29 @@ def main() -> int:
         elif a == "--strict-zero":
             strict_zero = True
             i += 1
+        elif a == "--out":
+            if i + 1 >= len(argv):
+                raise SystemExit("--out needs a path")
+            out_path = argv[i + 1]
+            i += 2
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+            i += 1
         elif a.startswith("--"):
             # Unknown flags fail loudly: a typo'd flag silently sweeping
             # the ENTIRE fleet costs ~35 min at sf0.1 (ADVICE r13 #2).
             raise SystemExit(
                 f"unrecognized flag {a!r}; known: --queries NAMES | "
-                "--queries=NAMES | --strict-zero"
+                "--queries=NAMES | --strict-zero | --out PATH"
             )
         else:
             args.append(a)
             i += 1
+    if out_path is not None and only is not None:
+        # a subset artifact would satisfy nothing and could be mistaken
+        # for fleet coverage -- the coverage test checks exact equality
+        # with the registered fleet anyway, so fail at the source
+        raise SystemExit("--out is only valid for full-fleet sweeps (no --queries)")
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     registry._load_all()
     if only is not None:
@@ -74,6 +100,7 @@ def main() -> int:
             raise SystemExit(f"--queries names not registered: {sorted(unknown)}")
     spark = get_spark("contract-sweep")
     con = duck_connection(sf_dir)
+    report: dict[str, dict] = {}
     failures: list[tuple[str, str]] = []
     n = 0
     t0 = time.monotonic()
@@ -86,22 +113,41 @@ def main() -> int:
             df = fn(spark, sf_dir)
             if oracle is None:
                 rows = df.count()  # rows-only queries: must still run
+                report[name] = {"status": "ROWS_ONLY", "rows": rows}
                 print(f"{n:3d} {name}: rows-only ({rows})", flush=True)
                 continue
             # compare_signed collects each side ONCE and layers the
             # byte-level signed-zero multiset check on top; the r13
             # form re-executed both engines a second time per query
             (compare_signed if strict_zero else compare)(df, con, oracle)
+            report[name] = {"status": "OK"}
             print(f"{n:3d} {name}: OK", flush=True)
         except Exception as ex:
-            failures.append((name, str(ex).splitlines()[0][:160]))
+            msg = str(ex).splitlines()[0][:160]
+            report[name] = {"status": "FAIL", "err": msg}
+            failures.append((name, msg))
             print(f"{n:3d} {name}: FAIL {str(ex)[:160]}", flush=True)
-    print(
-        f"sweep: {n - len(failures)}/{n} matched at {sf_dir}"
-        f" in {time.monotonic() - t0:.0f}s"
-    )
+    wall_s = round(time.monotonic() - t0, 1)
+    print(f"sweep: {n - len(failures)}/{n} matched at {sf_dir} in {wall_s:.0f}s")
     for name, msg in failures:
         print(f"  DIVERGED {name}: {msg}")
+    if out_path is not None:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "strict_zero": strict_zero,
+                    "wall_s": wall_s,
+                    "n": n,
+                    "n_failed": len(failures),
+                    "queries": report,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"sweep artifact written to {out_path}")
     spark.stop()
     return 1 if failures else 0
 

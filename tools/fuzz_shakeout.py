@@ -9,10 +9,20 @@ gate.
 
 Usage:
     python tools/fuzz_shakeout.py [sf_dir]   # default /root/testdata/sf0.01
+    python tools/fuzz_shakeout.py /root/testdata/sf0.1 --out FUZZ_r17.json
+
+--out writes a committed-artifact JSON (VERDICT r16 task #2: the
+stdout-only shakeout made SURVEY's closing-run lines unverifiable after
+the fact). The artifact records per-axis case counts, failures, and
+walls; tests/test_closing_artifacts.py requires the NEWEST FUZZ_r{N}.json
+to be git-tracked, failure-free, and to cover EXACTLY the AXES table
+below (names and case counts), so adding a fuzz axis forces a fresh
+committed shakeout.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -48,15 +58,37 @@ AXES = [
     ("lateral", g.draw_lateral_case, g.build_lateral_spark, 12),
     ("joinchain", g.draw_joinchain_case, g.build_joinchain_spark, 12),
     ("multidistinct", g.draw_multidistinct_case, g.build_multidistinct_spark, 12),
+    ("winjoin", g.draw_winjoin_case, g.build_winjoin_spark, 12),
 ]
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    out_path: str | None = None
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--out":
+            if i + 1 >= len(argv):
+                raise SystemExit("--out needs a path")
+            out_path = argv[i + 1]
+            i += 2
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+            i += 1
+        elif a.startswith("--"):
+            raise SystemExit(f"unrecognized flag {a!r}; known: --out PATH")
+        else:
+            args.append(a)
+            i += 1
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("fuzz-shakeout")
     con = duck_connection(sf_dir)
     failures: list[tuple[str, int, str]] = []
+    axes_report: dict[str, dict] = {}
     total = 0
+    wall0 = time.monotonic()
     for name, draw, build, n in AXES:
         t0 = time.monotonic()
         bad = 0
@@ -72,11 +104,33 @@ def main() -> int:
             except AssertionError as e:
                 bad += 1
                 failures.append((name, seed, str(e).splitlines()[0][:160]))
+        axis_wall = round(time.monotonic() - t0, 1)
+        axes_report[name] = {"cases": n, "failed": bad, "wall_s": axis_wall}
         status = "ok" if bad == 0 else f"{bad} FAILED"
-        print(f"  {name:<9} {n:>3} cases  {time.monotonic() - t0:6.1f}s  {status}")
-    print(f"shakeout: {total - len(failures)}/{total} matched at {sf_dir}")
+        print(f"  {name:<9} {n:>3} cases  {axis_wall:6.1f}s  {status}")
+    wall_s = round(time.monotonic() - wall0, 1)
+    print(f"shakeout: {total - len(failures)}/{total} matched at {sf_dir} in {wall_s:.0f}s")
     for name, seed, msg in failures:
         print(f"  DIVERGED {name}[{seed}]: {msg}")
+    if out_path is not None:
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "wall_s": wall_s,
+                    "total": total,
+                    "failed": len(failures),
+                    "axes": axes_report,
+                    "divergences": [
+                        {"axis": a, "seed": s, "err": m} for a, s, m in failures
+                    ],
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"shakeout artifact written to {out_path}")
     spark.stop()
     return 1 if failures else 0
 
