@@ -249,12 +249,29 @@ def chemistry_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # knn_classify_vote. A fixed roster measures the blocked-join shape at
 # every scale; widening the roster is the explicit workload knob.
 #
-# Block partitioning: entity -> block g = id % B; pair (a, b) belongs
-# to block-cell (g_a, g_b); each side replicates B ways on the
-# OPPOSITE block coordinate, so the equi-join key (g_a, g_b) spreads
-# the pair space over B^2 shuffle partitions -- replication cost B per
-# row, task size n^2/B^2, the standard blocked self-join trade. The
-# shuffle_hash hint pins the scale plan (at toy SF Catalyst would
+# Block partitioning (r17 optimization, guide S2.4/S2.5): entity ->
+# join block cg = id % B' (B' = 32, decoupled from the OUTPUT key
+# g = id % 8, which the oracle fixes); unordered pair {x, y} meets
+# exactly once at the TRIANGULAR cell (min(cg_x, cg_y), max(...)):
+# the left role covers cells (cg, j) for j >= cg, the right role
+# (i, cg) for i <= cg, so off-diagonal cells enumerate each pair once
+# (no a_id<b_id discard) and only the B' diagonal cells need the id
+# ordering filter. vs the r6-r16 ordered scheme (B = 8, both
+# orderings enumerated then half filtered) this halves the probe
+# output -- 225M -> 112M generated rows at sf0.1.
+#
+# The explicit repartition(P, cell) with P = spark.sql.shuffle
+# .partitions is load-bearing: the pair space is quadratic in the
+# JOIN OUTPUT while the shuffle INPUT is tiny (15k x ~16 replicas of
+# 40-byte rows), so AQE's byte-based coalescing folded the exchange
+# to 3 partitions and ran the 225M-row probe on 3 of 32 cores. A
+# REPARTITION_BY_NUM exchange is exempt from coalescing and already
+# satisfies the join's hashpartitioning requirement (same keys, same
+# P), so it adds no exchange -- it only pins the parallelism.
+# B'(B'+1)/2 = 528 cells over P partitions keeps task sizes
+# statistically even (guide S2.5: key space >> partition count).
+# Measured sf0.1 solo: 5.83 -> 1.45 s (4.0x), identical 64 rows.
+# The shuffle_hash hint pins the scale plan (at toy SF Catalyst would
 # broadcast and hide the pattern under test).
 #
 # Everything stays in INTEGER units (deltas in pmod-folded cents, pair
@@ -263,6 +280,9 @@ def chemistry_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHEM_BLOCKS = 8
+# Finer blocking factor for the pair JOIN only (output keys stay
+# id % _CHEM_BLOCKS; the oracle never sees this constant).
+_CHEM_JOIN_BLOCKS = 32
 
 
 @register(
@@ -288,41 +308,55 @@ _CHEM_BLOCKS = 8
     """,
 )
 def fpl_chem_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    num_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b2 = _CHEM_JOIN_BLOCKS
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 15000)
     ent = cust.select(
         F.col("c_custkey").alias("id"),
         F.col("c_nationkey").alias("team"),
         (F.pmod(fixed_units(F.col("c_acctbal")), F.lit(2001)) - 1000).alias("d"),
         F.pmod(F.col("c_custkey"), F.lit(_CHEM_BLOCKS)).cast("long").alias("g"),
+        F.pmod(F.col("c_custkey"), F.lit(b2)).cast("long").alias("cg"),
     )
-    blocks = F.array(*[F.lit(i).cast("long") for i in range(_CHEM_BLOCKS)])
-    # a-side replicated across target blocks for b; b-side vice versa:
-    # pair (a,b) meets exactly once, at key (g_a, g_b)
-    a = ent.select(
-        F.col("id").alias("a_id"),
-        F.col("team").alias("a_team"),
-        F.col("d").alias("a_d"),
-        F.col("g").alias("ga"),
-        F.explode(blocks).alias("gb"),
+    # Triangular cells: the left role fans out to (cg, j) for j >= cg,
+    # the right role to (i, cg) for i <= cg; every unordered pair meets
+    # exactly once at (min(cg_x, cg_y), max(cg_x, cg_y)), with only the
+    # diagonal needing the l_id < r_id dedup.
+    left = ent.select(
+        F.col("id").alias("l_id"),
+        F.col("team").alias("l_team"),
+        F.col("d").alias("l_d"),
+        F.col("g").alias("l_g"),
+        F.col("cg").alias("c1"),
+        F.explode(F.sequence(F.col("cg"), F.lit(b2 - 1).cast("long"))).alias("c2"),
+    ).repartition(num_part, "c1", "c2")
+    right = ent.select(
+        F.col("id").alias("r_id"),
+        F.col("team").alias("r_team"),
+        F.col("d").alias("r_d"),
+        F.col("g").alias("r_g"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("cg"))).alias("rc1"),
+        F.col("cg").alias("rc2"),
+    ).repartition(num_part, "rc1", "rc2")
+    mag = F.abs(F.col("l_d") + F.col("r_d"))
+    same_sign = ((F.col("l_d") > 0) & (F.col("r_d") > 0)) | (
+        (F.col("l_d") < 0) & (F.col("r_d") < 0)
     )
-    b = ent.select(
-        F.col("id").alias("b_id"),
-        F.col("team").alias("b_team"),
-        F.col("d").alias("b_d"),
-        F.explode(blocks).alias("ga"),
-        F.col("g").alias("gb"),
-    )
-    mag = F.abs(F.col("a_d") + F.col("b_d"))
-    same_sign = ((F.col("a_d") > 0) & (F.col("b_d") > 0)) | (
-        (F.col("a_d") < 0) & (F.col("b_d") < 0)
-    )
-    same_team = F.col("a_team") == F.col("b_team")
+    same_team = F.col("l_team") == F.col("r_team")
+    # The output keys are the id-ordered pair's blocks: ga = g of the
+    # smaller id, gb = g of the larger (matches the oracle's a.id < b.id
+    # enumeration); the pair magnitude itself is symmetric in the roles.
+    a_first = F.col("l_id") < F.col("r_id")
     return (
-        a.join(b.hint("shuffle_hash"), ["ga", "gb"])
-        .filter(F.col("a_id") < F.col("b_id"))
+        left.join(
+            right.hint("shuffle_hash"),
+            on=[F.col("c1") == F.col("rc1"), F.col("c2") == F.col("rc2")],
+            how="inner",
+        )
+        .filter((F.col("c1") != F.col("c2")) | (F.col("l_id") < F.col("r_id")))
         .select(
-            "ga",
-            "gb",
+            F.when(a_first, F.col("l_g")).otherwise(F.col("r_g")).alias("ga"),
+            F.when(a_first, F.col("r_g")).otherwise(F.col("l_g")).alias("gb"),
             F.when(same_team == same_sign, mag).otherwise(-mag).alias("m"),
         )
         .groupBy("ga", "gb")

@@ -65,6 +65,12 @@ CHANGED_THIS_ROUND: list[str] = [
     # re-verify the hash path.
     "graph_triangle_counts",
     "graph_triangle_doulion",
+    # r17 optimization round: blocked pair self-join rebuilt as a
+    # triangular-cell scheme (join blocks decoupled from the output
+    # keys) with REPARTITION_BY_NUM-pinned probe parallelism -- AQE's
+    # byte-based coalescing had folded the 225M-row probe onto 3 of 32
+    # cores. Same 64 rows, same oracle; sf0.1 solo 6.1 -> 1.3 s.
+    "fpl_chem_blocked_pairs",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16

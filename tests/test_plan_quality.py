@@ -538,6 +538,23 @@ def test_containment_pairs_join_shape(spark):
     assert "ShuffledHashJoin" in plan, f"containment self-join not SHJ:\n{plan}"
 
 
+def test_chem_blocked_pairs_pins_probe_parallelism(spark):
+    """r17 optimization guard: the blocked pair self-join's quadratic
+    cost is in the JOIN OUTPUT while its shuffle INPUT is tiny, so
+    AQE's byte-based coalescing once folded the probe onto 3 of 32
+    cores (sf0.1: 6.1 s -> 1.3 s when pinned). Both sides must reach
+    the ShuffledHashJoin through REPARTITION_BY_NUM exchanges (exempt
+    from coalescing), and the pair aggregation must combine map-side
+    before the group exchange."""
+    plan = plan_of(all_queries()["fpl_chem_blocked_pairs"](spark, SF))
+    assert "ShuffledHashJoin" in plan, f"pair join not SHJ:\n{plan}"
+    assert plan.count("REPARTITION_BY_NUM") == 2, (
+        f"pair join sides not parallelism-pinned:\n{plan}"
+    )
+    # partial agg below the exchange: two HashAggregates for one groupBy
+    assert plan.count("HashAggregate") >= 2, f"no map-side combine:\n{plan}"
+
+
 def test_skyline_single_bounded_global_window(spark):
     """Exactly ONE unpartitioned ordered window may exist -- the
     ~100-row price-band boundary table. A second one means the sweep
