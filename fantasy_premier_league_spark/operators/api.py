@@ -48,7 +48,6 @@ from fantasy_premier_league_spark.operators.pipeline import (
     _RAW_SQL,
     _TEAM_ENTRIES_SQL,
     _TEAMS_CSV_SQL,
-    chemistry_df,
     fpl_a6,
     fpl_a7,
     load_players,
@@ -99,7 +98,26 @@ def team_strengths(spark: SparkSession, request: dict) -> DataFrame:
     ids = roster.join(players, roster.player_name == players.name).select(
         "team", "team_name", F.col("Id").alias("playerId")
     )
-    chem = chemistry_df(spark)
+    from fantasy_premier_league_spark.operators.pipeline import (
+        chemistry_from_trace,
+        performance_df,
+        rating_trace_df,
+    )
+    from pyspark.sql import Window
+
+    # ONE rating-trace materialization feeds both consumers (the
+    # chemistry pair join AND the final-rating branch): without the
+    # checkpoint the perf+fold pipeline appears 3x in the plan and only
+    # the chem self-join's identical exchanges get runtime reuse -- the
+    # final-rating branch re-ran the whole applyInPandas fold (the t16
+    # double-fold class; ml_kmeans_rating_impute checkpoints for the
+    # same reason). r17 A/B: 4.8 -> 3.8 s solo med at sf0.1.
+    trace = rating_trace_df(performance_df(spark)).localCheckpoint(
+        eager=False
+    )
+    chem = chemistry_from_trace(
+        trace.select("playerId", "matchId", "teamId", "delta")
+    )
     a, b = ids.alias("a"), ids.alias("b")
     # A9: ordered-pair double count (ui.py:57-64) == 2 x unordered sum
     team_chem = (
@@ -111,13 +129,6 @@ def team_strengths(spark: SparkSession, request: dict) -> DataFrame:
         .groupBy(F.col("a.team").alias("team"))
         .agg((F.sum("chemistry") * 2 / 11).alias("team_avg"))
     )
-    from fantasy_premier_league_spark.operators.pipeline import (
-        performance_df,
-        rating_trace_df,
-    )
-    from pyspark.sql import Window
-
-    trace = rating_trace_df(performance_df(spark))
     w = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
     final_rating = (
         trace.withColumn("rn", F.row_number().over(w))

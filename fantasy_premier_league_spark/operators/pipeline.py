@@ -790,6 +790,15 @@ def chemistry_df(spark: SparkSession) -> DataFrame:
     trace = rating_trace_df(performance_df(spark)).select(
         "playerId", "matchId", "teamId", "delta"
     )
+    return chemistry_from_trace(trace)
+
+
+def chemistry_from_trace(trace: DataFrame) -> DataFrame:
+    """A6 chemistry off an already-built rating trace (playerId,
+    matchId, teamId, delta). Split from chemistry_df so callers that
+    ALSO consume the trace directly (team_strengths: chem + the
+    final-rating branch) can share ONE materialized trace instead of
+    re-running the perf+fold pipeline per branch."""
     a, b = trace.alias("a"), trace.alias("b")
     pairs = a.join(
         b,

@@ -71,23 +71,38 @@ CHANGED_THIS_ROUND: list[str] = [
     # byte-based coalescing had folded the 225M-row probe onto 3 of 32
     # cores. Same 64 rows, same oracle; sf0.1 solo 6.1 -> 1.3 s.
     "fpl_chem_blocked_pairs",
+    # r17: team_strengths now materializes ONE rating trace shared by
+    # the chemistry join and the final-rating branch (the applyInPandas
+    # fold ran up to 3x per plan; 4.8 -> 3.8 s solo at sf0.1) -- both
+    # req1 consumers changed plans. (chemistry_df itself was split into
+    # chemistry_from_trace + a thin wrapper, expression-identical for
+    # every other consumer: no plan change outside the two req1 rows.)
+    "fpl_req1_win_prediction",
+    "fpl_req1_invalid_team_quirk",
+    # r17: the pocket-perceptron history fuses each iteration's weight
+    # update with the previous iteration's accuracy readout (one
+    # aggregate emits both); corpus scans per training run drop from
+    # 2T to T+1. Same integer arithmetic, same history rows.
+    "quality_perceptron_train",
+    "quality_perceptron_apply",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
 # driver sample, both green in CORRECTNESS_r16.json, and pruned here
-# per VERDICT r16 task #1. r17 registers NOTHING, so after the two
-# CHANGED rows the head budget goes to rotation: the 6 r12-vintage rows
+# per VERDICT r16 task #1. r17 registers NOTHING, so after the CHANGED
+# rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus 42 of the 45 r13 rows. Three r13
-# rows slip to r18 by arithmetic (53 candidates, 50 slots; the verdict
-# budgeted one slip, the two CHANGED triangle rows add two more -- a
-# deliberate trade for fixing the top committed wall, t16-precedent):
-# the rotation's registration-order tiebreak makes the slipped rows the
-# LAST-registered r13-vintage queries -- computed from the artifacts:
-# q21_waiting_supplier, q22_idle_customers, text_udtf_chunk_windows;
-# they become stale at r18 and head that sample automatically.
-# Recorded intent, not an oversight.)
+# sql_frontend_running_total) plus the oldest r13 rows. With 7 CHANGED
+# entries (optimization round: every query whose physical plan moved
+# must be driver-re-verified first -- correctness outranks rotation
+# cadence), 58 candidates compete for 50 slots and 8 r13 rows slip to
+# r18 by arithmetic (the verdict budgeted one slip; the optimization
+# rounds' re-verification demand adds the rest -- the t16-precedent
+# trade, taken deliberately). The rotation's registration-order
+# tiebreak makes the slipped rows the LAST-registered r13-vintage
+# queries; they become stale at r18 and head that sample
+# automatically. Recorded intent, not an oversight.)
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:

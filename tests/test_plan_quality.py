@@ -555,6 +555,40 @@ def test_chem_blocked_pairs_pins_probe_parallelism(spark):
     assert plan.count("HashAggregate") >= 2, f"no map-side combine:\n{plan}"
 
 
+def test_req1_shared_trace_single_fold(spark):
+    """r17 optimization guard: team_strengths materializes ONE rating
+    trace (lazy localCheckpoint) shared by the chemistry pair join and
+    the final-rating branch. Before the fix the applyInPandas fold
+    appeared up to 3x in the req1 plans and the final-rating branch
+    re-ran the whole perf+fold pipeline (sf0.1 solo: 4.8 -> 3.8 s).
+    The final plan must show ZERO FlatMapGroupsInPandas nodes -- the
+    single fold lives behind the shared checkpoint and runs once at
+    materialization."""
+    for name in ("fpl_req1_invalid_team_quirk", "fpl_req1_win_prediction"):
+        plan = plan_of(build(spark, name), mode="simple")
+        assert "FlatMapGroupsInPandas" not in plan, (
+            f"{name}: rating-trace fold re-entered the plan (the shared "
+            f"localCheckpoint in team_strengths was dropped):\n{plan}"
+        )
+
+
+def test_perceptron_history_fused_readouts(spark):
+    """r17 optimization guard: each perceptron iteration's accuracy
+    readout is fused into the NEXT iteration's update aggregate (same
+    scan, same `mis` predicate), so a training run scans the feature
+    table T+1 times instead of 2T. In the train plan that leaves
+    exactly ONE visible aggregate pair -- the final readout under w_T
+    -- over one broadcast crossJoin; every other readout projects from
+    a per-iteration checkpoint (Scan ExistingRDD)."""
+    plan = plan_of(build(spark, "quality_perceptron_train"), mode="simple")
+    assert plan.count("HashAggregate") == 2, (
+        f"perceptron history grew extra readout scans:\n{plan}"
+    )
+    assert plan.count("BroadcastNestedLoopJoin") == 1, (
+        f"perceptron history: expected one visible feature crossJoin:\n{plan}"
+    )
+
+
 def test_skyline_single_bounded_global_window(spark):
     """Exactly ONE unpartitioned ordered window may exist -- the
     ~100-row price-band boundary table. A second one means the sweep
