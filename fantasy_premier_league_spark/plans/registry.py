@@ -85,6 +85,11 @@ CHANGED_THIS_ROUND: list[str] = [
     # 2T to T+1. Same integer arithmetic, same history rows.
     "quality_perceptron_train",
     "quality_perceptron_apply",
+    # r17: t18's fixture staging is one partitioned write instead of 8
+    # filter+coalesce jobs (same 8 single-file fixtures, same ladder
+    # order; per-file row order differs, which the order-insensitive
+    # per-batch dedup and the oracle never observe).
+    "t18_stream_dedup_history",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16

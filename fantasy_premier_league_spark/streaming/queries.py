@@ -1168,18 +1168,32 @@ def stage_crawl_stream(spark: SparkSession, sf_dir: str, root: str) -> str:
         .alias("text"),
     )
     now = time.time()
-    for i, (crawl, bucket) in enumerate(
-        [(c, b) for c in (docs, recrawl) for b in range(4)]
-    ):
-        part_dir = os.path.join(root, f"_stage{i:02d}")
-        crawl.filter(
-            (F.col("doc_id") % 100000000) % 4 == bucket
-        ).coalesce(1).write.parquet(part_dir)
-        part = _g.glob(os.path.join(part_dir, "part-*.parquet"))[0]
+    # ONE partitioned write stages all 8 fixture files (r17): the
+    # previous per-bucket loop ran 8 filter+coalesce(1) jobs, each
+    # re-scanning the documents table -- 8 jobs of per-job fixed
+    # cost for 2 logical scans of data. Hash-partitioning on the
+    # 8-value bucket key sends every bucket to exactly one task, so
+    # partitionBy(b) emits exactly one file per bucket dir; row
+    # order within a file differs from the loop form, which is
+    # invisible to the drain (per-batch min/groupBy + anti-join are
+    # order-insensitive) and to the oracle (min(doc_id) per digest).
+    # Interleaved A/B at sf0.1: ~0.6 s warm, 2-4 s cold per run.
+    both = docs.withColumn(
+        "b", (F.col("doc_id") % 4).cast("int")
+    ).unionByName(
+        recrawl.withColumn(
+            "b", ((F.col("doc_id") % 100000000) % 4 + 4).cast("int")
+        )
+    )
+    stage = os.path.join(root, "_stage_all")
+    both.repartition("b").write.partitionBy("b").parquet(stage)
+    for i in range(8):
+        part = _g.glob(os.path.join(stage, f"b={i}", "part-*.parquet"))
+        assert len(part) == 1, f"expected 1 staged file for b={i}: {part}"
         dst = os.path.join(src, f"crawl_{i:02d}.parquet")
-        shutil.move(part, dst)
+        shutil.move(part[0], dst)
         os.utime(dst, (now + i, now + i))
-        shutil.rmtree(part_dir, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     return src
 
 

@@ -428,3 +428,28 @@ def test_dedup_history_restart_idempotent(spark, tmp_path):
     digests = [r[1] for r in got_acc]
     assert len(digests) == len(set(digests))
     assert sorted({r[2] for r in got_acc}) == list(range(8))
+
+
+def test_crawl_stage_single_job_contract(spark, tmp_path):
+    """r17 optimization guard: stage_crawl_stream now stages all 8
+    fixture files with ONE partitioned write (was 8 filter+coalesce
+    jobs). The file-source replay contract must survive the rewrite:
+    exactly 8 single-file fixtures named in ladder order, strictly
+    ascending mtimes (batch_id == file index), and every row in file i
+    belonging to crawl-bucket i."""
+    from fantasy_premier_league_spark.streaming.queries import (
+        stage_crawl_stream,
+    )
+
+    src = stage_crawl_stream(spark, "/root/testdata/sf0.001", str(tmp_path))
+    files = sorted(os.listdir(src))
+    assert files == [f"crawl_{i:02d}.parquet" for i in range(8)]
+    mtimes = [os.path.getmtime(os.path.join(src, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 8
+    for i, f in enumerate(files):
+        rows = spark.read.parquet(os.path.join(src, f)).collect()
+        assert rows, f"{f}: empty fixture (bucket {i} lost its rows)"
+        for r in rows:
+            crawl2 = r.doc_id >= 100000000
+            bucket = (4 if crawl2 else 0) + (r.doc_id % 100000000) % 4
+            assert bucket == i, f"{f}: doc {r.doc_id} in wrong bucket"
