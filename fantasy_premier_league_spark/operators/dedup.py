@@ -604,11 +604,6 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join); materialize the edge list ONCE and cut its lineage, so no
     # per-round job re-plans the generation pipeline
     edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
     # the loop runs 2 joins + 1 agg PER ROUND over the (usually small)
     # label table: size the per-round reducers to the edge count, not
     # the session default (count is free on the checkpointed edges)
@@ -616,7 +611,28 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_sum = None
     converged = False
-    with sized_loop_partitions(spark, edges.count()):
+    with sized_loop_partitions(spark, edges.count()) as parts:
+        # cache the edge list HASH-PARTITIONED ON src at the loop's
+        # reducer count (r17, guide §2.4 "share one exchange"): the
+        # propagation join requires src-hash distribution, and an
+        # InMemoryTableScan preserves its cached plan's
+        # outputPartitioning (localCheckpoint does NOT under AQE --
+        # LogicalRDD comes back UnknownPartitioning, verified on this
+        # build), so every round's ShuffledHashJoin probes the cached
+        # edges WITHOUT re-shuffling them -- the BIG side at corpus
+        # scale, previously one edge-list exchange per round. One tiny
+        # shuffle of the already-checkpointed pairs buys rounds x
+        # |edges| shuffle removal. REPARTITION_BY_NUM is exempt from
+        # AQE coalescing, so the partition count stays aligned with
+        # the loop's reducer count and co-partitioning holds.
+        edges = edges.repartition(parts, "src").cache()
+        # label init inherits the src partitioning: the distinct's
+        # final aggregate runs exchange-free on the cached layout
+        labels = (
+            edges.select(F.col("src").alias("node")).distinct()
+            .withColumn("lbl", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
         for rnd in range(1, _MAX_ROUNDS + 1):
             jumped = _cc_round(edges, labels)
             if rnd % _CKPT_EVERY == 0:

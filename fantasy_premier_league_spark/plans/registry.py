@@ -90,6 +90,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # order; per-file row order differs, which the order-insensitive
     # per-batch dedup and the oracle never observe).
     "t18_stream_dedup_history",
+    # r17: the CC loop caches the edge list repartition(parts, src) so
+    # the per-round propagation join probes it WITHOUT re-shuffling
+    # (localCheckpoint loses partitioning under AQE; the cache's
+    # InMemoryTableScan preserves it) -- per-round edge exchanges
+    # 2 -> 0. Same fixpoint labels, same oracles; keep_best inherits.
+    "dedup_cluster_components",
+    "dedup_cluster_keep_best",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
@@ -98,10 +105,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 7 CHANGED
+# sql_frontend_running_total) plus the oldest r13 rows. With 9 CHANGED
 # entries (optimization round: every query whose physical plan moved
 # must be driver-re-verified first -- correctness outranks rotation
-# cadence), 58 candidates compete for 50 slots and 8 r13 rows slip to
+# cadence), 60 candidates compete for 50 slots and 10 r13 rows slip to
 # r18 by arithmetic (the verdict budgeted one slip; the optimization
 # rounds' re-verification demand adds the rest -- the t16-precedent
 # trade, taken deliberately). The rotation's registration-order

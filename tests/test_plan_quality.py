@@ -367,6 +367,40 @@ def test_cc_round_plan_has_no_sortmergejoin(spark):
     )
 
 
+def test_cc_round_reuses_cached_edge_partitioning(spark):
+    """r17: the loop caches the edge list repartition(parts, src), and
+    the InMemoryTableScan's preserved HashPartitioning(src) must keep
+    the propagation join from re-shuffling the edge list every round
+    (the BIG side at corpus scale). A regression -- e.g. swapping the
+    cache for a localCheckpoint, which loses partitioning under AQE --
+    re-adds an ENSURE_REQUIREMENTS exchange on src per round."""
+    from fantasy_premier_league_spark.operators.dedup import _cc_round
+
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        .repartition(parts, "src")
+        .cache()
+    )
+    try:
+        edges.count()
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "node long, lbl long"
+        )
+        plan = plan_of(_cc_round(edges, labels))
+        src_exchanges = [
+            line
+            for line in plan.splitlines()
+            if "hashpartitioning(src" in line and "ENSURE_REQUIREMENTS" in line
+        ]
+        assert not src_exchanges, (
+            f"CC round: the edge list is re-shuffled by src inside the loop "
+            f"body despite the partitioned cache:\n{plan}"
+        )
+    finally:
+        edges.unpersist()
+
+
 def test_aqe_skew_join_actually_splits(spark):
     from fantasy_premier_league_spark.operators import advanced
 
