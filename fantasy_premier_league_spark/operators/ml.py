@@ -573,11 +573,16 @@ def _impute_oracle() -> str:
     return sql
 
 
-def _fpl_cluster_labels(spark: SparkSession) -> DataFrame:
+def _fpl_cluster_labels(
+    spark: SparkSession, counters: DataFrame | None = None
+) -> DataFrame:
     """Spark twin of ``_fpl_lloyds_ctes``: (user_id, cid, n_matches)
     for every rostered player. 100 TB shape: one groupBy(playerId) for
     features, then per Lloyd's round one broadcast of k centroids + one
-    groupBy(k) -- the corpus never self-joins."""
+    groupBy(k) -- the corpus never self-joins.
+
+    ``counters`` (optional) shares one materialized match-counters
+    frame with the caller's other branches (see performance_df)."""
     from fantasy_premier_league_spark.operators.pipeline import (
         events_df,
         load_players,
@@ -585,7 +590,11 @@ def _fpl_cluster_labels(spark: SparkSession) -> DataFrame:
         metric_vectors,
     )
 
-    ctrs = match_counters(metric_vectors(events_df(spark)))
+    ctrs = (
+        counters
+        if counters is not None
+        else match_counters(metric_vectors(events_df(spark)))
+    )
     f0 = ctrs.groupBy("playerId").agg(
         F.count("*").alias("n_matches"),
         (100 * F.sum("goals") + F.sum("shots_on_target")).alias("fx"),
@@ -630,12 +639,21 @@ def ml_kmeans_rating_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-mean rating imputation for sparse players (spec'd use of
     the KMeans clustering; composes Lloyd's with the rating pipeline)."""
     from fantasy_premier_league_spark.operators.pipeline import (
+        events_df,
+        match_counters,
+        metric_vectors,
         performance_df,
         rating_trace_df,
     )
 
-    lab = _fpl_cluster_labels(spark)
-    trace = rating_trace_df(performance_df(spark))
+    # ONE events corpus pass (r17, guide §2.4): the cluster-feature
+    # branch and the rating-trace branch both aggregate the same match
+    # counters; materialize them once and feed both.
+    ctrs = match_counters(metric_vectors(events_df(spark))).localCheckpoint(
+        eager=False
+    )
+    lab = _fpl_cluster_labels(spark, counters=ctrs)
+    trace = rating_trace_df(performance_df(spark, counters=ctrs))
     w = Window.partitionBy("playerId").orderBy(F.col("matchId").desc())
     rat = (
         trace.withColumn("rn", F.row_number().over(w))
@@ -765,9 +783,29 @@ def ml_kmeans_chemistry_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-pair-mean chemistry imputation for pairs involving
     sparse (< _MIN_MATCHES) players -- the other half of Specs.pdf's
     clustering purpose (SURVEY 2.9)."""
-    from fantasy_premier_league_spark.operators.pipeline import chemistry_df
+    from fantasy_premier_league_spark.operators.pipeline import (
+        chemistry_from_trace,
+        events_df,
+        match_counters,
+        metric_vectors,
+        performance_df,
+        rating_trace_df,
+    )
 
-    lab = _fpl_cluster_labels(spark).localCheckpoint(
+    # ONE events corpus pass (r17, guide §2.4): cluster features and
+    # the chemistry trace share one materialized counters frame; and
+    # ONE rating-trace fold -- the un-checkpointed trace self-join ran
+    # the applyInPandas fold on both sides (only the exchange below it
+    # gets AQE runtime reuse), the same class as the req1 fix.
+    ctrs = match_counters(metric_vectors(events_df(spark))).localCheckpoint(
+        eager=False
+    )
+    trace = (
+        rating_trace_df(performance_df(spark, counters=ctrs))
+        .select("playerId", "matchId", "teamId", "delta")
+        .localCheckpoint(eager=False)
+    )
+    lab = _fpl_cluster_labels(spark, counters=ctrs).localCheckpoint(
         eager=False
     )  # roster-sized dim: feeds both pair sides + the sparse candidates
     l1 = lab.select(
@@ -781,7 +819,7 @@ def ml_kmeans_chemistry_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matches").alias("nm2"),
     )
     dense_pl = (
-        chemistry_df(spark)
+        chemistry_from_trace(trace)
         .join(F.broadcast(l1), "p1")
         .join(F.broadcast(l2), "p2")
         .filter(

@@ -474,10 +474,19 @@ def fpl_j5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def performance_df(spark: SparkSession) -> DataFrame:
+def performance_df(spark: SparkSession, counters: DataFrame | None = None) -> DataFrame:
     """Per fielded (player, match): the penalized contribution
-    (master.py:230-232), joined J2-style (inner on roster membership)."""
-    fm = final_metrics_df(match_counters(metric_vectors(events_df(spark))))
+    (master.py:230-232), joined J2-style (inner on roster membership).
+
+    ``counters`` lets a caller that ALSO aggregates the match counters
+    for another branch (the KMeans imputation queries: cluster features
+    + rating trace) pass ONE materialized counters frame instead of
+    re-running the events corpus pass per branch; the expression is
+    identical to the default, so plans only change for callers that
+    opt in."""
+    if counters is None:
+        counters = match_counters(metric_vectors(events_df(spark)))
+    fm = final_metrics_df(counters)
     spans = player_spans(matches_df(spark)).select("matchId", "playerId", "teamId")
     contribution = (
         F.col("pass_accuracy")

@@ -97,6 +97,13 @@ CHANGED_THIS_ROUND: list[str] = [
     # 2 -> 0. Same fixpoint labels, same oracles; keep_best inherits.
     "dedup_cluster_components",
     "dedup_cluster_keep_best",
+    # r17: the KMeans imputation queries share ONE match-counters frame
+    # between the cluster-feature branch and the rating-trace branch
+    # (was two events-corpus passes), and chemistry_impute checkpoints
+    # the trace before the pair self-join (fold 2x -> 1x, the req1
+    # class). Same rows, same oracles; sf0.1 warm med 6.0 -> 4.8 s.
+    "ml_kmeans_chemistry_impute",
+    "ml_kmeans_rating_impute",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
@@ -105,10 +112,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 9 CHANGED
+# sql_frontend_running_total) plus the oldest r13 rows. With 11 CHANGED
 # entries (optimization round: every query whose physical plan moved
 # must be driver-re-verified first -- correctness outranks rotation
-# cadence), 60 candidates compete for 50 slots and 10 r13 rows slip to
+# cadence), 62 candidates compete for 50 slots and 12 r13 rows slip to
 # r18 by arithmetic (the verdict budgeted one slip; the optimization
 # rounds' re-verification demand adds the rest -- the t16-precedent
 # trade, taken deliberately). The rotation's registration-order

@@ -606,6 +606,27 @@ def test_req1_shared_trace_single_fold(spark):
         )
 
 
+def test_chem_impute_single_fold_and_shared_counters(spark):
+    """r17 optimization guard: ml_kmeans_chemistry_impute checkpoints
+    the rating trace BEFORE the chemistry self-join (the legacy
+    chemistry_df form carries TWO FlatMapGroupsInPandas folds, one per
+    join side -- only the exchange below them gets AQE runtime reuse)
+    and shares ONE match-counters frame between the cluster-feature
+    branch and the trace branch. The registered plan must show zero
+    Python fold nodes; the fold runs once at checkpoint
+    materialization."""
+    from fantasy_premier_league_spark.operators.pipeline import chemistry_df
+
+    legacy = plan_of(chemistry_df(spark), mode="simple")
+    assert legacy.count("FlatMapGroupsInPandas") == 2  # the class being fixed
+    for name in ("ml_kmeans_chemistry_impute", "ml_kmeans_rating_impute"):
+        plan = plan_of(build(spark, name), mode="simple")
+        assert "FlatMapGroupsInPandas" not in plan, (
+            f"{name}: the rating-trace fold re-entered the plan (the "
+            f"shared trace/counters checkpoint was dropped):\n{plan}"
+        )
+
+
 def test_perceptron_history_fused_readouts(spark):
     """r17 optimization guard: each perceptron iteration's accuracy
     readout is fused into the NEXT iteration's update aggregate (same
