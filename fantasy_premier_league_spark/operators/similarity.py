@@ -878,72 +878,101 @@ def _pq_feats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
+def _subspace_long(df: DataFrame, id_col: str) -> DataFrame:
+    """(id, s, sub): every subspace slice of every vector as ONE long
+    frame, so the train pipeline touches the corpus once per Lloyd's
+    step instead of once per subspace (r17, guide §1.1/§2.4: M=4
+    independent per-subspace pipelines re-scanned the corpus 3M times
+    and paid Catalyst planning per subspace -- the recenter checkpoints
+    alone were ~4.6 s of driver plan time at any data size)."""
+    return df.select(
+        id_col,
+        F.posexplode(
+            F.array(*[_pq_sub(F.col("xs"), s) for s in range(_PQ_M)])
+        ).alias("s", "sub"),
+    )
+
+
 def _pq_train(feats: DataFrame, q_ids: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     """Train the M per-subspace codebooks (deterministic Lloyd's:
     first-K init + one exact-integer recenter) and return
     ``(codes, luts)``: codes = (vec_id, c0..c{M-1}); luts[s] =
     (query_id, c{s}, p{s}) broadcast-sized ADC lookup tables for the
     given query frame (query_id, xs). Shared by the pure-PQ and IVF-PQ
-    recall queries so both serve from IDENTICAL codebooks."""
+    recall queries so both serve from IDENTICAL codebooks.
 
-    def argmin(sub_feats: DataFrame, cents: DataFrame, out: str) -> DataFrame:
-        pairs = sub_feats.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cid", _pq_dist2(F.col("sub"), F.col("cs")).alias("dist")
+    All M subspaces train in ONE long-format pipeline keyed by (s, ...)
+    -- identical per-(vec_id, s) arithmetic to the per-subspace loop
+    (same slices, same fold-order distances, same min_by tie-breaks,
+    same exact-integer recenter sums), so codes and LUTs are
+    bit-identical; only the pass/plan count changes."""
+
+    def argmin_long(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+        pairs = subs.join(F.broadcast(cents), "s").select(
+            id_col, "s", "cid", _pq_dist2(F.col("sub"), F.col("cs")).alias("dist")
         )
-        return pairs.groupBy("vec_id").agg(
-            F.min_by("cid", F.struct("dist", "cid")).alias(out)
+        return pairs.groupBy(id_col, "s").agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias("cid")
         )
 
-    codes = None
-    luts = []
-    for s in range(_PQ_M):
-        sub = feats.select("vec_id", _pq_sub(F.col("xs"), s).alias("sub"))
-        cb0 = (
-            sub.orderBy("vec_id")
-            .limit(_PQ_K)
-            .select(
-                F.row_number()
-                .over(Window.partitionBy(F.lit(0)).orderBy("vec_id"))
-                .alias("cid"),
-                F.transform("sub", lambda x: x.cast("double")).alias("cs"),
-            )
-            .localCheckpoint(eager=False)
+    subs = _subspace_long(feats, "vec_id")
+    # init: the SAME first-K vectors seed every subspace's codebook
+    cb0 = _subspace_long(
+        feats.orderBy("vec_id")
+        .limit(_PQ_K)
+        .select(
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy("vec_id"))
+            .alias("cid"),
+            "xs",
+        ),
+        "cid",
+    ).select(
+        "s", "cid", F.transform("sub", lambda x: x.cast("double")).alias("cs")
+    ).localCheckpoint(eager=False)
+    assign0 = argmin_long(subs, cb0, "vec_id")
+    # exact-integer elementwise recenter, reassembled in pos order
+    cb = (
+        subs.join(assign0.hint("shuffle_hash"), ["vec_id", "s"])
+        .select("s", "cid", F.posexplode("sub").alias("pos", "x"))
+        .groupBy("s", "cid", "pos")
+        .agg((F.sum("x").cast("double") / F.count("*")).alias("c"))
+        .groupBy("s", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda t: t["c"],
+            ).alias("cs")
         )
-        assign0 = argmin(sub, cb0, "cid")
-        # exact-integer elementwise recenter, reassembled in pos order
-        cb = (
-            sub.join(assign0, "vec_id")
-            .select("cid", F.posexplode("sub").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg((F.sum("x").cast("double") / F.count("*")).alias("c"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                    lambda t: t["c"],
-                ).alias("cs")
-            )
-            .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)
+    )
+    code_long = argmin_long(subs, cb, "vec_id")
+    # wide (vec_id, c0..c{M-1}) for the ADC join chain: one groupBy
+    # replaces the former M-1 shuffle_hash self-joins on vec_id
+    codes = code_long.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"c{s}")
+            for s in range(_PQ_M)
+        ]
+    )
+    lut_long = (
+        _subspace_long(q_ids, "query_id")
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "s",
+            "cid",
+            _pq_dist2(F.col("sub"), F.col("cs")).alias("p"),
         )
-        code_s = argmin(sub, cb, f"c{s}")
-        # narrow (vec_id, code) tables equi-joined on exact keys with no
-        # downstream order need: shuffle_hash, not sort-merge (same
-        # rationale as the CC iteration body)
-        codes = (
-            code_s
-            if codes is None
-            else codes.join(code_s.hint("shuffle_hash"), "vec_id")
+    ).localCheckpoint(eager=False)
+    luts = [
+        lut_long.filter(F.col("s") == s).select(
+            "query_id",
+            F.col("cid").alias(f"c{s}"),
+            F.col("p").alias(f"p{s}"),
         )
-        lut = (
-            q_ids.select("query_id", _pq_sub(F.col("xs"), s).alias("sub"))
-            .crossJoin(F.broadcast(cb))
-            .select(
-                "query_id",
-                F.col("cid").alias(f"c{s}"),
-                _pq_dist2(F.col("sub"), F.col("cs")).alias(f"p{s}"),
-            )
-        )
-        luts.append(lut)
+        for s in range(_PQ_M)
+    ]
     return codes, luts
 
 

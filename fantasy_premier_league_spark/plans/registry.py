@@ -104,6 +104,14 @@ CHANGED_THIS_ROUND: list[str] = [
     # class). Same rows, same oracles; sf0.1 warm med 6.0 -> 4.8 s.
     "ml_kmeans_chemistry_impute",
     "ml_kmeans_rating_impute",
+    # r17: _pq_train rebuilt in long format -- all M subspaces train in
+    # one exploded (vec_id, s, sub) pipeline instead of M independent
+    # ones (feature-table scans in the ann_pq_recall plan 22 -> 8, and
+    # ~4.6 s of per-subspace Catalyst planning removed). Bit-identical
+    # codes/LUTs (same slices, fold order, tie-breaks, integer sums);
+    # both PQ consumers' plans changed.
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
@@ -112,10 +120,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 11 CHANGED
+# sql_frontend_running_total) plus the oldest r13 rows. With 13 CHANGED
 # entries (optimization round: every query whose physical plan moved
 # must be driver-re-verified first -- correctness outranks rotation
-# cadence), 62 candidates compete for 50 slots and 12 r13 rows slip to
+# cadence), 64 candidates compete for 50 slots and 14 r13 rows slip to
 # r18 by arithmetic (the verdict budgeted one slip; the optimization
 # rounds' re-verification demand adds the rest -- the t16-precedent
 # trade, taken deliberately). The rotation's registration-order

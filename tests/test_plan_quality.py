@@ -627,6 +627,22 @@ def test_chem_impute_single_fold_and_shared_counters(spark):
         )
 
 
+def test_pq_train_long_format_scan_budget(spark):
+    """r17 optimization guard: _pq_train processes all M subspaces in
+    ONE long-format pipeline (explode to (vec_id, s, sub)), so the
+    registered ann_pq_recall plan reads the cached feature table a
+    bounded number of times. The per-subspace loop form scanned it 22x
+    (3 passes x 4 subspaces + ADC/exact); the long form is 8. A
+    regression back to per-subspace pipelines roughly triples the
+    count."""
+    plan = plan_of(build(spark, "ann_pq_recall"), mode="simple")
+    n = plan.count("InMemoryTableScan")
+    assert n <= 10, (
+        f"ann_pq_recall: {n} feature-table scans in the plan (the "
+        f"long-format train pipeline bounded this at 8):\n{plan}"
+    )
+
+
 def test_perceptron_history_fused_readouts(spark):
     """r17 optimization guard: each perceptron iteration's accuracy
     readout is fused into the NEXT iteration's update aggregate (same
