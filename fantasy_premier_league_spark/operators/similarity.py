@@ -1374,9 +1374,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("cid").orderBy(F.col("cdist").asc(), F.col("vec_id"))
     xd = F.transform("xs", lambda x: x.cast("double"))
+    # per-VECTOR norm computed once here (r17, guide §1.2 per-task
+    # work): the blocked pair join below evaluated norm() twice per
+    # PAIR -- ~2 x |pairs| 64-term sqrt folds for |vectors| distinct
+    # values; same doubles (sqrt of the identical fold), so the rounded
+    # cosine is bit-identical
     ranked = (
         cdist.withColumn("rnk", F.row_number().over(wr))
-        .select("vec_id", "cid", "rnk", xd.alias("xd"))
+        .select("vec_id", "cid", "rnk", xd.alias("xd"), norm(xd).alias("nrm"))
         .localCheckpoint(eager=False)  # truncate the Lloyd's lineage once
     )
     # equi-key window join: the candidate (build) side appears in its
@@ -1389,6 +1394,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("u_id"),
         F.col("rnk").alias("u_rnk"),
         F.col("xd").alias("uxs"),
+        F.col("nrm").alias("unrm"),
         F.explode(
             F.array(
                 (F.col("rnk") / _SEM_WINDOW).cast("long"),
@@ -1401,11 +1407,11 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("v_id"),
         F.col("rnk").alias("v_rnk"),
         F.col("xd").alias("vxs"),
+        F.col("nrm").alias("vnrm"),
         (F.col("rnk") / _SEM_WINDOW).cast("long").alias("blk"),
     )
     cosine = rounded(
-        dot(F.col("uxs"), F.col("vxs"))
-        / (norm(F.col("uxs")) * norm(F.col("vxs"))),
+        dot(F.col("uxs"), F.col("vxs")) / (F.col("unrm") * F.col("vnrm")),
         6,
     )
     drops = (

@@ -112,6 +112,11 @@ CHANGED_THIS_ROUND: list[str] = [
     # both PQ consumers' plans changed.
     "ann_pq_recall",
     "ann_ivfpq_recall",
+    # r17: the SemDeDup blocked cosine join reads per-vector norms from
+    # the checkpointed ranked frame instead of recomputing
+    # sqrt(sum-of-squares) twice per PAIR (same doubles, bit-identical
+    # rounded cosine; SQRT gone from the registered plan).
+    "dedup_semantic_clusters",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
@@ -120,10 +125,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 13 CHANGED
+# sql_frontend_running_total) plus the oldest r13 rows. With 14 CHANGED
 # entries (optimization round: every query whose physical plan moved
 # must be driver-re-verified first -- correctness outranks rotation
-# cadence), 64 candidates compete for 50 slots and 14 r13 rows slip to
+# cadence), 65 candidates compete for 50 slots and 15 r13 rows slip to
 # r18 by arithmetic (the verdict budgeted one slip; the optimization
 # rounds' re-verification demand adds the rest -- the t16-precedent
 # trade, taken deliberately). The rotation's registration-order

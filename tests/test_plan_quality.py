@@ -627,6 +627,19 @@ def test_chem_impute_single_fold_and_shared_counters(spark):
         )
 
 
+def test_semantic_clusters_no_per_pair_norm(spark):
+    """r17 optimization guard: the blocked cosine join must read the
+    per-vector norm from the checkpointed `ranked` frame, not recompute
+    sqrt(sum-of-squares) per PAIR (2 x |pairs| 64-term folds for
+    |vectors| distinct values). The registered plan therefore carries
+    no SQRT above the checkpoint scan."""
+    plan = plan_of(build(spark, "dedup_semantic_clusters"), mode="simple")
+    assert "SQRT" not in plan.upper(), (
+        f"dedup_semantic_clusters: per-pair norm recomputation "
+        f"re-entered the pair join:\n{plan}"
+    )
+
+
 def test_pq_train_long_format_scan_budget(spark):
     """r17 optimization guard: _pq_train processes all M subspaces in
     ONE long-format pipeline (explode to (vec_id, s, sub)), so the
