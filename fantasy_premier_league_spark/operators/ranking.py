@@ -260,13 +260,17 @@ _KNN_K = 7
     """,
 )
 def knn_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-side norms once per row (r17, guide §1.2: norm() is a
+    # per-vector quantity; inside the crossJoin it ran twice per
+    # (query, vector) pair). Same doubles, bit-identical cosine.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
-    )
+    ).withColumn("nrm", norm(F.col("vec")))
     is_query = (F.col("vec_id") % _KNN_MOD == 0) & (F.col("vec_id") < _KNN_CAP)
     q = emb.filter(is_query).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
         F.col("label").alias("true_label"),
     )
     scored = (
@@ -278,7 +282,7 @@ def knn_classify_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             rounded(
-                dot(F.col("qvec"), F.col("vec")) / (norm(F.col("qvec")) * norm(F.col("vec"))),
+                dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("cosine"),
         )

@@ -69,9 +69,16 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vectors(spark, sf_dir)
+    # per-SIDE norms computed once per row before the pair join (r17,
+    # guide §1.2; the dedup_embedding_cosine precedent): norm() is a
+    # per-vector quantity, and evaluating it inside the crossJoin paid
+    # 2 sqrt folds per (query, vector) PAIR -- |q|x the per-row cost on
+    # the corpus side. Same doubles, bit-identical rounded cosine.
+    v = _vectors(spark, sf_dir).withColumn("nrm", norm(F.col("vec")))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         v.crossJoin(F.broadcast(q))
@@ -80,7 +87,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             rounded(
-                dot(F.col("qvec"), F.col("vec")) / (norm(F.col("qvec")) * norm(F.col("vec"))), 6
+                dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6
             ).alias("cosine"),
         )
     )
@@ -327,43 +334,63 @@ _COS_SQL = """list_dot_product({a}, {b})
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    # per-SIDE norms once per row (r17, guide §1.2): the assignment
+    # crossJoin evaluated norm(vec) once per (vector, centroid) pair --
+    # nlist x the per-row cost over the whole corpus. Same doubles,
+    # bit-identical rounded cosines.
+    v = (
+        _vectors(spark, sf_dir)
+        .select("vec_id", "vec")
+        .withColumn("nrm", norm(F.col("vec")))
+    )
     cent = v.filter(F.col("vec_id") < _NLIST).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+        F.col("vec_id").alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
     )
 
-    def _cos(a: Column, b: Column) -> Column:
-        return dot(a, b) / (norm(a) * norm(b))
+    def _cos(a: Column, b: Column, na: Column, nb: Column) -> Column:
+        return dot(a, b) / (na * nb)
 
     # inverted-list assignment: every corpus vector -> nearest centroid
     rn_assign = F.row_number().over(
         Window.partitionBy("vec_id").orderBy(
-            rounded(_cos(F.col("vec"), F.col("cvec")), 6).desc(), F.col("cid")
+            rounded(
+                _cos(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")), 6
+            ).desc(),
+            F.col("cid"),
         )
     )
     assigned = (
         v.crossJoin(F.broadcast(cent))
         .withColumn("rn", rn_assign)
         .filter(F.col("rn") == 1)
-        .select("vec_id", "vec", "cid")
+        .select("vec_id", "vec", "nrm", "cid")
     )
 
     q = v.filter(
         (F.col("vec_id") >= _NLIST) & (F.col("vec_id") < _NLIST + N_QUERIES)
-    ).select(F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
     rn_probe = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
-            rounded(_cos(F.col("qvec"), F.col("cvec")), 6).desc(), F.col("cid")
+            rounded(
+                _cos(F.col("qvec"), F.col("cvec"), F.col("qnrm"), F.col("cnrm")), 6
+            ).desc(),
+            F.col("cid"),
         )
     )
     probes = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("rn", rn_probe)
         .filter(F.col("rn") <= _NPROBE)
-        .select("query_id", "qvec", "cid")
+        .select("query_id", "qvec", "qnrm", "cid")
     )
 
-    cand_cos = _cos(F.col("qvec"), F.col("vec"))
+    cand_cos = _cos(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm"))
     rank = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
             rounded(cand_cos, 6).desc(), F.col("vec_id")
@@ -486,10 +513,13 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vectors(spark, sf_dir)
+    # per-side norms once per row (r17, guide §1.2; see ann_cosine_topk)
+    v = _vectors(spark, sf_dir).withColumn("nrm", norm(F.col("vec")))
     buckets = v.select("vec_id", _bucket_col(F.col("vec")).alias("bucket"))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     exact = (
@@ -499,7 +529,7 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             rounded(
-                dot(F.col("qvec"), F.col("vec")) / (norm(F.col("qvec")) * norm(F.col("vec"))), 6
+                dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")), 6
             ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -604,7 +634,8 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _vectors(spark, sf_dir)
+    # per-side norms once per row (r17, guide §1.2; see ann_cosine_topk)
+    v = _vectors(spark, sf_dir).withColumn("nrm", norm(F.col("vec")))
     scale = F.array_max(F.transform(F.col("vec"), lambda y: F.abs(y)))
     qz = v.select(
         "vec_id",
@@ -612,7 +643,9 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qn = qz.withColumn("self_dot", dot(F.col("code"), F.col("code")))
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     qq = qn.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -627,8 +660,7 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             rounded(
-                dot(F.col("qvec"), F.col("vec"))
-                / (norm(F.col("qvec")) * norm(F.col("vec"))),
+                dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("cosine"),
         )

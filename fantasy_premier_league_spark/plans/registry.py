@@ -117,6 +117,16 @@ CHANGED_THIS_ROUND: list[str] = [
     # sqrt(sum-of-squares) twice per PAIR (same doubles, bit-identical
     # rounded cosine; SQRT gone from the registered plan).
     "dedup_semantic_clusters",
+    # r17: the same per-pair-norm fix applied to every cosine pair join
+    # (norm() evaluated inside the crossJoin ran 2x per (query, vector)
+    # pair -- |q|x the per-row cost on the corpus side; now a per-side
+    # projected column, the dedup_embedding_cosine precedent). Same
+    # doubles, bit-identical rounded cosines.
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_recall",
+    "ann_sq8_recall",
+    "knn_classify_vote",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
@@ -125,10 +135,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 14 CHANGED
+# sql_frontend_running_total) plus the oldest r13 rows. With 19 CHANGED
 # entries (optimization round: every query whose physical plan moved
 # must be driver-re-verified first -- correctness outranks rotation
-# cadence), 65 candidates compete for 50 slots and 15 r13 rows slip to
+# cadence), 70 candidates compete for 50 slots and 20 r13 rows slip to
 # r18 by arithmetic (the verdict budgeted one slip; the optimization
 # rounds' re-verification demand adds the rest -- the t16-precedent
 # trade, taken deliberately). The rotation's registration-order

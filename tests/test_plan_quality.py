@@ -627,6 +627,29 @@ def test_chem_impute_single_fold_and_shared_counters(spark):
         )
 
 
+def test_cosine_joins_no_per_pair_norms(spark):
+    """r17 optimization guard: every cosine pair join reads per-side
+    norm columns projected BEFORE the join. The per-pair form evaluates
+    BOTH norms inside one join-output expression -- visible as a single
+    plan line carrying two SQRT(aggregate(...)) folds. No plan line may
+    carry more than one SQRT."""
+    for name in (
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "ann_lsh_recall",
+        "ann_sq8_recall",
+        "knn_classify_vote",
+    ):
+        plan = plan_of(build(spark, name))
+        offenders = [
+            line for line in plan.splitlines() if line.upper().count("SQRT") >= 2
+        ]
+        assert not offenders, (
+            f"{name}: per-pair norm recomputation re-entered a join "
+            f"expression:\n" + "\n".join(offenders)
+        )
+
+
 def test_semantic_clusters_no_per_pair_norm(spark):
     """r17 optimization guard: the blocked cosine join must read the
     per-vector norm from the checkpointed `ranked` frame, not recompute
