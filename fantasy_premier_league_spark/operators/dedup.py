@@ -833,17 +833,27 @@ def _shingle_classes(
         # escapes element boundaries unambiguously on both engines.
         "digest", F.md5(F.to_json(F.col("shingles")).cast("binary"))
     ).localCheckpoint(eager=False)  # shingling feeds classes AND mapping
-    classes = tagged.groupBy("digest").agg(F.min("doc_id").alias("cls"))
+    # class id and member count as WINDOW aggregates over the digest
+    # partitioning (r17, guide §2.4: the former groupBy(digest) + two
+    # joins back re-shuffled the doc list three more times; one
+    # digest-partitioned window computes cls = min(doc_id) and
+    # m = count(*) in the SAME shuffle, and column pruning keeps the
+    # mapping materialization narrow). m rides along so the posting
+    # tier's member-weighted df cap needs no groupBy+join either.
+    w = Window.partitionBy("digest")
+    annotated = tagged.select(
+        "doc_id",
+        "shingles",
+        "sz",
+        F.min("doc_id").over(w).alias("cls"),
+        F.count("*").over(w).alias("m"),
+    )
     mapping = (
-        tagged.select("doc_id", "digest")
-        .join(classes.hint("shuffle_hash"), "digest")
-        .select("doc_id", "cls")
-        .localCheckpoint(eager=False)
+        annotated.select("doc_id", "cls").localCheckpoint(eager=False)
     )
     usets = (
-        tagged.join(classes.hint("shuffle_hash"), "digest")
-        .filter(F.col("doc_id") == F.col("cls"))
-        .select("cls", "shingles", "sz")
+        annotated.filter(F.col("doc_id") == F.col("cls"))
+        .select("cls", "shingles", "sz", "m")
         .localCheckpoint(eager=False)  # feeds posting build AND verify
     )
     return mapping, usets
@@ -858,13 +868,11 @@ def _capped_class_sized(
     count before the df sum -- capped semantics stay byte-identical to
     the uncollapsed doc-level plan the oracles encode."""
     mapping, usets = _shingle_classes(spark, sf_dir)
-    members = mapping.groupBy("cls").agg(F.count("*").alias("m"))
-    posting = usets.select("cls", F.explode("shingles").alias("shingle"))
-    dfreq = (
-        posting.join(members.hint("shuffle_hash"), "cls")
-        .groupBy("shingle")
-        .agg(F.sum("m").alias("df"))
-    )
+    # usets carries the member count m from the class window (r17):
+    # the former mapping.groupBy(cls) + posting-side join re-shuffled
+    # the posting mass by cls just to attach a per-class constant
+    posting = usets.select("cls", "m", F.explode("shingles").alias("shingle"))
+    dfreq = posting.groupBy("shingle").agg(F.sum("m").alias("df"))
     capped = posting.join(dfreq.hint("shuffle_hash"), "shingle").filter(
         F.col("df") <= _MAX_SHINGLE_DF
     )

@@ -127,6 +127,17 @@ CHANGED_THIS_ROUND: list[str] = [
     "ann_lsh_recall",
     "ann_sq8_recall",
     "knn_classify_vote",
+    # r17: _shingle_classes computes cls AND the member count m in ONE
+    # digest-partitioned window (was groupBy(digest) + two joins back +
+    # a mapping groupBy(cls) + posting join for m) -- construction
+    # exchanges 38 -> 14 / SHJ 10 -> 2 in the capped-posting subtree.
+    # Same classes, same capped semantics; every class-collapse
+    # consumer's construction plan changed (CC queries already listed).
+    "dedup_ngram_jaccard",
+    "dedup_containment_pairs",
+    "dedup_prefix_filter_pairs",
+    "dedup_minhash_lsh_candidates",
+    "dedup_minhash_accuracy",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
@@ -135,10 +146,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 19 CHANGED
+# sql_frontend_running_total) plus the oldest r13 rows. With 24 CHANGED
 # entries (optimization round: every query whose physical plan moved
 # must be driver-re-verified first -- correctness outranks rotation
-# cadence), 70 candidates compete for 50 slots and 20 r13 rows slip to
+# cadence), 75 candidates compete for 50 slots and 25 r13 rows slip to
 # r18 by arithmetic (the verdict budgeted one slip; the optimization
 # rounds' re-verification demand adds the rest -- the t16-precedent
 # trade, taken deliberately). The rotation's registration-order
