@@ -138,6 +138,12 @@ CHANGED_THIS_ROUND: list[str] = [
     "dedup_prefix_filter_pairs",
     "dedup_minhash_lsh_candidates",
     "dedup_minhash_accuracy",
+    # r17: t16's ingest sinks and stateful ladder drain CONCURRENTLY
+    # (guide §2.6 -- independent sources/sinks/checkpoints; the
+    # scheduler back-fills the ladder's batch tails with ingest tasks;
+    # 0.78x of sequential ingest+state in the stage study). Same sink
+    # contents, same serve result; restart-idempotency suite green.
+    "t16_fpl_pipeline_roundtrip",
 ]
 # (The r16 entries -- s9_python_stream_feed cursor mode,
 # t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
@@ -146,10 +152,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 24 CHANGED
+# sql_frontend_running_total) plus the oldest r13 rows. With 25 CHANGED
 # entries (optimization round: every query whose physical plan moved
 # must be driver-re-verified first -- correctness outranks rotation
-# cadence), 75 candidates compete for 50 slots and 25 r13 rows slip to
+# cadence), 76 candidates compete for 50 slots and 26 r13 rows slip to
 # r18 by arithmetic (the verdict budgeted one slip; the optimization
 # rounds' re-verification demand adds the rest -- the t16-precedent
 # trade, taken deliberately). The rotation's registration-order
