@@ -796,8 +796,14 @@ def fpl_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def chemistry_df(spark: SparkSession) -> DataFrame:
-    trace = rating_trace_df(performance_df(spark)).select(
-        "playerId", "matchId", "teamId", "delta"
+    # the trace is materialized ONCE before the pair self-join (r17):
+    # un-checkpointed, the applyInPandas fold node sits on BOTH sides
+    # of the matchId self-join and executes twice -- only the exchange
+    # below it gets AQE runtime reuse (the req1/chem_impute class)
+    trace = (
+        rating_trace_df(performance_df(spark))
+        .select("playerId", "matchId", "teamId", "delta")
+        .localCheckpoint(eager=False)
     )
     return chemistry_from_trace(trace)
 

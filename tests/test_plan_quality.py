@@ -615,10 +615,26 @@ def test_chem_impute_single_fold_and_shared_counters(spark):
     branch and the trace branch. The registered plan must show zero
     Python fold nodes; the fold runs once at checkpoint
     materialization."""
-    from fantasy_premier_league_spark.operators.pipeline import chemistry_df
+    from fantasy_premier_league_spark.operators.pipeline import (
+        chemistry_df,
+        chemistry_from_trace,
+        performance_df,
+        rating_trace_df,
+    )
 
-    legacy = plan_of(chemistry_df(spark), mode="simple")
-    assert legacy.count("FlatMapGroupsInPandas") == 2  # the class being fixed
+    # the class being fixed: an UN-checkpointed trace self-join carries
+    # the fold on both sides
+    legacy = plan_of(
+        chemistry_from_trace(
+            rating_trace_df(performance_df(spark)).select(
+                "playerId", "matchId", "teamId", "delta"
+            )
+        ),
+        mode="simple",
+    )
+    assert legacy.count("FlatMapGroupsInPandas") == 2
+    # chemistry_df itself now checkpoints the trace (fpl_a6's path)
+    assert "FlatMapGroupsInPandas" not in plan_of(chemistry_df(spark), mode="simple")
     for name in ("ml_kmeans_chemistry_impute", "ml_kmeans_rating_impute"):
         plan = plan_of(build(spark, name), mode="simple")
         assert "FlatMapGroupsInPandas" not in plan, (
