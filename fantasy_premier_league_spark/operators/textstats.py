@@ -550,11 +550,23 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     classed = docs.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("digest")
     )
-    classes = classed.groupBy("digest").agg(F.min("doc_id").alias("cls"))
+    # class id and member count from ONE digest-partitioned window
+    # (r17, the _shingle_classes fix applied to the text-digest
+    # collapse: the former groupBy(digest) + join back + a second
+    # mapping groupBy(cls) for the member count re-shuffled the doc
+    # list three times for two per-class constants)
+    wd = Window.partitionBy("digest")
+    annotated = classed.select(
+        "doc_id",
+        F.min("doc_id").over(wd).alias("cls"),
+        F.count("*").over(wd).alias("m"),
+    )
     mapping = (
-        classed.join(classes.hint("shuffle_hash"), "digest")
-        .select("doc_id", "cls")
-        .localCheckpoint(eager=False)  # feeds reps, members, expansion
+        annotated.select("doc_id", "cls")
+        .localCheckpoint(eager=False)  # feeds reps, expansion
+    )
+    members = annotated.filter(F.col("doc_id") == F.col("cls")).select(
+        "cls", "m"
     )
     reps = docs.join(
         mapping.filter(F.col("doc_id") == F.col("cls")).select("doc_id"),
@@ -573,7 +585,6 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    members = mapping.groupBy("cls").agg(F.count("*").alias("m"))
     live = (
         fps.join(members.hint("shuffle_hash"), "cls")
         .groupBy("fp")

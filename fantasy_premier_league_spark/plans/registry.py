@@ -138,6 +138,10 @@ CHANGED_THIS_ROUND: list[str] = [
     "dedup_prefix_filter_pairs",
     "dedup_minhash_lsh_candidates",
     "dedup_minhash_accuracy",
+    # r17: the winnowing pair join's text-digest collapse uses the
+    # same one-window cls+m form as _shingle_classes (three doc-list
+    # shuffles -> one; the members groupBy is a projection now).
+    "dedup_winnowing_pairs",
     # r17: chemistry_df (fpl_a6's path) checkpoints the trace before
     # the pair self-join -- fold 2x -> 1x, the req1/chem_impute class.
     "fpl_a6_chemistry",
@@ -155,10 +159,10 @@ CHANGED_THIS_ROUND: list[str] = [
 # rows the head budget goes to rotation: the 6 r12-vintage rows
 # (q7_volume_shipping, q8_market_share, q18_large_orders,
 # sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 26 CHANGED
+# sql_frontend_running_total) plus the oldest r13 rows. With 27 CHANGED
 # entries (optimization round: every query whose physical plan moved
 # must be driver-re-verified first -- correctness outranks rotation
-# cadence), 77 candidates compete for 50 slots and 27 r13 rows slip to
+# cadence), 78 candidates compete for 50 slots and 28 r13 rows slip to
 # r18 by arithmetic (the verdict budgeted one slip; the optimization
 # rounds' re-verification demand adds the rest -- the t16-precedent
 # trade, taken deliberately). The rotation's registration-order
