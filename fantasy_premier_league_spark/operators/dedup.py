@@ -652,6 +652,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 converged = True
                 break
             prev_sum = cur_sum
+        # the final labels are materialized (the convergence collect ran
+        # through them), so nothing recomputes through the edge cache --
+        # release it instead of pinning a corpus-scale edge list in
+        # executor storage for the rest of the session (ADVICE r17)
+        edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected components did not converge in {_MAX_ROUNDS} rounds"

@@ -55,120 +55,20 @@ ORACLES: dict[str, str] = {}
 # CHANGED + NEW small so the 26 r10-vintage rows at the staleness
 # bound head the sample (VERDICT r14 task #4).
 CHANGED_THIS_ROUND: list[str] = [
-    # r17: the triangle-counting physical plans changed (VERDICT r16
-    # task #5's study found two hidden re-executions: the 3-branch
-    # unionByName node expansion re-ran the wedge+closing enumeration
-    # 2.18x, and the uncached edge subtree ran ~2x inside the
-    # orientation action; fix = explode(array(a,v,w)) + edge/sample
-    # localCheckpoint, end-to-end 0.53x at sf0.1). Same results, same
-    # oracles -- but the implementation moved, so the driver must
-    # re-verify the hash path.
-    "graph_triangle_counts",
-    "graph_triangle_doulion",
-    # r17 optimization round: blocked pair self-join rebuilt as a
-    # triangular-cell scheme (join blocks decoupled from the output
-    # keys) with REPARTITION_BY_NUM-pinned probe parallelism -- AQE's
-    # byte-based coalescing had folded the 225M-row probe onto 3 of 32
-    # cores. Same 64 rows, same oracle; sf0.1 solo 6.1 -> 1.3 s.
-    "fpl_chem_blocked_pairs",
-    # r17: team_strengths now materializes ONE rating trace shared by
-    # the chemistry join and the final-rating branch (the applyInPandas
-    # fold ran up to 3x per plan; 4.8 -> 3.8 s solo at sf0.1) -- both
-    # req1 consumers changed plans. (chemistry_df itself was split into
-    # chemistry_from_trace + a thin wrapper, expression-identical for
-    # every other consumer: no plan change outside the two req1 rows.)
-    "fpl_req1_win_prediction",
-    "fpl_req1_invalid_team_quirk",
-    # r17: the pocket-perceptron history fuses each iteration's weight
-    # update with the previous iteration's accuracy readout (one
-    # aggregate emits both); corpus scans per training run drop from
-    # 2T to T+1. Same integer arithmetic, same history rows.
-    "quality_perceptron_train",
-    "quality_perceptron_apply",
-    # r17: t18's fixture staging is one partitioned write instead of 8
-    # filter+coalesce jobs (same 8 single-file fixtures, same ladder
-    # order; per-file row order differs, which the order-insensitive
-    # per-batch dedup and the oracle never observe).
-    "t18_stream_dedup_history",
-    # r17: the CC loop caches the edge list repartition(parts, src) so
-    # the per-round propagation join probes it WITHOUT re-shuffling
-    # (localCheckpoint loses partitioning under AQE; the cache's
-    # InMemoryTableScan preserves it) -- per-round edge exchanges
-    # 2 -> 0. Same fixpoint labels, same oracles; keep_best inherits.
-    "dedup_cluster_components",
-    "dedup_cluster_keep_best",
-    # r17: the KMeans imputation queries share ONE match-counters frame
-    # between the cluster-feature branch and the rating-trace branch
-    # (was two events-corpus passes), and chemistry_impute checkpoints
-    # the trace before the pair self-join (fold 2x -> 1x, the req1
-    # class). Same rows, same oracles; sf0.1 warm med 6.0 -> 4.8 s.
-    "ml_kmeans_chemistry_impute",
-    "ml_kmeans_rating_impute",
-    # r17: _pq_train rebuilt in long format -- all M subspaces train in
-    # one exploded (vec_id, s, sub) pipeline instead of M independent
-    # ones (feature-table scans in the ann_pq_recall plan 22 -> 8, and
-    # ~4.6 s of per-subspace Catalyst planning removed). Bit-identical
-    # codes/LUTs (same slices, fold order, tie-breaks, integer sums);
-    # both PQ consumers' plans changed.
-    "ann_pq_recall",
-    "ann_ivfpq_recall",
-    # r17: the SemDeDup blocked cosine join reads per-vector norms from
-    # the checkpointed ranked frame instead of recomputing
-    # sqrt(sum-of-squares) twice per PAIR (same doubles, bit-identical
-    # rounded cosine; SQRT gone from the registered plan).
-    "dedup_semantic_clusters",
-    # r17: the same per-pair-norm fix applied to every cosine pair join
-    # (norm() evaluated inside the crossJoin ran 2x per (query, vector)
-    # pair -- |q|x the per-row cost on the corpus side; now a per-side
-    # projected column, the dedup_embedding_cosine precedent). Same
-    # doubles, bit-identical rounded cosines.
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "ann_lsh_recall",
-    "ann_sq8_recall",
-    "knn_classify_vote",
-    # r17: _shingle_classes computes cls AND the member count m in ONE
-    # digest-partitioned window (was groupBy(digest) + two joins back +
-    # a mapping groupBy(cls) + posting join for m) -- construction
-    # exchanges 38 -> 14 / SHJ 10 -> 2 in the capped-posting subtree.
-    # Same classes, same capped semantics; every class-collapse
-    # consumer's construction plan changed (CC queries already listed).
-    "dedup_ngram_jaccard",
-    "dedup_containment_pairs",
-    "dedup_prefix_filter_pairs",
-    "dedup_minhash_lsh_candidates",
-    "dedup_minhash_accuracy",
-    # r17: the winnowing pair join's text-digest collapse uses the
-    # same one-window cls+m form as _shingle_classes (three doc-list
-    # shuffles -> one; the members groupBy is a projection now).
-    "dedup_winnowing_pairs",
-    # r17: chemistry_df (fpl_a6's path) checkpoints the trace before
-    # the pair self-join -- fold 2x -> 1x, the req1/chem_impute class.
-    "fpl_a6_chemistry",
-    # r17: t16's ingest sinks and stateful ladder drain CONCURRENTLY
-    # (guide §2.6 -- independent sources/sinks/checkpoints; the
-    # scheduler back-fills the ladder's batch tails with ingest tasks;
-    # 0.78x of sequential ingest+state in the stage study). Same sink
-    # contents, same serve result; restart-idempotency suite green.
-    "t16_fpl_pipeline_roundtrip",
+    # (r18 optimization round: entries added below as each query's
+    # physical plan moves; the 28 r17 entries were consumed by the r17
+    # driver sample -- all 28 green in CORRECTNESS_r17.json -- and
+    # pruned here at round open per the standing rule.)
 ]
-# (The r16 entries -- s9_python_stream_feed cursor mode,
-# t16_fpl_pipeline_roundtrip stage split -- were consumed by the r16
-# driver sample, both green in CORRECTNESS_r16.json, and pruned here
-# per VERDICT r16 task #1. r17 registers NOTHING, so after the CHANGED
-# rows the head budget goes to rotation: the 6 r12-vintage rows
-# (q7_volume_shipping, q8_market_share, q18_large_orders,
-# sql_frontend_lateral_topn, sql_frontend_recursive_spine,
-# sql_frontend_running_total) plus the oldest r13 rows. With 27 CHANGED
-# entries (optimization round: every query whose physical plan moved
-# must be driver-re-verified first -- correctness outranks rotation
-# cadence), 78 candidates compete for 50 slots and 28 r13 rows slip to
-# r18 by arithmetic (the verdict budgeted one slip; the optimization
-# rounds' re-verification demand adds the rest -- the t16-precedent
-# trade, taken deliberately). The rotation's registration-order
-# tiebreak makes the slipped rows the LAST-registered r13-vintage
-# queries; they become stale at r18 and head that sample
-# automatically. Recorded intent, not an oversight.)
+# (The 28 r17 entries -- triangle counts, blocked pairs, req1 shared
+# trace, perceptron fused readouts, t18 staging, CC cached edges,
+# kmeans shared counters, PQ long-format train, the cosine-family norm
+# hoists, the _shingle_classes window collapse, winnowing, fpl_a6, t16
+# concurrent drain -- were all sampled and green in CORRECTNESS_r17.json
+# and pruned at the start of r18. With the CHANGED list empty again the
+# head budget goes back to rotation: the 28 r13-vintage rows that
+# slipped past the r17 sample sit at the staleness bound and head the
+# r18 sample automatically.)
 
 # Queries first registered this round (no driver row exists yet).
 # Registration stays throttled to the verification budget:

@@ -1042,24 +1042,33 @@ def t16_run_ingest_and_state(spark: SparkSession, plan: dict) -> None:
     sink = make_state_sink(
         os.path.join(out_dir, "rating"), os.path.join(out_dir, "profile")
     )
-    with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
-        q_state = (
-            streaming_player_state(
-                stream_source(
-                    spark,
-                    plan["stream_dir"],
-                    max_files_per_trigger=plan["state_fpt"],
+    q_state = None
+    try:
+        with scoped_conf(spark, "spark.sql.shuffle.partitions", "4"):
+            q_state = (
+                streaming_player_state(
+                    stream_source(
+                        spark,
+                        plan["stream_dir"],
+                        max_files_per_trigger=plan["state_fpt"],
+                    )
                 )
+                .writeStream.foreachBatch(sink)
+                .option(
+                    "checkpointLocation", os.path.join(out_dir, "_ckpt_state")
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .writeStream.foreachBatch(sink)
-            .option(
-                "checkpointLocation", os.path.join(out_dir, "_ckpt_state")
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-    q_ingest.awaitTermination()
-    q_state.awaitTermination()
+        q_ingest.awaitTermination()
+        q_state.awaitTermination()
+    finally:
+        # if either start() or awaitTermination() raised, stop whichever
+        # availableNow drain is still active so a failed run cannot leak
+        # a streaming query holding the session temp dirs (ADVICE r17)
+        for q in (q_ingest, q_state):
+            if q is not None and q.isActive:
+                q.stop()
 
 
 def t16_serve(spark: SparkSession, out_dir: str) -> DataFrame:

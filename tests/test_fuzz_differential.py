@@ -18,6 +18,7 @@ import pytest
 from tests.conftest import SF_SMOKE
 from tests.fuzz_grammar import build_spark, draw_case
 from tests.oracle_harness import compare, duck_connection
+from tests.parallel import unwrap
 
 SEEDS = list(range(30))
 
@@ -29,239 +30,252 @@ def duck():
     con.close()
 
 
+@pytest.fixture(scope="module")
+def fuzz_outcomes(spark, duck):
+    """Every (axis, seed) case run vs DuckDB through a thread pool
+    (r18: the sequential suite contributed minutes to the 16:31 driver
+    verify that overran its budget -- VERDICT r17 #1; safety argument
+    in tests/parallel.py). Each parametrized test asserts its own
+    precomputed outcome: same case count, same (axis, seed)
+    reproduction contract, same -x behavior."""
+    import tests.fuzz_grammar as grammar
+    from tests.oracle_harness import compare_signed
+    from tests.parallel import fan_out
+
+    def make(fam, draw, build, seed, cmp_fn):
+        def run():
+            case = getattr(grammar, draw)(seed)
+            df = getattr(grammar, build)(spark, SF_SMOKE, case)
+            cur = duck.cursor()
+            try:
+                return cmp_fn(df, cur, case["sql"])
+            finally:
+                cur.close()
+
+        return run
+
+    cases = []
+    for fam, (draw, build, seeds_name, cmp_name) in _FAMILIES.items():
+        cmp_fn = compare_signed if cmp_name == "signed" else compare
+        for seed in globals()[seeds_name]:
+            cases.append(((fam, seed), make(fam, draw, build, seed, cmp_fn)))
+    return fan_out(cases)
+
+
+# axis -> (draw fn, build fn, seeds var, comparator); the parametrized
+# tests below each consult fuzz_outcomes[(axis, seed)]
+_FAMILIES: dict[str, tuple[str, str, str, str]] = {
+    "scan": ("draw_case", "build_spark", "SEEDS", "value"),
+    "join": ("draw_join_case", "build_join_spark", "JOIN_SEEDS", "value"),
+    "window": ("draw_window_case", "build_window_spark", "WINDOW_SEEDS", "value"),
+    "null": ("draw_null_case", "build_null_spark", "NULL_SEEDS", "value"),
+    "setop": ("draw_setop_case", "build_setop_spark", "SETOP_SEEDS", "value"),
+    "expr": ("draw_expr_case", "build_expr_spark", "EXPR_SEEDS", "value"),
+    "topk": ("draw_topk_case", "build_topk_spark", "TOPK_SEEDS", "value"),
+    "rollup": ("draw_rollup_case", "build_rollup_spark", "ROLLUP_SEEDS", "value"),
+    "subquery": (
+        "draw_subquery_case", "build_subquery_spark", "SUBQUERY_SEEDS", "value",
+    ),
+    "datetime": (
+        "draw_datetime_case", "build_datetime_spark", "DATETIME_SEEDS", "value",
+    ),
+    "pattern": (
+        "draw_pattern_case", "build_pattern_spark", "PATTERN_SEEDS", "value",
+    ),
+    "numeric": (
+        "draw_numeric_case", "build_numeric_spark", "NUMERIC_SEEDS", "value",
+    ),
+    "rangejoin": (
+        "draw_rangejoin_case", "build_rangejoin_spark", "RANGEJOIN_SEEDS", "value",
+    ),
+    "stream": ("draw_stream_case", "build_stream_spark", "STREAM_SEEDS", "value"),
+    "scalarsub": (
+        "draw_scalarsub_case", "build_scalarsub_spark", "SCALARSUB_SEEDS", "value",
+    ),
+    "rangeframe": (
+        "draw_rangeframe_case", "build_rangeframe_spark", "RANGEFRAME_SEEDS", "value",
+    ),
+    "filteragg": (
+        "draw_filteragg_case", "build_filteragg_spark", "FILTERAGG_SEEDS", "value",
+    ),
+    "signedzero": (
+        "draw_signedzero_case", "build_signedzero_spark", "SIGNEDZERO_SEEDS",
+        "signed",
+    ),
+    "lateral": (
+        "draw_lateral_case", "build_lateral_spark", "LATERAL_SEEDS", "value",
+    ),
+    "joinchain": (
+        "draw_joinchain_case", "build_joinchain_spark", "JOINCHAIN_SEEDS", "value",
+    ),
+    "multidistinct": (
+        "draw_multidistinct_case", "build_multidistinct_spark",
+        "MULTIDISTINCT_SEEDS", "value",
+    ),
+    "winjoin": (
+        "draw_winjoin_case", "build_winjoin_spark", "WINJOIN_SEEDS", "value",
+    ),
+}
+
+
 @pytest.mark.parametrize("seed", SEEDS)
-def test_fuzz_query_matches_duckdb(spark, duck, seed):
-    case = draw_case(seed)
-    df = build_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_query_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("scan", seed)])
 
 
 JOIN_SEEDS = list(range(15))
 
 
 @pytest.mark.parametrize("seed", JOIN_SEEDS)
-def test_fuzz_join_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_join_spark, draw_join_case
-
-    case = draw_join_case(seed)
-    df = build_join_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_join_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("join", seed)])
 
 
 WINDOW_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", WINDOW_SEEDS)
-def test_fuzz_window_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_window_spark, draw_window_case
-
-    case = draw_window_case(seed)
-    df = build_window_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_window_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("window", seed)])
 
 
 NULL_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", NULL_SEEDS)
-def test_fuzz_null_semantics_match_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_null_spark, draw_null_case
-
-    case = draw_null_case(seed)
-    df = build_null_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_null_semantics_match_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("null", seed)])
 
 
 SETOP_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", SETOP_SEEDS)
-def test_fuzz_setop_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_setop_spark, draw_setop_case
-
-    case = draw_setop_case(seed)
-    df = build_setop_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_setop_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("setop", seed)])
 
 
 EXPR_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", EXPR_SEEDS)
-def test_fuzz_expr_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_expr_spark, draw_expr_case
-
-    case = draw_expr_case(seed)
-    df = build_expr_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_expr_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("expr", seed)])
 
 
 TOPK_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", TOPK_SEEDS)
-def test_fuzz_topk_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_topk_spark, draw_topk_case
-
-    case = draw_topk_case(seed)
-    df = build_topk_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_topk_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("topk", seed)])
 
 
 ROLLUP_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", ROLLUP_SEEDS)
-def test_fuzz_rollup_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_rollup_spark, draw_rollup_case
-
-    case = draw_rollup_case(seed)
-    df = build_rollup_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_rollup_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("rollup", seed)])
 
 
 SUBQUERY_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", SUBQUERY_SEEDS)
-def test_fuzz_subquery_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_subquery_spark, draw_subquery_case
-
-    case = draw_subquery_case(seed)
-    df = build_subquery_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_subquery_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("subquery", seed)])
 
 
 DATETIME_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", DATETIME_SEEDS)
-def test_fuzz_datetime_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_datetime_spark, draw_datetime_case
-
-    case = draw_datetime_case(seed)
-    df = build_datetime_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_datetime_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("datetime", seed)])
 
 
 PATTERN_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", PATTERN_SEEDS)
-def test_fuzz_pattern_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_pattern_spark, draw_pattern_case
-
-    case = draw_pattern_case(seed)
-    df = build_pattern_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_pattern_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("pattern", seed)])
 
 
 NUMERIC_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", NUMERIC_SEEDS)
-def test_fuzz_numeric_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_numeric_spark, draw_numeric_case
-
-    case = draw_numeric_case(seed)
-    df = build_numeric_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_numeric_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("numeric", seed)])
 
 
 RANGEJOIN_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", RANGEJOIN_SEEDS)
-def test_fuzz_rangejoin_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_rangejoin_spark, draw_rangejoin_case
-
-    case = draw_rangejoin_case(seed)
-    df = build_rangejoin_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_rangejoin_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("rangejoin", seed)])
 
 
 STREAM_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", STREAM_SEEDS)
-def test_fuzz_stream_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_stream_spark, draw_stream_case
-
-    case = draw_stream_case(seed)
-    df = build_stream_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_stream_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("stream", seed)])
 
 
 SCALARSUB_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", SCALARSUB_SEEDS)
-def test_fuzz_scalarsub_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_scalarsub_spark, draw_scalarsub_case
-
-    case = draw_scalarsub_case(seed)
-    df = build_scalarsub_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_scalarsub_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("scalarsub", seed)])
 
 
 RANGEFRAME_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", RANGEFRAME_SEEDS)
-def test_fuzz_rangeframe_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_rangeframe_spark, draw_rangeframe_case
-
-    case = draw_rangeframe_case(seed)
-    df = build_rangeframe_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_rangeframe_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("rangeframe", seed)])
 
 
 FILTERAGG_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", FILTERAGG_SEEDS)
-def test_fuzz_filteragg_matches_duckdb(spark, duck, seed):
-    from tests.fuzz_grammar import build_filteragg_spark, draw_filteragg_case
-
-    case = draw_filteragg_case(seed)
-    df = build_filteragg_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+def test_fuzz_filteragg_matches_duckdb(fuzz_outcomes, seed):
+    unwrap(fuzz_outcomes[("filteragg", seed)])
 
 
 SIGNEDZERO_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", SIGNEDZERO_SEEDS)
-def test_fuzz_signedzero_matches_duckdb_bytewise(spark, duck, seed):
+def test_fuzz_signedzero_matches_duckdb_bytewise(fuzz_outcomes, seed):
     """Axis 18 (round 14): value parity through compare() FIRST, then
     the byte-level re-check compare() deliberately cannot do -- the
     signed canonical rows must match exactly, pinning that Spark's
     BigDecimal round never signs a zero and the oracle's `+ 0`
     spelling repairs DuckDB's std::round -0.0 on machine-drawn
     sign-crossing measures, not just the curated fleet."""
-    from tests.fuzz_grammar import build_signedzero_spark, draw_signedzero_case
-    from tests.oracle_harness import compare_signed
-
-    case = draw_signedzero_case(seed)
-    df = build_signedzero_spark(spark, SF_SMOKE, case)
-    compare_signed(df, duck, case["sql"])
+    unwrap(fuzz_outcomes[("signedzero", seed)])
 
 
 LATERAL_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", LATERAL_SEEDS)
-def test_fuzz_lateral_matches_duckdb(spark, duck, seed):
+def test_fuzz_lateral_matches_duckdb(fuzz_outcomes, seed):
     """Axis 19 (round 15, the VERDICT r13 #8 / r14 #6 carried axis):
     correlated table-function laterals -- guarded sequence explode
     (inner/outer/SQL-LATERAL text) and posexplode token/position --
     against DuckDB's LATERAL unnest twins, with per-element correlated
     arithmetic feeding the standing cent-grid aggregates."""
-    from tests.fuzz_grammar import build_lateral_spark, draw_lateral_case
-
-    case = draw_lateral_case(seed)
-    df = build_lateral_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+    unwrap(fuzz_outcomes[("lateral", seed)])
 
 
 def test_fuzz_lateral_axis_reaches_empty_generators(spark):
@@ -301,7 +315,7 @@ JOINCHAIN_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", JOINCHAIN_SEEDS)
-def test_fuzz_joinchain_matches_duckdb(spark, duck, seed):
+def test_fuzz_joinchain_matches_duckdb(fuzz_outcomes, seed):
     """Axis 20 (round 16, VERDICT r15 stretch #7): 3-table
     customer ⋈ orders ⋈ lineitem chains with independently drawn
     inner/left steps and ON-vs-WHERE residual placement -- the axis
@@ -310,11 +324,7 @@ def test_fuzz_joinchain_matches_duckdb(spark, duck, seed):
     that NULL; a WHERE residual on a null-extendable column inner-izes
     deterministically on both engines). Axes 2/16 cover these hazards
     only pairwise."""
-    from tests.fuzz_grammar import build_joinchain_spark, draw_joinchain_case
-
-    case = draw_joinchain_case(seed)
-    df = build_joinchain_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+    unwrap(fuzz_outcomes[("joinchain", seed)])
 
 
 def test_fuzz_joinchain_axis_reaches_null_extension(spark, duck):
@@ -344,7 +354,7 @@ MULTIDISTINCT_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", MULTIDISTINCT_SEEDS)
-def test_fuzz_multidistinct_matches_duckdb(spark, duck, seed):
+def test_fuzz_multidistinct_matches_duckdb(fuzz_outcomes, seed):
     """Axis 21 (round 16): multiple DISTINCT aggregates in one grouped
     query -- Spark executes these through an Expand rewrite (one
     duplicated stream per distinct set + two-phase aggregate), DuckDB
@@ -352,14 +362,7 @@ def test_fuzz_multidistinct_matches_duckdb(spark, duck, seed):
     elimination, grouping-key routing) is the surface under test. The
     distinct sum stays on the integer cent grid, so every output is
     exact on both engines."""
-    from tests.fuzz_grammar import (
-        build_multidistinct_spark,
-        draw_multidistinct_case,
-    )
-
-    case = draw_multidistinct_case(seed)
-    df = build_multidistinct_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+    unwrap(fuzz_outcomes[("multidistinct", seed)])
 
 
 def test_fuzz_multidistinct_plans_expand(spark):
@@ -390,7 +393,7 @@ WINJOIN_SEEDS = list(range(12))
 
 
 @pytest.mark.parametrize("seed", WINJOIN_SEEDS)
-def test_fuzz_winjoin_matches_duckdb(spark, duck, seed):
+def test_fuzz_winjoin_matches_duckdb(fuzz_outcomes, seed):
     """Axis 22 (round 17, VERDICT r16 stretch #8): windowed aggregates
     over join results -- drawn orders ⋈ lineitem joins feeding drawn
     window functions, partition keys from either side, frames from the
@@ -399,11 +402,7 @@ def test_fuzz_winjoin_matches_duckdb(spark, duck, seed):
     NULL partition a left join feeds a right-side partition key, and
     the ASC NULLS FIRST pin on the possibly-null ROWS tiebreak column
     (Spark's asc default vs DuckDB's NULLS LAST default)."""
-    from tests.fuzz_grammar import build_winjoin_spark, draw_winjoin_case
-
-    case = draw_winjoin_case(seed)
-    df = build_winjoin_spark(spark, SF_SMOKE, case)
-    compare(df, duck, case["sql"])
+    unwrap(fuzz_outcomes[("winjoin", seed)])
 
 
 def test_fuzz_winjoin_axis_reaches_null_partition(spark, duck):

@@ -24,13 +24,44 @@ def duck():
     con.close()
 
 
+@pytest.fixture(scope="module")
+def parity_outcomes(spark, duck):
+    """All ~200 registered queries run vs their oracles through a
+    thread pool (r18: the sequential suite's 16:31 wall overran the
+    driver's verify budget -- VERDICT r17 #1; see tests/parallel.py for
+    the safety argument). Each parametrized test below asserts its own
+    precomputed outcome, so count/attribution/-x behavior are
+    unchanged -- only the wall moves."""
+    from fantasy_premier_league_spark.sources.fpl_fixtures import ensure_fixtures
+
+    from tests.parallel import fan_out
+
+    ensure_fixtures()  # build once up front, not racing inside the pool
+
+    def thunk(fn, oracle):
+        def run():
+            df = fn(spark, SF_CORRECTNESS)
+            if oracle is None:
+                return ("rows_only", df.count())
+            cur = duck.cursor()
+            try:
+                return ("parity", compare(df, cur, oracle))
+            finally:
+                cur.close()
+
+        return run
+
+    return fan_out((name, thunk(fn, oracle)) for name, fn, oracle in _cases())
+
+
 @pytest.mark.parametrize("name,fn,oracle", _cases(), ids=[c[0] for c in _cases()])
-def test_query_matches_oracle(spark, duck, name, fn, oracle):
-    df = fn(spark, SF_CORRECTNESS)
-    if oracle is None:
-        assert df.count() >= 0  # rows-only check, like the driver
+def test_query_matches_oracle(parity_outcomes, name, fn, oracle):
+    from tests.parallel import unwrap
+
+    kind, n = unwrap(parity_outcomes[name])
+    if kind == "rows_only":
+        assert n >= 0  # rows-only check, like the driver
     else:
-        n = compare(df, duck, oracle)
         # the driver regenerates testdata between rounds: a drifted
         # literal predicate (brand, priority, date range) can silently
         # empty a query and 0=0 still hash-matches. No registered query

@@ -224,21 +224,46 @@ def _buildable_names():
     return sorted(set(all_queries()) - SLOW_TO_BUILD)
 
 
+@pytest.fixture(scope="module")
+def fleet_plans(spark):
+    """One build+explain per buildable query, fanned out across a
+    thread pool (r18: the three fleet-wide plan lints each rebuilt and
+    re-explained every plan — 3x ~180 Catalyst runs, a large slice of
+    the 16:31 driver verify that overran its budget, VERDICT r17 #1;
+    safety argument in tests/parallel.py). The lints below consult the
+    memoized plan text, so each still fails with its own name/message."""
+    from tests.parallel import fan_out
+
+    def make(name):
+        def run():
+            return plan_of(all_queries()[name](spark, SF))
+
+        return run
+
+    return fan_out((n, make(n)) for n in _buildable_names())
+
+
+def _fleet_plan(fleet_plans, name: str) -> str:
+    from tests.parallel import unwrap
+
+    return unwrap(fleet_plans[name])
+
+
 @pytest.mark.parametrize("name", _buildable_names())
-def test_no_row_at_a_time_python(spark, name):
-    plan = plan_of(all_queries()[name](spark, SF))
+def test_no_row_at_a_time_python(fleet_plans, name):
+    plan = _fleet_plan(fleet_plans, name)
     assert "BatchEvalPython" not in plan, (
         f"{name}: row-at-a-time Python UDF in plan (use pandas_udf/mapInPandas)"
     )
 
 
 @pytest.mark.parametrize("name", _buildable_names())
-def test_no_unhinted_cartesian(spark, name):
+def test_no_unhinted_cartesian(fleet_plans, name):
     """CartesianProduct (both sides materialized per-pair, no broadcast)
     must never appear; BroadcastNestedLoopJoin is allowed only for the
     CARTESIAN_OK queries whose broadcast side is bounded by design
     (centroids, query vectors, 1-row scalars, pair blocks)."""
-    plan = plan_of(all_queries()[name](spark, SF))
+    plan = _fleet_plan(fleet_plans, name)
     assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian product"
     if name not in CARTESIAN_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
@@ -528,8 +553,8 @@ def _unpartitioned_ordered_windows(plan: str) -> int:
 
 
 @pytest.mark.parametrize("name", _buildable_names())
-def test_no_unpartitioned_ordered_window(spark, name):
-    plan = plan_of(all_queries()[name](spark, SF))
+def test_no_unpartitioned_ordered_window(fleet_plans, name):
+    plan = _fleet_plan(fleet_plans, name)
     n = _unpartitioned_ordered_windows(plan)
     if name in GLOBAL_WINDOW_OK:
         return  # bounded by design, documented above
